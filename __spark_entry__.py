@@ -1,38 +1,71 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline at sf0.001; ``queries()`` /
+``oracle_sql()`` expose the full operator inventory (SURVEY.md §2) for
+the driver's DuckDB-oracle correctness harness.  Implementation lives in
+the ``eventbridge_etl_spark`` package; this module is a thin adapter.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eventbridge_etl_spark.queries import ORACLES, QUERIES, load_all
+
+load_all()
+
+_SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference pipeline re-expressed on the events
+    stream table — content-based route (O11), JSON detail projection
+    (O4), validity filter (O5), keyed last-writer-wins upsert (O16),
+    event-time hourly rollup — one declarative plan, one shuffle per
+    aggregation, all stages inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators.routing import route
+    from eventbridge_etl_spark.operators.upsert import upsert_by_key
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, _SF0001, ("events",))["events"]
+    routed = route(
+        ev,
+        {
+            "event_type": ["click", "purchase", "view", "signup", "error"],
+            "props": {"k": [{"exists": True}]},
+        },
+    )
+    typed = routed.withColumn(
+        "k_value", F.get_json_object(F.col("props"), "$.k").cast("int")
+    ).filter(F.col("user_id").isNotNull())
+    latest = upsert_by_key(
+        typed.withColumn("_v", F.struct("ts", "event_id")), ["user_id"], version_col="_v"
+    ).drop("_v")
+    return (
+        latest.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("k_value"), 4).alias("avg_k"),
+        )
+        .orderBy("hour", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted for
+    non-SQL-expressible ops — driver then runs a rows-only check)."""
+    return dict(ORACLES)

@@ -1,0 +1,90 @@
+"""Record-reshaping operators of the reference pipeline, vectorized.
+
+Maps SURVEY §2 operators O5 (validity filter), O10 (row->event splinter),
+O12 (header-zip dynamic pivot), O15 (rename projection) onto built-in
+column expressions — all stay inside whole-stage codegen; no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: The reference sink's hard-coded reshape (lambda-fns/load/load.ts:67-72).
+ADDRESS_RENAMES: dict[str, str] = {
+    "ID": "id",
+    "HouseNum": "house_number",
+    "Street": "street_address",
+    "Town": "town",
+    "Zip": "zip",
+}
+
+
+def header_zip(
+    df: DataFrame,
+    headers_col: str = "headers",
+    data_col: str = "data",
+    out_col: str = "record",
+    delimiter: str = ",",
+) -> DataFrame:
+    """Dynamic pivot: zip a header string with a value string into a map.
+
+    The generic schema-on-read path (reference O12,
+    lambda-fns/transform/transform.ts:47-61): ``'a,b' + '1,2' ->
+    {'a':'1','b':'2'}`` as ``MapType(string,string)``.
+
+    Divergence kept deliberately (SURVEY §1.3): the reference's bare
+    ``split(',')`` corrupts quoted fields; this operator has the same
+    limitation *by construction* (it operates on pre-split strings) but the
+    engine's CSV sources parse RFC-4180 correctly upstream, so quoted
+    fields never reach this operator broken.  Length mismatches yield
+    nulls for missing values rather than silent 'undefined'.
+    """
+    h = F.split(F.col(headers_col), delimiter)
+    d = F.split(F.col(data_col), delimiter)
+    # pad the value array to the header length so map_from_arrays never
+    # errors on ragged rows; extra values beyond the header are dropped
+    n = F.size(h)
+    d_padded = F.concat(d, F.array_repeat(F.lit(None).cast("string"), n))
+    return df.withColumn(out_col, F.map_from_arrays(h, F.slice(d_padded, 1, n)))
+
+
+def splinter(df: DataFrame, headers: Sequence[str], delimiter: str = ",") -> DataFrame:
+    """Inverse of ``header_zip`` — re-encode typed columns as the
+    reference's ``(headers, data)`` string pair (O10,
+    container/s3DataExtractionTask/main.py:36-40).  Used to generate
+    envelope-parity streams for routing tests."""
+    return df.select(
+        F.lit(delimiter.join(headers)).alias("headers"),
+        F.concat_ws(delimiter, *[F.col(h) for h in headers]).alias("data"),
+    )
+
+
+def validity_filter(df: DataFrame, required: Sequence[str | Column]) -> DataFrame:
+    """Drop rows where any required field is null/empty (reference O5,
+    s3SqsEventConsumer.ts:144-148)."""
+    pred = F.lit(True)
+    for c in required:
+        col = F.col(c) if isinstance(c, str) else c
+        pred = pred & col.isNotNull() & (col.cast("string") != F.lit(""))
+    return df.filter(pred)
+
+
+def rename_projection(
+    df: DataFrame, renames: Mapping[str, str], source_col: str | None = None
+) -> DataFrame:
+    """Project + rename (reference O15, load.ts:64-73).
+
+    ``source_col`` lets the input be a map/struct column (the header_zip
+    output): ``rename_projection(df, ADDRESS_RENAMES, 'record')`` projects
+    ``record['ID'] AS id`` etc.  A pure ``select`` so Catalyst prunes every
+    unreferenced column all the way into the scan.
+    """
+    if source_col is None:
+        cols = [F.col(src).alias(dst) for src, dst in renames.items()]
+    else:
+        cols = [F.col(source_col).getItem(src).alias(dst) for src, dst in renames.items()]
+    return df.select(*cols)

@@ -1,0 +1,127 @@
+"""EventBridge-style pattern matching compiled to Catalyst predicates.
+
+The reference routes stage-to-stage with rule patterns over the event
+envelope — conjunctions of field matches where each field lists allowed
+alternatives, e.g. (lib/eventbridge-etl-stack.ts:203-212)::
+
+    { source: ['cdkpatterns.the-eventbridge-etl'],
+      detailType: ['s3RecordExtraction'],
+      detail: { status: ['extracted'] } }
+
+Semantics (public EventBridge docs): top-level keys AND together; a list
+value means "field value IN list"; nested dicts descend into the JSON
+payload.  We compile a pattern dict straight to a ``Column`` predicate, so
+routing is a plain ``filter`` Catalyst can push down — at 100 TB this is
+the difference between "scan everything then drop" and a parquet-level
+``PushedFilters`` scan.
+
+Supported value forms (the EventBridge content-filter operators that have
+exact relational analogs):
+
+- ``["a", "b"]``            -> ``col IN ('a','b')``
+- ``[{"prefix": "x"}]``     -> ``startswith``
+- ``[{"suffix": "x"}]``     -> ``endswith``
+- ``[{"anything-but": [..]}]`` -> ``NOT IN``
+- ``[{"exists": True/False}]`` -> null check
+- ``[{"numeric": [">", 0, "<=", 5]}]`` -> range conjunction
+- nested dict               -> descend (struct field or JSON path under
+  the ``detail`` string column)
+
+Alternatives within one field OR together, matching EventBridge.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC_OPS = {
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    "=": lambda c, v: c == v,
+}
+
+
+def _field_column(df: DataFrame, path: list[str]) -> Column:
+    """Resolve a pattern path to a Column.
+
+    Top-level names resolve to DataFrame columns (struct-dotted paths
+    allowed).  Paths that descend *through a JSON string column* (the
+    envelope's ``detail``) resolve via ``get_json_object`` so patterns
+    work on raw, unparsed envelopes too.
+    """
+    head = path[0]
+    rest = path[1:]
+    dtype = dict(df.dtypes).get(head)
+    if rest and dtype == "string":
+        return F.get_json_object(F.col(head), "$." + ".".join(rest))
+    return F.col(".".join(path))
+
+
+def _alternative_predicate(col: Column, alt: Any) -> Column:
+    """Predicate for a single alternative within a field's list."""
+    if isinstance(alt, Mapping):
+        if "prefix" in alt:
+            return col.startswith(str(alt["prefix"]))
+        if "suffix" in alt:
+            return col.endswith(str(alt["suffix"]))
+        if "anything-but" in alt:
+            vals = alt["anything-but"]
+            vals = vals if isinstance(vals, list) else [vals]
+            return ~col.isin(vals) | col.isNull()
+        if "exists" in alt:
+            return col.isNotNull() if alt["exists"] else col.isNull()
+        if "numeric" in alt:
+            spec = alt["numeric"]
+            pred = F.lit(True)
+            for op, val in zip(spec[::2], spec[1::2]):
+                pred = pred & _NUMERIC_OPS[op](col.cast("double"), float(val))
+            return pred
+        raise ValueError(f"unsupported pattern operator: {alt}")
+    return col == F.lit(alt)
+
+
+def compile_pattern(df: DataFrame, pattern: Mapping[str, Any]) -> Column:
+    """Compile an event pattern dict into a single boolean Column."""
+
+    def walk(node: Mapping[str, Any], path: list[str]) -> Column:
+        pred: Column | None = None
+        for key, value in node.items():
+            sub_path = path + [key]
+            if isinstance(value, Mapping):
+                term = walk(value, sub_path)
+            else:
+                alts = value if isinstance(value, list) else [value]
+                col = _field_column(df, sub_path)
+                # plain-scalar alternatives compile to one IN-list
+                scalars = [a for a in alts if not isinstance(a, Mapping)]
+                ops = [a for a in alts if isinstance(a, Mapping)]
+                terms: list[Column] = []
+                if scalars:
+                    terms.append(
+                        col == scalars[0] if len(scalars) == 1 else col.isin(scalars)
+                    )
+                terms.extend(_alternative_predicate(col, a) for a in ops)
+                term = terms[0]
+                for t in terms[1:]:
+                    term = term | t
+            pred = term if pred is None else pred & term
+        if pred is None:
+            raise ValueError("empty pattern")
+        return pred
+
+    return walk(pattern, [])
+
+
+def route(df: DataFrame, pattern: Mapping[str, Any]) -> DataFrame:
+    """Filter ``df`` to rows matching ``pattern`` (a content-based route).
+
+    One stream, many routes: call ``route`` once per rule — Spark computes
+    each branch from the shared source; in streaming, run one query per
+    sink or union the branches (SURVEY §3.3).
+    """
+    return df.filter(compile_pattern(df, pattern))

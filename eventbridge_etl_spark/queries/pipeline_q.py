@@ -1,0 +1,160 @@
+"""Reference-operator analog queries over the ``events`` fixture table.
+
+Each maps a SURVEY §2.1 operator onto the driver's `events` stream table
+(event_id, ts, user_id, event_type, value, props-JSON) in a DuckDB-
+checkable form: routing rules O11/O14/O19, JSON field projection O4,
+validity filter O5, keyed last-writer-wins upsert O16, plus the
+README:27 reconciliation tally and an event-time rollup (the batch analog
+of the streaming windowed agg in P3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.operators.routing import route
+from eventbridge_etl_spark.operators.upsert import upsert_by_key
+from eventbridge_etl_spark.queries import query
+
+
+def _events(spark, sf_dir):
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+@query(
+    "route_transform_rule",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+)
+def route_transform_rule(spark, sf_dir):
+    """O11: content-based route = pattern dict compiled to a pushed-down
+    Column predicate (in-list + numeric-range over a JSON detail field)."""
+    ev = _events(spark, sf_dir)
+    matched = route(
+        ev,
+        {
+            "event_type": ["click", "purchase"],
+            "props": {"k": [{"numeric": [">", 50]}]},
+        },
+    )
+    return matched.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query(
+    "route_observe_tap",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def route_observe_tap(spark, sf_dir):
+    """O19: the observe tap sees *every* envelope; its materialized form
+    is a per-detail-type tally (the reference logs, we aggregate)."""
+    return _events(spark, sf_dir).groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "events_json_projection",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+    """,
+)
+def events_json_projection(spark, sf_dir):
+    """O4: null-safe nested-JSON field projection (get_json_object)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(F.col("event_id"), k.alias("k_value"), F.col("event_type"))
+        .filter(F.col("k_value").isNotNull())
+    )
+
+
+@query(
+    "events_validity_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      AND CAST(user_id AS VARCHAR) <> '' AND event_type <> ''
+    """,
+)
+def events_validity_filter(spark, sf_dir):
+    """O5: drop records missing required routing fields."""
+    from eventbridge_etl_spark.operators.etl import validity_filter
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    return validity_filter(ev, ["user_id", "event_type"])
+
+
+@query(
+    "events_keyed_upsert",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def events_keyed_upsert(spark, sf_dir):
+    """O16: keyed last-writer-wins — one row per user_id, latest (ts,
+    event_id) wins.  Implemented as max_by argmax (one shuffle with
+    map-side partial agg; no global sort), not a window sort."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type", "value")
+    versioned = ev.withColumn("_v", F.struct(F.col("ts"), F.col("event_id")))
+    return upsert_by_key(versioned, ["user_id"], version_col="_v").drop("_v")
+
+
+@query(
+    "events_reconciliation",
+    oracle="""
+    SELECT COUNT(*) AS n_extracted,
+           COUNT(DISTINCT user_id) AS n_loaded_keys,
+           COUNT(*) - COUNT(DISTINCT user_id) AS n_upserted_over
+    FROM events
+    """,
+)
+def events_reconciliation(spark, sf_dir):
+    """README:27's sketched reconciliation check, implemented: extracted
+    event count vs distinct loaded keys vs overwrites."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.count("*").alias("n_extracted"),
+        F.countDistinct("user_id").alias("n_loaded_keys"),
+        (F.count("*") - F.countDistinct("user_id")).alias("n_upserted_over"),
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Event-time tumbling rollup (batch analog of the P3 streaming
+    windowed agg).  date_trunc keeps the grouping key numeric-exact; at
+    scale this is a single hash aggregate with map-side combine."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

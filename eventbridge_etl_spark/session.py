@@ -1,0 +1,72 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]`` in one JVM; the config below is chosen so
+the *same plans* survive a 1000-executor / 100 TB deployment:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic broadcast conversion replace any hand-tuned partition counts.
+- Arrow on: every pandas_udf / mapInPandas hop is vectorized batch
+  transfer, never per-row pickling.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; at
+  cluster scale set it ~2-3x total cores and let AQE coalesce.
+- ``maxPartitionBytes`` 128 MiB keeps scan tasks memory-bounded no matter
+  the input size (100 TB => ~800k tasks, fine for a 1000-executor cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied to every session this engine creates.  Each is safe at
+#: both local[32]/sf0.1 and cluster/100 TB scale (see module docstring).
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
+    "spark.sql.parquet.filterPushdown": "true",
+    # the fixture events table stores TIMESTAMP(NANOS) parquet, which Spark
+    # has no native type for; read as long and convert in sources.tables
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MiB
+    "spark.sql.session.timeZone": "UTC",
+    # Streaming: bound state stores and enable RocksDB-style eviction when
+    # available; harmless in batch.
+    "spark.sql.streaming.stateStore.compression.codec": "lz4",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def get_spark(
+    app_name: str = "eventbridge-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured — on a real cluster, spark-submit's
+    ``--master`` wins because we only set it if nothing else did.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    conf = dict(ENGINE_CONF)
+    if shuffle_partitions is None:
+        # local default: match core count so sf-scale tests don't pay for
+        # hundreds of empty partitions; AQE coalesces further.
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,67 @@
+"""Event-envelope schema and helpers.
+
+The reference wraps every record in an EventBridge envelope
+``{Source, DetailType, Time, Detail{...}}`` (reference:
+``container/s3DataExtractionTask/main.py:42-51``,
+``lambda-fns/transform/transform.ts:20-32``).  Here the envelope is a
+first-class ``StructType``; ``Detail`` stays a JSON string at the ingest
+boundary and is parsed with ``from_json`` when a stage needs typed fields
+— Spark's analog of schema-on-read per event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The engine's canonical source tag (reference stamps
+#: 'cdkpatterns.the-eventbridge-etl' on every event;
+#: lib/eventbridge-etl-stack.ts:206).
+DEFAULT_SOURCE = "eventbridge-etl-spark"
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType(), False),
+        T.StructField("detail_type", T.StringType(), False),
+        T.StructField("time", T.TimestampType(), False),
+        T.StructField("detail", T.StringType(), False),  # JSON payload
+    ]
+)
+
+
+def to_envelope(
+    df: DataFrame,
+    detail_type: str,
+    source: str = DEFAULT_SOURCE,
+    detail_cols: list[str] | None = None,
+) -> DataFrame:
+    """Wrap each row of ``df`` into an envelope row.
+
+    ``detail`` is the JSON serialization of the selected columns (all
+    columns by default) — the Spark analog of the reference's per-stage
+    re-emit (transform.ts:16-45).  Pure built-ins (``to_json(struct(...))``)
+    so the wrap stays inside whole-stage codegen.
+    """
+    cols = detail_cols or df.columns
+    return df.select(
+        F.lit(source).alias("source"),
+        F.lit(detail_type).alias("detail_type"),
+        F.current_timestamp().alias("time"),
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("detail"),
+    )
+
+
+def parse_detail(df: DataFrame, schema: T.StructType | str) -> DataFrame:
+    """Parse the JSON ``detail`` column into a typed struct column ``d``.
+
+    Keeps the envelope columns; downstream stages project ``d.<field>``.
+    """
+    return df.withColumn("d", F.from_json(F.col("detail"), schema))
+
+
+def detail_field(path: str) -> Column:
+    """``get_json_object`` accessor for ad-hoc detail fields (no full
+    schema needed) — mirrors the reference's null-safe nested access
+    (s3SqsEventConsumer.ts:134-141)."""
+    return F.get_json_object(F.col("detail"), f"$.{path}")

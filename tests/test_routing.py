@@ -1,0 +1,104 @@
+"""Pattern-routing DSL tests (reference O11/O14/O19 semantics:
+EventBridge patterns = AND of fields, OR within a field's list,
+in-list membership, nested detail descent; SURVEY §7 hard part #3)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from eventbridge_etl_spark.operators.routing import compile_pattern, route
+
+
+@pytest.fixture(scope="module")
+def envelopes(spark):
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("engine", "s3RecordExtraction", t, '{"status": "extracted", "n": 3}'),
+        ("engine", "transform", t, '{"status": "transformed", "n": 7}'),
+        ("engine", "data-loaded", t, '{"status": "success"}'),
+        ("engine", "ecs-started", t, '{"status": "success"}'),
+        ("other.source", "s3RecordExtraction", t, '{"status": "extracted"}'),
+    ]
+    return spark.createDataFrame(rows, ["source", "detail_type", "time", "detail"])
+
+
+def detail_types(df):
+    return sorted(r["detail_type"] for r in df.collect())
+
+
+def test_transform_rule(envelopes):
+    """The reference's transform rule: source AND detailType AND
+    detail.status — alternatives are ∈-list, not equality."""
+    out = route(
+        envelopes,
+        {
+            "source": ["engine"],
+            "detail_type": ["s3RecordExtraction"],
+            "detail": {"status": ["extracted"]},
+        },
+    )
+    assert detail_types(out) == ["s3RecordExtraction"]
+    assert out.collect()[0]["source"] == "engine"
+
+
+def test_observe_wildcard_rule(envelopes):
+    """Observe rule matches every event from the source (O19)."""
+    out = route(envelopes, {"source": ["engine"]})
+    assert out.count() == 4
+
+
+def test_in_list_alternatives(envelopes):
+    out = route(envelopes, {"detail_type": ["transform", "data-loaded"]})
+    assert detail_types(out) == ["data-loaded", "transform"]
+
+
+def test_prefix_suffix_anything_but(envelopes):
+    assert detail_types(route(envelopes, {"detail_type": [{"prefix": "s3"}]})) == [
+        "s3RecordExtraction",
+        "s3RecordExtraction",
+    ]
+    assert detail_types(route(envelopes, {"detail_type": [{"suffix": "started"}]})) == [
+        "ecs-started"
+    ]
+    out = route(
+        envelopes,
+        {"source": ["engine"], "detail_type": [{"anything-but": ["ecs-started"]}]},
+    )
+    assert "ecs-started" not in detail_types(out)
+
+
+def test_numeric_range_on_json_detail(envelopes):
+    out = route(
+        envelopes,
+        {"source": ["engine"], "detail": {"n": [{"numeric": [">", 2, "<=", 5]}]}},
+    )
+    assert detail_types(out) == ["s3RecordExtraction"]
+
+
+def test_exists(envelopes):
+    out = route(envelopes, {"detail": {"n": [{"exists": True}]}})
+    assert out.count() == 2
+
+
+def test_struct_descent(spark):
+    """Nested dicts descend into real struct columns too (the extract
+    stage's s3.object.key projection, O4)."""
+    df = spark.createDataFrame(
+        [(("bucket-a", "k1"),), (("bucket-b", "k2"),)],
+        "s3 struct<bucket:string, key:string>",
+    )
+    out = route(df, {"s3": {"bucket": ["bucket-a"]}})
+    assert out.count() == 1
+
+
+def test_mixed_scalar_and_operator_alternatives(envelopes):
+    out = route(envelopes, {"detail_type": ["transform", {"prefix": "data"}]})
+    assert detail_types(out) == ["data-loaded", "transform"]
+
+
+def test_compile_pattern_is_pure_predicate(envelopes):
+    """compile_pattern returns a Column usable in any filter context."""
+    pred = compile_pattern(envelopes, {"source": ["engine"]})
+    assert envelopes.filter(~pred).count() == 1
