@@ -1,1 +1,228 @@
-"""Placeholder — populated in later milestones."""
+"""Scalar function surface (SURVEY §2.2 E5): string, date/time, math,
+array, JSON, conditional, and hash functions — the library a user of the
+engine reaches for inside any projection.
+
+Everything is a built-in ``pyspark.sql.functions`` call (JVM codegen, no
+Python).  Oracle notes where cross-engine semantics need explicit
+normalization: dates are emitted as formatted strings (Spark DateType vs
+DuckDB TIMESTAMP would compare unequal), ``ceil``-style functions are
+cast to double (Spark returns LONG, DuckDB DOUBLE), and libm-backed
+functions (ln/exp/sqrt) are rounded because last-ulp results are
+implementation-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.queries import query
+from eventbridge_etl_spark.sources.tables import load_tables
+
+
+def _t(spark, sf_dir, name):
+    return load_tables(spark, sf_dir, (name,))[name]
+
+
+@query(
+    "fn_string_surface",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           lower(p_brand)                                  AS brand_lower,
+           length(p_name)                                  AS name_len,
+           substr(p_name, 1, 4)                            AS name_prefix,
+           p_brand || ':' || p_type                        AS brand_type,
+           replace(p_name, ' ', '_')                       AS name_snake,
+           trim(lpad(p_brand, 12, '*'))                    AS brand_padded,
+           reverse(p_type)                                 AS type_rev,
+           strpos(p_name, ' ')                             AS space_pos,
+           regexp_extract(p_name, '^([a-z]+)', 1)          AS first_word,
+           translate(p_brand, '#', '-')                    AS brand_dashed
+    FROM part
+    """,
+)
+def fn_string_surface(spark, sf_dir):
+    pa = _t(spark, sf_dir, "part")
+    return pa.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.trim(F.lpad("p_brand", 12, "*")).alias("brand_padded"),
+        F.reverse("p_type").alias("type_rev"),
+        F.instr("p_name", " ").alias("space_pos"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+    )
+
+
+@query(
+    "fn_date_surface",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate)                   AS order_year,
+           EXTRACT(month FROM o_orderdate)                  AS order_month,
+           EXTRACT(quarter FROM o_orderdate)                AS order_quarter,
+           EXTRACT(day FROM o_orderdate)                    AS order_day,
+           strftime(o_orderdate, '%Y-%m-%d')                AS order_date_str,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date_str,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')      AS month_end_str,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def fn_date_surface(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return od.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.quarter(d).alias("order_quarter"),
+        F.dayofmonth(d).alias("order_day"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_date_str"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date_str"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end_str"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), d).alias("days_to_y2k"),
+    )
+
+
+@query(
+    "fn_math_surface",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000)                    AS price_dev,
+           CAST(ceil(l_extendedprice / 1000) AS DOUBLE)    AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000) AS DOUBLE)   AS price_k_floor,
+           round(sqrt(l_quantity), 6)                      AS qty_sqrt,
+           round(ln(l_extendedprice), 6)                   AS price_ln,
+           round(pow(1 + l_discount, 2), 6)                AS disc_sq,
+           CAST(l_quantity AS BIGINT) % 7                  AS qty_mod7,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)         AS disc_sign,
+           round(greatest(l_discount, l_tax), 4)           AS max_rate,
+           round(least(l_discount, l_tax), 4)              AS min_rate
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def fn_math_surface(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.filter(F.col("l_orderkey") <= 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 30000).alias("price_dev"),
+        F.ceil(price / 1000).cast("double").alias("price_k_ceil"),
+        F.floor(price / 1000).cast("double").alias("price_k_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        F.round(F.greatest("l_discount", "l_tax"), 4).alias("max_rate"),
+        F.round(F.least("l_discount", "l_tax"), 4).alias("min_rate"),
+    )
+
+
+@query(
+    "fn_array_surface",
+    oracle="""
+    SELECT doc_id,
+           len(str_split(text, ' '))                                  AS n_tokens,
+           str_split(text, ' ')[1]                                    AS first_token,
+           list_contains(str_split(text, ' '), 'spark')               AS has_spark,
+           array_to_string(list_sort(list_distinct(str_split(text, ' '))), ',')
+                                                                      AS vocab_sorted
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def fn_array_surface(spark, sf_dir):
+    """Array function family over tokenized text: size, indexing (both
+    engines 1-based here), membership, distinct+sort+join round-trip."""
+    doc = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return doc.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.element_at(words, 1).alias("first_token"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.array_join(F.array_sort(F.array_distinct(words)), ",").alias("vocab_sorted"),
+    )
+
+
+@query(
+    "fn_json_surface",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                   AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)  AS k_int,
+           json_extract_string(props, '$.missing') IS NULL     AS missing_is_null,
+           CAST(json_valid(props) AS BOOLEAN)                  AS is_valid_json
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def fn_json_surface(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid_json"),
+    )
+
+
+@query(
+    "fn_conditional_surface",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER')  AS segment_or_other,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END                               AS balance_tier,
+           IF(c_nationkey < 12, 'west', 'east')                  AS hemisphere
+    FROM customer
+    """,
+)
+def fn_conditional_surface(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("balance_tier"),
+        F.when(F.col("c_nationkey") < 12, "west").otherwise("east").alias("hemisphere"),
+    )
+
+
+@query(
+    "fn_hash_surface",
+    oracle="""
+    SELECT doc_id,
+           md5(text)            AS text_md5,
+           sha256(text)         AS text_sha256,
+           substr(hex(CAST(text AS BLOB)), 1, 16) AS hex_prefix
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def fn_hash_surface(spark, sf_dir):
+    """Deterministic content hashing — the substrate of exact dedup (E1)
+    and fingerprinting (E4); md5/sha256 agree bit-for-bit across engines."""
+    doc = _t(spark, sf_dir, "documents")
+    return doc.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.substring(F.hex(F.col("text").cast("binary")), 1, 16).alias("hex_prefix"),
+    )

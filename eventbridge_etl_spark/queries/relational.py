@@ -1,1 +1,686 @@
-"""Placeholder — populated in later milestones."""
+"""E5 relational core — the operator families the reference lacks but a
+complete engine needs (SURVEY §2.2): scans with pushdown, every join
+shape, aggregation (incl. rollup/cube/grouping sets), window functions,
+sorts/top-k, set operations, subqueries.
+
+All pure DataFrame built-ins — whole-stage codegen end to end.  Float
+aggregates are ROUNDed identically in query and oracle because summation
+order differs across engines (and across Spark partitionings); integer
+and string results are exact.
+
+Scale notes are attached per query: the fixture is TPC-H-shaped, so each
+plan's 100 TB behavior is the canonical one (broadcast the dims, shuffle
+on the fact keys, partial-agg before exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.queries import query
+from eventbridge_etl_spark.sources.tables import load_tables
+
+
+def _t(spark, sf_dir, *names):
+    tabs = load_tables(spark, sf_dir, tuple(names))
+    return [tabs[n] for n in names]
+
+
+# ---------------------------------------------------------------- scans
+
+@query(
+    "scan_projection_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity > 45
+    """,
+)
+def scan_projection_filter(spark, sf_dir):
+    """Pushdown scan: both predicates and the 4-column projection reach
+    the parquet reader (PushedFilters + ReadSchema) — at 100 TB this is
+    the difference between reading 4 columns of a few row groups and
+    reading everything."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+# ---------------------------------------------------------- aggregation
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single hash aggregate with map-side partial
+    aggregation — the 6-group output means the exchange moves ~nothing
+    regardless of input size."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical rollup over broadcast-joined dims; subtotal rows have
+    NULL group keys in both engines."""
+    cu, na, re = _t(spark, sf_dir, "customer", "nation", "region")
+    joined = cu.join(
+        F.broadcast(na), cu.c_nationkey == na.n_nationkey
+    ).join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    (od,) = _t(spark, sf_dir, "orders")
+    return od.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING COUNT(*) > 60
+    """,
+)
+def agg_having(spark, sf_dir):
+    cu, na = _t(spark, sf_dir, "customer", "nation")
+    return (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .filter(F.col("n_customers") > 60)
+    )
+
+
+@query(
+    "agg_distinct_count",
+    oracle="""
+    SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def agg_distinct_count(spark, sf_dir):
+    """Distinct aggregation: Spark expands to a two-phase plan (partial
+    distinct per partition, then merge) — no driver-side work."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query("agg_approx_distinct")  # approximate => rows-only check, no oracle
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for
+    distinct counting — fixed-size sketch per group, mergeable, no
+    distinct expansion.  Approximate, so no hash oracle; the companion
+    exact query is agg_distinct_count."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+      AND l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter first (pushed down), fact
+    join on keys, agg, global top-10 via TakeOrderedAndProject (no full
+    sort at scale).  l_orderkey added to the sort for a deterministic
+    boundary."""
+    cu, od, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cu.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: six-way join; region/nation/supplier broadcast,
+    facts shuffle once on orderkey.  The c_nationkey = s_nationkey
+    equi-condition rides the supplier join."""
+    cu, od, li, su, na, re = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "join_broadcast_chain",
+    oracle="""
+    SELECT r_name, c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, c_mktsegment
+    """,
+)
+def join_broadcast_chain(spark, sf_dir):
+    """Fact -> dim snowflake with every dim broadcast: zero shuffles
+    before the final 25-group aggregate.  This is the plan shape that
+    must survive 100 TB — only the fact table streams."""
+    od, cu, na, re = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    return (
+        od.join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join: probe side short-circuits on first match; no
+    row multiplication, no columns from the right side shuffled."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT")
+    return cu.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    return cu.join(od, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer_agg",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def join_left_outer_agg(spark, sf_dir):
+    """Left outer join preserving customers with zero orders, then an
+    order-count histogram (two hash aggregates, second one tiny)."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "join_range_nonequi",
+    oracle="""
+    SELECT p_size AS size_class, COUNT(*) AS n_parts,
+           ROUND(SUM(p_retailprice), 2) AS sum_price
+    FROM part
+    JOIN (SELECT 1 AS lo, 10 AS hi UNION ALL SELECT 11, 25 UNION ALL SELECT 26, 50) b
+      ON p_size BETWEEN b.lo AND b.hi
+    GROUP BY p_size
+    """,
+)
+def join_range_nonequi(spark, sf_dir):
+    """Non-equi (range) join against a tiny banding table — broadcast
+    nested loop, the right strategy when one side is a handful of rows."""
+    (pa,) = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame([(1, 10), (11, 25), (26, 50)], ["lo", "hi"])
+    return (
+        pa.join(
+            F.broadcast(bands),
+            (F.col("p_size") >= F.col("lo")) & (F.col("p_size") <= F.col("hi")),
+        )
+        .groupBy(F.col("p_size").alias("size_class"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# -------------------------------------------------------------- windows
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-k per group via row_number.  At scale: partial top-k would use
+    a window group limit (Spark pushes rank<=k into the sort) — check
+    .explain for WindowGroupLimit."""
+    od, cu = _t(spark, sf_dir, "orders", "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           rank()       OVER (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS rk,
+           dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS drk,
+           ntile(4)     OVER (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS quartile
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def window_rank_dense(spark, sf_dir):
+    """rank/dense_rank/ntile in one window pass.  Price cast to decimal
+    so tie groups are bit-identical across engines."""
+    (od,) = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_orderpriority").orderBy(price.desc())
+    wt = Window.partitionBy("o_orderpriority").orderBy(price.desc(), F.col("o_orderkey"))
+    return (
+        od.filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(wt).alias("quartile"),
+        )
+    )
+
+
+@query(
+    "window_lag_gap",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS days_since_prev
+    FROM orders
+    """,
+)
+def window_lag_gap(spark, sf_dir):
+    """lag() for inter-order gaps — the sessionization primitive."""
+    (od,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    """Running total with an explicit ROWS frame; decimal accumulation
+    makes the prefix sums exact (cross-engine float prefix sums diverge
+    mid-stream even when the final total agrees)."""
+    (od,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(AVG(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS price_ma3
+    FROM lineitem
+    WHERE l_suppkey <= 10
+    """,
+)
+def window_moving_avg(spark, sf_dir):
+    """Bounded sliding frame (3-row moving average)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        li.filter(F.col("l_suppkey") <= 10)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.avg(F.col("l_extendedprice").cast("decimal(18,2)")).over(w), 4)
+            .cast("double")
+            .alias("price_ma3"),
+        )
+    )
+
+
+# -------------------------------------------------------- sorts / top-k
+
+@query(
+    "sort_multi_key_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_shipdate, l_orderkey, l_linenumber
+    LIMIT 15
+    """,
+)
+def sort_multi_key_topk(spark, sf_dir):
+    """Global top-k: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    per-partition heaps + driver merge of k rows, never a full sort."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), "l_shipdate", "l_orderkey", "l_linenumber"
+        )
+        .limit(15)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+    )
+
+
+# ------------------------------------------------------- set operations
+
+_CUST_1996 = """
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+_CUST_1997 = """
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def _year_customers(od, year):
+    return (
+        od.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+
+
+@query(
+    "set_intersect",
+    oracle=f"SELECT o_custkey FROM ({_CUST_1996}) INTERSECT SELECT o_custkey FROM ({_CUST_1997})",
+)
+def set_intersect(spark, sf_dir):
+    (od,) = _t(spark, sf_dir, "orders")
+    return _year_customers(od, 1996).intersect(_year_customers(od, 1997))
+
+
+@query(
+    "set_except",
+    oracle=f"SELECT o_custkey FROM ({_CUST_1996}) EXCEPT SELECT o_custkey FROM ({_CUST_1997})",
+)
+def set_except(spark, sf_dir):
+    (od,) = _t(spark, sf_dir, "orders")
+    return _year_customers(od, 1996).exceptAll(_year_customers(od, 1997)).distinct()
+
+
+@query(
+    "set_union_distinct",
+    oracle=f"SELECT o_custkey FROM ({_CUST_1996}) UNION SELECT o_custkey FROM ({_CUST_1997})",
+)
+def set_union_distinct(spark, sf_dir):
+    (od,) = _t(spark, sf_dir, "orders")
+    return _year_customers(od, 1996).union(_year_customers(od, 1997)).distinct()
+
+
+# ------------------------------------------------------------ subqueries
+
+@query(
+    "subquery_scalar_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar_above_avg(spark, sf_dir):
+    """Scalar subquery: the average is computed once and broadcast into
+    the filter (Catalyst plans an uncorrelated ScalarSubquery, not a
+    driver collect)."""
+    (od,) = _t(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("_orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _orders_ssq
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM _orders_ssq)
+        """
+    )
+
+
+@query(
+    "conditional_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+             AS finished_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_pivot(spark, sf_dir):
+    """Manual pivot via conditional aggregation — one pass, no PIVOT
+    operator needed, identical plan shape to groupBy().pivot()."""
+    (od,) = _t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0)),
+            2,
+        ).alias("finished_price"),
+    )
