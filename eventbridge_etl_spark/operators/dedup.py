@@ -1,0 +1,254 @@
+"""Deduplication operators (E1): exact, prefix-filtered n-gram Jaccard,
+MinHash-LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (the point of each algorithm):
+
+- **Exact** — hash-groupBy on a content digest: one shuffle of (digest,
+  id), never the payload.
+- **Jaccard AllPairs** — naive token inverted-index join explodes on
+  frequent tokens ("the" pairs everything).  We implement *lossless
+  prefix filtering* (AllPairs/PPJoin family): order each doc's tokens by
+  ascending document frequency and join only on the first
+  ``n - ceil(tau*n) + 1`` tokens — any pair with Jaccard >= tau MUST
+  share a prefix token, so recall is exactly 1.0 while the join input
+  shrinks by ~tau/(1+tau) and, critically, the hottest tokens (highest
+  df) fall out of the prefixes.  Candidates are then verified exactly.
+- **MinHash-LSH** — fixed-size signatures (k md5-min-hashes), banded so
+  probability of candidacy is a sharp sigmoid around the target
+  similarity; cost is O(docs * k) + a join on band buckets.  All hashing
+  is md5-derived => deterministic and reproducible in the SQL oracle.
+- **SimHash** — 32-bit fingerprints; near-dups = small Hamming distance,
+  candidate generation by exact match on one of 4 8-bit bands (any pair
+  within Hamming<=3 must agree on >=1 band — pigeonhole; lossless for
+  d<=3).
+- **Embedding cosine** — exact threshold join; the scale path buckets by
+  LSH sign patterns first (see operators.similarity).
+
+Everything below is built-in DataFrame ops (higher-order array
+functions, explode/groupBy/join) — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.operators.text import tokens
+
+
+def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(tokens(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, content_cols: list[str], keep: str = "min"
+) -> DataFrame:
+    """Exact dedup by content digest: one representative id per distinct
+    content (md5 over the concatenated columns), plus the duplicate
+    count.  The digest shuffle carries ~48 bytes/row however wide the
+    payload is."""
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.withColumn("_digest", digest)
+        .groupBy("_digest")
+        .agg(agg.alias(id_col), F.count("*").alias("n_duplicates"))
+        .select(id_col, "_digest", "n_duplicates")
+        .withColumnRenamed("_digest", "content_digest")
+    )
+
+
+def jaccard_pairs_prefix_filtered(
+    df: DataFrame, id_col: str, text_col: str, tau: float
+) -> DataFrame:
+    """All pairs with token-set Jaccard >= tau — exact result via
+    lossless prefix filtering (module docstring).  Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp."""
+    t = _token_sets(df, id_col, text_col)
+    ex = t.select("_id", "_n", F.explode("_toks").alias("_tok"))
+    dfreq = ex.groupBy("_tok").agg(F.count("*").alias("_df"))
+    # rank tokens per doc by ascending global df (rare first), tie on token
+    w = Window.partitionBy("_id").orderBy("_df", "_tok")
+    ranked = ex.join(dfreq, "_tok").withColumn("_rn", F.row_number().over(w))
+    # prefix length n - ceil(tau*n) + 1
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(tau) * F.col("_n")) + 1
+    )
+    a = prefix.select(F.col("_id").alias("_ida"), "_tok")
+    b = prefix.select(F.col("_id").alias("_idb"), "_tok")
+    cand = (
+        a.join(b, "_tok")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    return _verify_jaccard(cand, t, tau)
+
+
+def _verify_jaccard(cand: DataFrame, token_sets: DataFrame, tau: float) -> DataFrame:
+    ta = token_sets.select(
+        F.col("_id").alias("_ida"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
+    )
+    tb = token_sets.select(
+        F.col("_id").alias("_idb"), F.col("_toks").alias("_tb"), F.col("_n").alias("_nb")
+    )
+    common = F.size(F.array_intersect("_ta", "_tb"))
+    jac = common / (F.col("_na") + F.col("_nb") - common)
+    return (
+        cand.join(ta, "_ida")
+        .join(tb, "_idb")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= tau)
+        .select(
+            F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), F.col("jaccard")
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Deterministic MinHash: h_i(doc) = min over tokens of
+    md5('{i}|' + token).  md5's avalanche makes each seed an independent
+    pseudo-permutation; lexicographic min over hex digests is a uniform
+    min-hash.  Returns (_id, _toks, _n, _sig array<string>[num_hashes])."""
+    t = _token_sets(df, id_col, text_col)
+
+    def min_hash(i: int):
+        # NB: the transform lambda must take exactly one parameter — a
+        # two-arg lambda would receive the array *index* as its second
+        # argument and shadow the seed closure.
+        prefix = f"{i}|"
+        return F.array_min(
+            F.transform("_toks", lambda tok: F.md5(F.concat(F.lit(prefix), tok)))
+        )
+
+    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
+    return t.withColumn("_sig", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: float,
+    num_hashes: int = 16,
+    bands: int = 2,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: banded signature buckets generate
+    candidates; exact Jaccard verification keeps only pairs >= tau.
+    With r = num_hashes/bands rows per band, P(candidate | j) =
+    1-(1-j^r)^bands — steep around tau for r=8, b=2 at tau≈0.9."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    signed = minhash_signatures(df, id_col, text_col, num_hashes)
+    band_cols = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.col("_sig")[b * r + i] for i in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    banded = signed.select(
+        "_id", F.posexplode(band_cols).alias("_band", "_bh")
+    )
+    left = banded.select(F.col("_id").alias("_ida"), "_band", "_bh")
+    right = banded.select(F.col("_id").alias("_idb"), "_band", "_bh")
+    cand = (
+        left.join(right, ["_band", "_bh"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    return _verify_jaccard(cand, _token_sets(df, id_col, text_col), tau)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash fingerprint per document.
+
+    Bit j's vote for a token is the parity of hex digit j of the token's
+    md5 (an unbiased pseudo-random bit); the fingerprint bit is the sign
+    of the vote sum over the doc's tokens.  Computed as explode ->
+    groupBy(sum of per-bit votes) — one shuffle of (id, 32 ints).
+    Returns (id_col, simhash_bits string, plus 4 band columns for
+    candidate generation)."""
+    assert bits <= 32
+    t = _token_sets(df, id_col, text_col)
+    ex = t.select("_id", F.explode("_toks").alias("_tok")).withColumn(
+        "_h", F.md5("_tok")
+    )
+    votes = [
+        F.sum(
+            F.when(F.ascii(F.substring("_h", j + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"_v{j}")
+        for j in range(bits)
+    ]
+    summed = ex.groupBy("_id").agg(*votes)
+    bit_chars = [F.when(F.col(f"_v{j}") > 0, "1").otherwise("0") for j in range(bits)]
+    fp = summed.select(
+        F.col("_id").alias(id_col), F.concat(*bit_chars).alias("simhash_bits")
+    )
+    band_w = bits // 4
+    for b in range(4):
+        fp = fp.withColumn(f"band_{b}", F.substring("simhash_bits", b * band_w + 1, band_w))
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Candidates: exact match on any of the 4 bands (pigeonhole-lossless
+    for max_hamming <= 3); verification compares the 32 fingerprint
+    chars.  Returns (id_a, id_b, hamming)."""
+    fp = simhash(df, id_col, text_col).cache()
+    cands = None
+    for b in range(4):
+        left = fp.select(F.col(id_col).alias("_ida"), F.col(f"band_{b}").alias("_bh"))
+        right = fp.select(F.col(id_col).alias("_idb"), F.col(f"band_{b}").alias("_bh"))
+        c = left.join(right, "_bh").filter(F.col("_ida") < F.col("_idb")).select("_ida", "_idb")
+        cands = c if cands is None else cands.union(c)
+    cands = cands.distinct()
+    fa = fp.select(F.col(id_col).alias("_ida"), F.col("simhash_bits").alias("_fa"))
+    fb = fp.select(F.col(id_col).alias("_idb"), F.col("simhash_bits").alias("_fb"))
+    chars_a = F.split(F.col("_fa"), "(?!^)")  # split into chars
+    chars_b = F.split(F.col("_fb"), "(?!^)")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(chars_a, chars_b, lambda x, y: x != y), lambda d: d
+        )
+    )
+    return (
+        cands.join(fa, "_ida")
+        .join(fb, "_idb")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, tau: float
+) -> DataFrame:
+    """Exact cosine-threshold self-join: pairs with cosine(a,b) >= tau.
+
+    This is the *verification-grade* operator (O(n^2) comparisons but
+    only arithmetic per pair — fine to run within LSH buckets or blocks).
+    For the 100 TB path, generate candidates first with
+    similarity.hyperplane_lsh_buckets and run this within buckets."""
+    from eventbridge_etl_spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (E2): exact brute-force
+cosine top-k as the correctness baseline, random-hyperplane LSH
+bucketing as the approximate scale path.
+
+Vector arithmetic is pure higher-order-function SQL (zip_with +
+aggregate) — JVM-side, no Python, no UDF.  At 100 TB the brute-force
+path is a broadcast of the (small) query set against a scan of the
+corpus — linear, shuffle-free until the final per-query top-k; the LSH
+path prunes the corpus scan to matching buckets first.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for zero vectors instead of NaN."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    ``queries`` (query_id, vector) is broadcast; the corpus streams once;
+    per-query ranking is a window top-k (compiles to WindowGroupLimit —
+    partial per-partition top-k before the shuffle).  Self-matches are
+    kept (a query that exists in the corpus ranks itself first) — filter
+    afterwards if undesired.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (literal constants in
+    the plan — broadcast for free)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / s for x in v])
+    return planes
+
+
+def hyperplane_lsh_bucket(
+    vec: Column, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Sign-pattern LSH bucket id: bit i = sign(v . plane_i).  Collision
+    probability is 1 - theta/pi per bit, so cosine-close vectors land in
+    the same bucket with high probability."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(float(x)) for x in plane])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    bucket = F.lit(0)
+    for bit in bits:
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH candidate
+    generation, exact re-ranking within the union of matching buckets.
+
+    ``n_tables`` independent hash tables raise recall (a neighbor is
+    considered if it collides in ANY table); per-table bucket count
+    2^n_planes bounds each bucket to corpus/2^n_planes rows — that
+    quotient is the scan-pruning factor vs brute force.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c_b = None
+    q_b = None
+    for t in range(n_tables):
+        cb = c.withColumn("_tbl", F.lit(t)).withColumn(
+            "_bkt", hyperplane_lsh_bucket(F.col("_cv"), dim, n_planes, seed=42 + t)
+        )
+        qb = q.withColumn("_tbl", F.lit(t)).withColumn(
+            "_bkt", hyperplane_lsh_bucket(F.col("_qv"), dim, n_planes, seed=42 + t)
+        )
+        c_b = cb if c_b is None else c_b.union(cb)
+        q_b = qb if q_b is None else q_b.union(qb)
+    cand = (
+        q_b.join(c_b, ["_tbl", "_bkt"])
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .distinct()
+    )
+    scored = cand.withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

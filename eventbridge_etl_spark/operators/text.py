@@ -1,0 +1,136 @@
+"""Text-analysis operators (E4): token counting, quality scoring,
+language-ID scoring, document fingerprinting.
+
+Everything is built-in column expressions / higher-order array functions
+— JVM-side, whole-stage codegen, zero Python in the hot path.  At 100 TB
+these are embarrassingly parallel map operators: no shuffle, no state,
+scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: letter runs, digit runs, or single punctuation —
+#: a cheap proxy for subword tokenizers' pre-tokenization split.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+#: Real deployments would load larger tables; the operator shape (token
+#: overlap scoring against broadcast lexicons) is the scale-relevant part.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "es": ["el", "la", "de", "que", "los", "una", "es", "en"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "nicht", "mit"],
+}
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization to an array column."""
+    col = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        col = F.lower(col)
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text, lowercase=False))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Approximate subword token count via the BPE-ish regex."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(BPE_PATTERN))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature family (length, punctuation density, mean
+    word length, stopword ratio) — compose into filters or scores."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_chars = F.length(col)
+    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": (n_chars - (n_tok - 1)) / n_tok,
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
+        "distinct_token_ratio": F.size(F.array_distinct(toks)) / n_tok,
+        "stopword_hit_kinds": stop_hits,
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in integer micros (0..1_000_000): length
+    in a sane band, low punct density, lexical diversity.
+
+    Emitted as ``floor(x*1e6 + 0.5)`` rather than ``round(x, 6)``:
+    floor+scale is pure IEEE arithmetic and therefore bit-reproducible
+    across engines, while decimal ``round`` implementations differ at
+    half-boundaries (Spark routes through BigDecimal, DuckDB doesn't).
+    """
+    f = quality_features(text)
+    length_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 1000), 1.0).otherwise(0.3)
+    composite = (
+        0.4 * length_ok
+        + 0.3 * (1 - F.least(f["punct_ratio"] * 10, F.lit(1.0)))
+        + 0.3 * f["distinct_token_ratio"]
+    )
+    return F.floor(composite * 1000000 + 0.5).cast("long")
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-overlap score per language: |tokens ∩ markers| / |markers|.
+
+    The lexicons are literal arrays — at scale they broadcast with the
+    plan; scoring is a per-row array intersect, no shuffle.
+    """
+    toks = F.array_distinct(tokens(text))
+    return {
+        lang: F.round(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in markers])))
+            / F.lit(float(len(markers))),
+            6,
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str, default: str = "und") -> Column:
+    """argmax over lang_scores with deterministic alphabetical tiebreak;
+    'und' (undetermined) when nothing scores > 0."""
+    scores = lang_scores(text)
+    best = None
+    best_score = None
+    for lang in sorted(scores):  # alphabetical => ties resolve to first
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+            best_score = F.when(s > best_score, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit(default))
+
+
+def shingles(text: Column | str, k: int = 8) -> Column:
+    """Character k-gram shingle array via a higher-order transform —
+    the substrate for fingerprinting and MinHash."""
+    col = F.col(text) if isinstance(text, str) else text
+    # positions 1..max(len-k+1, 1); substr is 1-based in both engines
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
+    )
+    return F.transform(positions, lambda i: col.substr(i, F.lit(k)))
+
+
+def fingerprint(text: Column | str, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min md5 over character
+    k-gram shingles (the winnowing 'min-hash of shingles' idea collapsed
+    to a single selection).  Content-defined: stable under document
+    reordering of unrelated parts, cheap to compare."""
+    return F.array_min(F.transform(shingles(text, k), lambda s: F.md5(s)))

@@ -1,1 +1,340 @@
-"""Placeholder — populated in later milestones."""
+"""E1-E4 LLM-data-pipeline queries over documents/embeddings.
+
+The dedup family (exact, prefix-filtered Jaccard, MinHash-LSH, SimHash),
+similarity search (brute-force + hyperplane LSH), text analysis
+(tokens, quality, lang-ID, fingerprints), and the multimodal pandas-UDF
+plumbing.  DuckDB oracles replicate the *same deterministic algorithm*
+(md5-derived hashing, ordered double folds) so even the approximate
+operators hash-match; the two genuinely seed-dependent ops (hyperplane
+LSH, SimHash banding internals) run rows-only with unit-test coverage in
+``tests/``.
+
+Tokenization contract shared by query & oracle: lower -> trim ->
+split on whitespace runs -> distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.operators import dedup as D
+from eventbridge_etl_spark.operators import similarity as S
+from eventbridge_etl_spark.operators import text as X
+from eventbridge_etl_spark.operators.multimodal import attach_payload, decode_media
+from eventbridge_etl_spark.queries import query
+from eventbridge_etl_spark.sources.tables import load_tables
+
+#: DuckDB rendering of the shared tokenization contract.
+_SQL_TOKS = "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+
+JACCARD_TAU = 0.95
+MINHASH_TAU = 0.9
+COSINE_TAU = 0.4
+
+
+def _doc(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _emb(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+# ------------------------------------------------------------- text (E4)
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+'))   AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS n_bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish subword estimate."""
+    doc = _doc(spark, sf_dir)
+    return doc.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_token_count("text").alias("n_bpe_tokens"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS nc,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt,
+             len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS ndt,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) AS np
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(floor((0.4 * (CASE WHEN nt BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END)
+               + 0.3 * (1 - least(np / greatest(nc, 1) * 10, 1.0))
+               + 0.3 * (ndt / nt::DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS quality
+    FROM feat
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Composite quality score in integer micros (length band,
+    punctuation density, lexical diversity) — the filter you'd run
+    before training-set admission.  Integer output because floor+scale
+    is bit-reproducible across engines where decimal round isn't."""
+    doc = _doc(spark, sf_dir)
+    return doc.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+@query(
+    "text_lang_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS s FROM documents),
+    sc AS (
+      SELECT doc_id, lang,
+        round(len(list_intersect(s, ['the','and','of','to','a','in','is','that'])) / 8.0, 6) AS score_en,
+        round(len(list_intersect(s, ['le','la','et','les','des','un','une','est'])) / 8.0, 6) AS score_fr,
+        round(len(list_intersect(s, ['el','la','de','que','los','una','es','en'])) / 8.0, 6) AS score_es,
+        round(len(list_intersect(s, ['der','die','und','das','ein','ist','nicht','mit'])) / 8.0, 6) AS score_de
+      FROM toks
+    )
+    SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_fr > score_es AND score_fr > score_en AND score_fr > score_de THEN 'fr'
+                WHEN score_es > score_en AND score_es > score_de THEN 'es'
+                WHEN score_en > score_de THEN 'en'
+                ELSE 'de' END AS predicted_lang
+    FROM sc
+    """,
+)
+def text_lang_scores(spark, sf_dir):
+    """Language-ID marker scoring + argmax prediction (alphabetical
+    tiebreak, 'und' when no marker hits).  The fixture corpus shares one
+    vocabulary across its lang labels, so prediction quality is data-
+    limited — the operator (broadcast lexicon overlap scoring) is the
+    deliverable."""
+    doc = _doc(spark, sf_dir)
+    scores = X.lang_scores(F.col("text"))
+    return doc.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in ["en", "fr", "es", "de"]],
+        X.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_aggregate(list_transform(range(1, greatest(length(text)-7, 1)+1),
+                                         i -> md5(substr(text, i, 8))), 'min')
+             AS fingerprint,
+           md5(text) AS exact_digest
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Rolling-hash content fingerprint (min-md5 over char 8-gram
+    shingles) alongside the exact digest."""
+    doc = _doc(spark, sf_dir)
+    return doc.select(
+        "doc_id",
+        X.fingerprint("text", k=8).alias("fingerprint"),
+        F.md5("text").alias("exact_digest"),
+    )
+
+
+# ------------------------------------------------------------ dedup (E1)
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_digest, min(doc_id) AS doc_id,
+           count(*) AS n_duplicates
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content digest (fixture has no exact dups, so
+    every group has n_duplicates=1 — the synthetic-dup unit tests in
+    tests/test_dedup.py exercise the collapse path)."""
+    doc = _doc(spark, sf_dir)
+    out = D.exact_dedup(doc, "doc_id", ["text"])
+    return out.select("content_digest", "doc_id", "n_duplicates")
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_TAU}
+    """,
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered AllPairs Jaccard join at tau=0.95.  The oracle is
+    the O(n^2) brute force — prefix filtering is lossless, so the result
+    sets must be identical; that equality is exactly what this check
+    proves."""
+    doc = _doc(spark, sf_dir)
+    return D.jaccard_pairs_prefix_filtered(doc, "doc_id", "text", JACCARD_TAU)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS s FROM documents),
+    sig AS (
+      SELECT doc_id, r.i AS i, min(md5(r.i::VARCHAR || '|' || u.tok)) AS h
+      FROM toks t, UNNEST(t.s) AS u(tok), range(16) r(i)
+      GROUP BY doc_id, r.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 8 AS band, md5(string_agg(h, ',' ORDER BY i)) AS bh
+      FROM sig GROUP BY doc_id, i // 8
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(ta.s, tb.s))::DOUBLE
+                 / (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))), 6) AS jaccard
+    FROM cand JOIN toks ta ON ta.doc_id = id_a JOIN toks tb ON tb.doc_id = id_b
+    WHERE round(len(list_intersect(ta.s, tb.s))::DOUBLE
+                / (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))), 6)
+          >= {MINHASH_TAU}
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (16 md5-min-hashes, 2 bands of 8,
+    verify at tau=0.9).  The oracle replicates signature, banding, and
+    verification exactly — the md5-derived hash family is engine-
+    independent, so even this 'approximate' operator hash-matches."""
+    doc = _doc(spark, sf_dir)
+    return D.minhash_lsh_pairs(doc, "doc_id", "text", MINHASH_TAU, num_hashes=16, bands=2)
+
+
+@query("dedup_simhash")  # banding internals are impl-specific -> rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (32-bit fingerprints, Hamming <= 3 via
+    4-band pigeonhole candidates).  Deterministic, unit-tested against a
+    brute-force Hamming scan in tests/test_dedup.py; rows-only here."""
+    doc = _doc(spark, sf_dir)
+    return D.simhash_pairs(doc, "doc_id", "text", max_hamming=3)
+
+
+_COS_SQL = """round(
+    list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+     * sqrt(list_sum(list_transform(range(1,65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= {COSINE_TAU}
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs at tau=0.4 (exact threshold
+    self-join; the within-bucket verifier of the LSH scale path).
+    Vectors fold to double in index order on both engines, so the
+    cosines are bit-identical."""
+    emb = _emb(spark, sf_dir)
+    as_double = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return D.embedding_near_dup_pairs(as_double, "vec_id", "embedding", COSINE_TAU)
+
+
+# ------------------------------------------------------- similarity (E2)
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors against the corpus —
+    broadcast queries, one corpus scan, per-query window top-k
+    (WindowGroupLimit keeps the sort partial)."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk_bruteforce(emb, queries, k=10)
+
+
+@query("similarity_topk_lsh")  # seeded hyperplanes -> rows-only
+def similarity_topk_lsh(spark, sf_dir):
+    """Approximate top-10 via 4-table random-hyperplane LSH; recall vs
+    the brute-force baseline is asserted in tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # short hashes + more tables: this corpus is near-uniform (worst case
+    # for LSH), so favor recall; clustered real corpora would use 8+ planes
+    return S.cosine_topk_lsh(emb, queries, k=10, dim=64, n_planes=4, n_tables=8)
+
+
+# ------------------------------------------------------- multimodal (E3)
+
+@query(
+    "multimodal_byte_histogram",
+    oracle="""
+    SELECT doc_id AS id, length(text) AS n_bytes,
+           len(list_filter(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 4 = 0)) AS bucket_0,
+           len(list_filter(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 4 = 1)) AS bucket_1,
+           len(list_filter(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 4 = 2)) AS bucket_2,
+           len(list_filter(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 4 = 3)) AS bucket_3
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def multimodal_byte_histogram(spark, sf_dir):
+    """The multimodal plumbing end-to-end with a deterministic fake
+    decode: text bytes wrapped as a binary payload+meta struct, decoded
+    via Arrow-batched mapInPandas into bucket-count features.  Proves
+    the schema/batch/partition contract that a real codec would slot
+    into (operators.multimodal)."""
+    doc = _doc(spark, sf_dir).filter(F.col("doc_id") < 200)
+    wrapped = attach_payload(doc, "text", mime="text/plain")
+    decoded = decode_media(wrapped, "doc_id", fake=True, n_buckets=4)
+    # counts (exact ints) rather than ratios: cross-engine float-free
+    return decoded.select(
+        "id",
+        "n_bytes",
+        *[
+            F.round(F.col("features")[i] * F.col("n_bytes")).cast("long").alias(f"bucket_{i}")
+            for i in range(4)
+        ],
+    )

@@ -1,0 +1,100 @@
+"""Dedup operator unit tests on synthetic corpora where ground truth is
+computable by brute force in Python."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),  # near dup of 1 (5/7)
+        (4, "totally different words here entirely now"),
+        (5, "Alpha  Beta gamma delta epsilon zeta"),  # ws/case variant of 1
+        (6, "alpha beta"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_collapses(spark, corpus):
+    out = D.exact_dedup(corpus, "doc_id", ["text"])
+    rows = {r["doc_id"]: r["n_duplicates"] for r in out.collect()}
+    # doc 1+2 identical bytes; 5 differs in raw bytes (case/space)
+    assert rows[1] == 2
+    assert 2 not in rows  # collapsed into representative 1
+    assert rows[4] == 1 and rows[5] == 1 and rows[6] == 1
+
+
+def test_jaccard_prefix_equals_bruteforce(spark, corpus):
+    """Prefix filtering must be lossless: compare against an in-Python
+    brute force over token sets (same lower/trim/split contract)."""
+    import itertools
+
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    toks = {i: set(t.lower().split()) for i, t in texts.items()}
+    tau = 0.5
+    expected = set()
+    for a, b in itertools.combinations(sorted(toks), 2):
+        j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+        if round(j, 6) >= tau:
+            expected.add((a, b))
+    out = D.jaccard_pairs_prefix_filtered(corpus, "doc_id", "text", tau)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == expected
+    assert (1, 2) in got and (1, 5) in got  # exact + normalized variants
+
+
+def test_minhash_identical_docs_always_pair(spark, corpus):
+    out = D.minhash_lsh_pairs(corpus, "doc_id", "text", tau=0.99)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    # identical token sets have identical signatures -> always candidates
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 5)] == 1.0  # tokenization normalizes case/whitespace
+    assert (1, 4) not in got
+
+
+def test_simhash_matches_bruteforce_hamming(spark):
+    """simhash_pairs (banded candidates) must equal a brute-force
+    Hamming scan over the full fingerprint set — bands are lossless for
+    hamming <= 3 by pigeonhole."""
+    import itertools
+
+    rows = [(i, f"tok{i % 4} common words shared {' '.join('w' + str(j) for j in range(i % 7))}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {r["doc_id"]: r["simhash_bits"] for r in D.simhash(df, "doc_id", "text").collect()}
+    expected = set()
+    for a, b in itertools.combinations(sorted(fp), 2):
+        ham = sum(x != y for x, y in zip(fp[a], fp[b]))
+        if ham <= 3:
+            expected.add((a, b, ham))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # the synthetic corpus does contain near-dups
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # ~same direction as 1
+        (3, [0.0, 1.0, 0.0]),  # orthogonal
+        (4, [-1.0, 0.0, 0.0]),  # opposite
+        (5, [0.0, 0.0, 0.0]),  # zero vector: cosine defined as 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_near_dup_pairs(df, "vec_id", "embedding", 0.95).collect()
+    }
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] > 0.99

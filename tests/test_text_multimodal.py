@@ -1,0 +1,81 @@
+"""Text-analysis and multimodal-plumbing operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.operators import text as X
+from eventbridge_etl_spark.operators.multimodal import (
+    attach_payload,
+    decode_media,
+    frame_sample,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world, it's 42 degrees  today",)], ["text"])
+    row = df.select(
+        X.token_count("text").alias("ws"),
+        X.bpe_token_count("text").alias("bpe"),
+    ).collect()[0]
+    assert row["ws"] == 6
+    # hello | world | , | it | ' | s | 42 | degrees | today
+    assert row["bpe"] == 9
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "le chat et les chiens est une merveille"),
+            (3, "der hund und die katze ist nicht da"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["lang"] for r in df.select("id", X.lang_id("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnop"), (3, "zyxwvutsrqponmlk")],
+        ["id", "text"],
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", X.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    # disjoint shingle sets -> different min (a 1-char edit may legitimately
+    # keep the fingerprint: min-sampling ignores most shingles by design)
+    assert fps[1] != fps[3]
+    # short text (< k chars) still fingerprints (single truncated shingle)
+    short = spark.createDataFrame([(1, "abc")], ["id", "text"])
+    assert short.select(X.fingerprint("text").alias("fp")).collect()[0]["fp"]
+
+
+def test_decode_media_fake_histogram(spark):
+    df = spark.createDataFrame([(1, "aaab"), (2, "")], ["doc_id", "text"])
+    wrapped = attach_payload(df, "text", mime="text/plain")
+    out = {r["id"]: r for r in decode_media(wrapped, "doc_id", fake=True, n_buckets=4).collect()}
+    assert out[1]["n_bytes"] == 4
+    assert out[1]["mime"] == "text/plain"
+    # 'a'=97 -> bucket 1 (x3), 'b'=98 -> bucket 2
+    assert out[1]["features"] == [0.0, 0.75, 0.25, 0.0]
+    assert out[2]["n_bytes"] == 0  # empty payload doesn't crash
+
+
+def test_decode_media_real_path_is_honest_stub(spark):
+    df = spark.createDataFrame([(1, "data")], ["doc_id", "text"])
+    wrapped = attach_payload(df, "text", mime="image/png")
+    with pytest.raises(Exception) as exc:
+        decode_media(wrapped, "doc_id", fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame([(1, 10), (2, 1)], ["vid_id", "n_frames"])
+    out = frame_sample(df, "vid_id", "n_frames", every_n=4)
+    got = sorted((r["vid_id"], r["frame_idx"]) for r in out.collect())
+    assert got == [(1, 0), (1, 4), (1, 8), (2, 0)]
