@@ -45,4 +45,5 @@ def load_all() -> None:
         llm,
         pipeline_q,
         relational,
+        streaming_q,
     )

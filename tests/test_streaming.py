@@ -1,0 +1,175 @@
+"""Structured-Streaming parity tests: end-to-end file-source ETL with
+exactly-once keyed upsert across restarts, throttling, watermarked
+windows, streaming dedup, sessionization, and the observe tap."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eventbridge_etl_spark.operators.etl import ADDRESS_RENAMES
+from eventbridge_etl_spark.operators.upsert import KeyedParquetStore
+from eventbridge_etl_spark.streaming.file_pipeline import (
+    dedup_within_watermark,
+    sessionize,
+    start_csv_upsert_stream,
+    windowed_counts,
+)
+from eventbridge_etl_spark.streaming.observe import audit_union, with_observe
+
+ADDRESS_SCHEMA = "ID string, HouseNum string, Street string, Town string, Zip string"
+
+
+def write_csv(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("ID,HouseNum,Street,Town,Zip\n")
+        for r in rows:
+            f.write(",".join(r) + "\n")
+
+
+def run_stream(spark, landing, ckpt, store, **kw):
+    q = start_csv_upsert_stream(
+        spark, landing, ckpt, store, ADDRESS_SCHEMA, ADDRESS_RENAMES, **kw
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_etl_exactly_once_upsert(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = KeyedParquetStore(str(tmp_path / "store"), keys=["id"], n_buckets=8)
+
+    write_csv(f"{landing}/batch1.csv", [["1", "12", "Main Street", "Antrim", "22876"],
+                                        ["2", "23", "2nd Street", "Glengormley", "73495"]])
+    run_stream(spark, landing, ckpt, store)
+    got = {r["id"]: r["town"] for r in store.read(spark).collect()}
+    assert got == {"1": "Antrim", "2": "Glengormley"}
+
+    # second file updates key 1 and adds key 3; restart with same checkpoint
+    write_csv(f"{landing}/batch2.csv", [["1", "99", "Override Rd", "Belfast", "99999"],
+                                        ["3", "45", "Church Way", "Ballymena", "18649"]])
+    run_stream(spark, landing, ckpt, store)
+    out = store.read(spark)
+    got = {r["id"]: (r["house_number"], r["town"]) for r in out.collect()}
+    assert got == {"1": ("99", "Belfast"), "2": ("23", "Glengormley"), "3": ("45", "Ballymena")}
+    assert out.count() == 3  # keyed: no duplicates despite restart
+
+    # re-running with the same checkpoint reprocesses nothing (file log)
+    run_stream(spark, landing, ckpt, store)
+    assert store.read(spark).count() == 3
+
+
+def test_stream_throttle_max_files_per_trigger(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = KeyedParquetStore(str(tmp_path / "store"), keys=["id"], n_buckets=4)
+    for i in range(3):
+        write_csv(f"{landing}/f{i}.csv", [[str(i), "1", "S", "T", "Z"]])
+    q = start_csv_upsert_stream(
+        spark, landing, ckpt, store, ADDRESS_SCHEMA, ADDRESS_RENAMES,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    # one file per micro-batch => >= 3 batches, all rows present exactly once
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3
+    assert store.read(spark).count() == 3
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    """File-backed streaming events source (deterministic, replayable)."""
+    src = str(tmp_path / "events_src")
+    rows = [
+        (1, "2024-01-01 00:05:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:10:00", 1, "click", 2.0),
+        (2, "2024-01-01 00:10:00", 1, "click", 2.0),  # exact dup (redelivery)
+        (3, "2024-01-01 00:50:00", 2, "view", 3.0),
+        (4, "2024-01-01 01:20:00", 1, "click", 4.0),
+        (5, "2024-01-01 02:05:00", 2, "view", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = df.schema
+
+    def reader():
+        return spark.readStream.schema(schema).parquet(src)
+
+    return reader
+
+
+def drain(df, tmp_path, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path, event_stream):
+    agg = windowed_counts(event_stream(), window_duration="1 hour", watermark="1 hour")
+    drain(agg, tmp_path, "win_counts", mode="append")
+    rows = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    # availableNow + append emits finalized windows; the final window may
+    # be withheld until the watermark passes — assert the closed ones
+    assert rows[("2024-01-01 00:00:00", "click")] == (3, 5.0)
+    assert rows[("2024-01-01 00:00:00", "view")] == (1, 3.0)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, event_stream):
+    deduped = dedup_within_watermark(event_stream(), ["event_id"], watermark="3 hours")
+    drain(deduped, tmp_path, "dedup_stream")
+    out = spark.sql("select * from dedup_stream")
+    assert out.count() == 5  # 6 rows - 1 redelivered duplicate
+    assert out.filter(F.col("event_id") == 2).count() == 1
+
+
+def test_sessionize(spark, tmp_path, event_stream):
+    sess = sessionize(event_stream(), gap="30 minutes", watermark="4 hours")
+    drain(sess, tmp_path, "sessions", mode="complete")
+    rows = [
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("select * from sessions order by user_id, session_start").collect()
+    ]
+    # user 1: events at 00:05/00:10(x2) in one session (gap<30m), 01:20 alone
+    # user 2: 00:50 alone, 02:05 alone
+    assert rows == [
+        (1, "2024-01-01 00:05:00", 3),
+        (1, "2024-01-01 01:20:00", 1),
+        (2, "2024-01-01 00:50:00", 1),
+        (2, "2024-01-01 02:05:00", 1),
+    ]
+
+
+def test_observe_metrics_and_audit(spark, tmp_path, event_stream):
+    observed = with_observe(event_stream(), "audit")
+    q = drain(observed, tmp_path, "observed_stream")
+    metrics = [
+        p["observedMetrics"]["audit"]["n_rows"]
+        for p in q.recentProgress
+        if "audit" in (p["observedMetrics"] or {})
+    ]
+    assert sum(metrics) == 6  # every row counted in-plan, no extra scan
+
+    # audit union: batch observe tap over two stage outputs
+    s1 = spark.createDataFrame([("a",)], ["x"])
+    s2 = spark.createDataFrame([(1, 2)], ["y", "z"])
+    audit = audit_union(("extract", s1), ("load", s2))
+    rows = {(r["detail_type"], r["detail"]) for r in audit.collect()}
+    assert rows == {("extract", '{"x":"a"}'), ("load", '{"y":1,"z":2}')}
