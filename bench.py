@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a count() so the full plan (scan → shuffle →
+agg/join) executes; timings exclude session startup and the first
+warm-up action (JVM/codegen warm-up would otherwise dominate at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eventbridge_etl_spark.queries import QUERIES, load_all
+from eventbridge_etl_spark.session import get_spark
+
+#: Representative slice of SURVEY.md §2 — relational core, pipeline
+#: parity, and LLM-data-pipeline extensions.  Kept to ~12 so the driver's
+#: per-round run stays fast while still exercising every operator family.
+HEADLINE = [
+    "q1_pricing_summary",        # wide agg over lineitem (the classic)
+    "q3_shipping_priority",      # 3-way join + agg + top-k
+    "q5_local_supplier_volume",  # 6-way join
+    "scan_projection_filter",    # pushdown / pruning sanity
+    "join_broadcast_chain",      # broadcast dim joins
+    "agg_rollup",                # multi-level aggregation
+    "window_topk_per_group",     # window + rank
+    "events_hourly_rollup",      # pipeline parity: route+upsert+rollup
+    "dedup_exact",               # E1
+    "dedup_minhash_lsh",         # E2 near-dup at scale
+    "similarity_topk_bruteforce",  # E2 ANN baseline
+    "text_token_stats",          # E4
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # derive sf from the dir name (…/sf0.1 → 0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    load_all()
+    spark = get_spark("eventbridge-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: trigger JVM classloading + codegen once, untimed.
+    QUERIES["scan_projection_filter"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
