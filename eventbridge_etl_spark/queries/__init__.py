@@ -46,4 +46,5 @@ def load_all() -> None:
         pipeline_q,
         relational,
         streaming_q,
+        tpch_more,
     )

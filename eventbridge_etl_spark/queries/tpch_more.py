@@ -1,0 +1,499 @@
+"""Extended TPC-H-shaped coverage (SURVEY §2.2 E5, build plan P2).
+
+The driver fixtures are a *trimmed* TPC-H (FIXTURES.md §3): no partsupp,
+no l_commitdate/l_receiptdate/l_shipmode, no p_mfgr/p_container.  Each
+classic query is therefore adapted to the available columns while keeping
+its *plan shape* — that is what matters for the 100 TB story:
+
+- q4  : EXISTS-driven semi join (decorrelated by Catalyst)
+- q6  : pure scan-agg with every predicate pushed to parquet
+- q7  : two-nation volume with year extraction, dims broadcast
+- q8  : market-share — conditional agg over a snowflake join
+- q9  : profit by nation/year through part + supplier
+- q10 : returned-item revenue, global top-20
+- q14 : promo share — two conditional sums in one pass
+- q18 : large-volume customers — agg-then-join back on the fact
+- q19 : disjunctive predicate join (OR-of-ANDs pushed into the join)
+- q22 : dormant customers — scalar subquery + anti join
+
+All pure DataFrame built-ins; float aggregates ROUNDed identically on
+both sides (cross-engine summation order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.queries import query
+from eventbridge_etl_spark.sources.tables import load_tables
+
+
+def _t(spark, sf_dir, *names):
+    tabs = load_tables(spark, sf_dir, tuple(names))
+    return [tabs[n] for n in names]
+
+
+_TS = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (commit/receipt dates absent -> shipped-after-order
+    stands in for late delivery).  The EXISTS becomes a left-semi join on
+    l_orderkey; the quarter filter prunes orders before the shuffle."""
+    od, li = _t(spark, sf_dir, "orders", "lineitem")
+    window = od.filter(
+        (F.col("o_orderdate") >= _TS("1996-07-01"))
+        & (F.col("o_orderdate") < _TS("1996-10-01"))
+    )
+    late = window.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: the pushdown showcase — all four predicates and the
+    2-column projection reach the parquet scan, then a single partial+final
+    agg.  At 100 TB this reads two columns of the row groups that survive
+    min/max pruning and moves one double per partition."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _TS("1996-01-01"))
+            & (F.col("l_shipdate") < _TS("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: nation table joined twice under different roles (self-
+    alias), disjunctive nation-pair predicate.  Both nation sides and
+    supplier broadcast; lineitem<->orders is the only big shuffle."""
+    su, li, od, cu, na = _t(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = na.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _TS("1996-01-01"))
+            & (F.col("l_shipdate") <= _TS("1997-12-31"))
+        )
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: 8-way snowflake with nation in two roles; the market
+    share is a conditional-sum ratio computed in the same aggregate pass
+    (no second scan, no join back)."""
+    pa, li, su, od, cu, na, re = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer",
+        "nation", "region",
+    )
+    n1 = na.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(pa.filter(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            od.filter(
+                (F.col("o_orderdate") >= _TS("1996-01-01"))
+                & (F.col("o_orderdate") <= _TS("1997-12-31"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(re.filter(F.col("r_name") == "AMERICA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (partsupp absent -> profit = discounted revenue).
+    The LIKE filter on part is applied before broadcast, shrinking the
+    build side; supplier/nation broadcast; one fact shuffle."""
+    pa, li, su, od, na = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation"
+    )
+    return (
+        li.join(
+            F.broadcast(pa.filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_profit")
+        )
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: returned-item revenue per customer, global top-20 via
+    TakeOrderedAndProject (per-partition heaps, never a full sort)."""
+    cu, od, li, na = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        od.filter(
+            (F.col("o_orderdate") >= _TS("1996-10-01"))
+            & (F.col("o_orderdate") < _TS("1997-01-01"))
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14: promo revenue share — broadcast part join + one
+    conditional-aggregate pass producing a single row."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _TS("1996-09-01"))
+            & (F.col("l_shipdate") < _TS("1996-10-01"))
+        )
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 90)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18: the IN-subquery is an aggregate over the same fact
+    table, planned as agg -> semi join back on l_orderkey (threshold
+    lowered to the fixture's quantity distribution)."""
+    cu, od, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 90)
+        .select("l_orderkey")
+    )
+    return (
+        od.join(big.withColumnRenamed("l_orderkey", "_big_key"),
+                F.col("o_orderkey") == F.col("_big_key"), "left_semi")
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19: OR-of-ANDs spanning both sides of the join.  Catalyst
+    derives the common p_brand IN (...) / p_size <= 35 conjuncts and
+    pushes them below the join; the residual disjunction evaluates post-
+    join inside codegen."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    q = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & q.between(1, 11)
+        | (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & q.between(10, 20)
+        | (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & q.between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT n_name, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (phone prefix -> nation): above-average-balance
+    customers with no orders since 1998 ("dormant").  The scalar average
+    stays IN the plan as a broadcast cross join of a 1-row aggregate (no
+    driver collect) + a left-anti join against the recent orders."""
+    cu, od, na = _t(spark, sf_dir, "customer", "orders", "nation")
+    avg_bal = (
+        cu.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    return (
+        cu.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            od.filter(F.col("o_orderdate") >= _TS("1998-01-01")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
