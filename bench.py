@@ -28,6 +28,9 @@ HEADLINE = [
     "q1_pricing_summary",        # wide agg over lineitem (the classic)
     "q3_shipping_priority",      # 3-way join + agg + top-k
     "q5_local_supplier_volume",  # 6-way join
+    "q6_forecast_revenue",       # pure pushdown scan-agg
+    "q9_product_profit",         # filtered-broadcast snowflake
+    "q18_large_volume_customer", # agg + semi-join back on the fact
     "scan_projection_filter",    # pushdown / pruning sanity
     "join_broadcast_chain",      # broadcast dim joins
     "agg_rollup",                # multi-level aggregation
@@ -36,6 +39,7 @@ HEADLINE = [
     "dedup_exact",               # E1
     "dedup_minhash_lsh",         # E2 near-dup at scale
     "similarity_topk_bruteforce",  # E2 ANN baseline
+    "similarity_topk_ivf",       # E2 ANN scale path (cell-pruned)
     "text_token_stats",          # E4
 ]
 

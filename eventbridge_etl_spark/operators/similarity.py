@@ -71,6 +71,87 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Classic two-level ANN: (1) partition the corpus into ``nlist`` cells
+    by nearest centroid, (2) per query, score only the cells of its
+    ``nprobe`` nearest centroids, (3) exact cosine re-rank inside the
+    probed cells.  Expected scan fraction vs brute force ~= nprobe/nlist.
+
+    ``centroids`` defaults to the corpus rows with the ``nlist`` smallest
+    ids — a deterministic stand-in for k-means training (pluggable: pass
+    a k-means result for real deployments).  Determinism keeps the whole
+    operator expressible in the SQL oracle; the assignment / probing /
+    in-cell re-rank plumbing — the part that matters at 100 TB — is
+    identical either way.
+
+    Plan shape: centroids broadcast twice (cell assignment of the corpus,
+    probe selection of the queries); ONE shuffle of the corpus by cell id
+    for the probe join; window top-k per query.  At 100 TB the cell
+    assignment would be precomputed once and the corpus stored
+    partitioned/bucketed by cell id, making the probe join shuffle-free.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(nlist)
+            .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent"))
+        )
+    else:
+        centroids = centroids.select(
+            F.col(centroids.columns[0]).alias("_cent_id"),
+            F.col(centroids.columns[1]).alias("_cent"),
+        )
+
+    # (1) cell assignment: argmax-cosine centroid per corpus vector
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("_ccos").desc(), F.col("_cent_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_ccos", F.round(cosine(F.col("_cv"), F.col("_cent")), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("neighbor_id", "_cv", F.col("_cent_id").alias("_cell"))
+    )
+
+    # (2) probe selection: nprobe nearest centroids per query
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_ccos").desc(), F.col("_cent_id")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_ccos", F.round(cosine(F.col("_qv"), F.col("_cent")), 6))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", F.col("_cent_id").alias("_cell"))
+    )
+
+    # (3) exact re-rank within probed cells
+    scored = probed.join(assigned, "_cell").withColumn(
+        "cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (literal constants in
     the plan — broadcast for free)."""

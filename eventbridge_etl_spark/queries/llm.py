@@ -291,6 +291,66 @@ def similarity_topk_bruteforce(spark, sf_dir):
     return S.cosine_topk_bruteforce(emb, queries, k=10)
 
 
+def _cos_sql(x: str, y: str) -> str:
+    """DuckDB cosine(x, y) for 64-dim list columns, rounded to 6dp —
+    the SQL rendering of operators.similarity.cosine."""
+    return f"""round(
+    list_sum(list_transform(range(1,65), i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(range(1,65), i -> {x}[i]::DOUBLE * {x}[i]::DOUBLE)))
+     * sqrt(list_sum(list_transform(range(1,65), i -> {y}[i]::DOUBLE * {y}[i]::DOUBLE)))), 6)"""
+
+
+@query(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS cent
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT neighbor_id, cell, nv FROM (
+        SELECT v.vec_id AS neighbor_id, c.cent_id AS cell, v.embedding AS nv,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_cos_sql('v.embedding', 'c.cent')} DESC, c.cent_id) AS rn
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, cell, qv FROM (
+        SELECT q.vec_id AS query_id, c.cent_id AS cell, q.embedding AS qv,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.embedding', 'c.cent')} DESC, c.cent_id) AS rn
+        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, {_cos_sql('p.qv', 'a.nv')} AS cosine
+      FROM probe p JOIN assign a ON p.cell = a.cell
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF-indexed approximate top-10 (nlist=16 cells, nprobe=4): cell
+    assignment by nearest centroid, probe the 4 nearest cells per query,
+    exact re-rank inside — the 100 TB ANN path where the corpus is
+    stored partitioned by cell id.  Centroids are the 16 smallest-id
+    vectors (deterministic k-means stand-in), so the DuckDB oracle
+    replicates the full index build + probe + re-rank exactly."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=4)
+
+
 @query("similarity_topk_lsh")  # seeded hyperplanes -> rows-only
 def similarity_topk_lsh(spark, sf_dir):
     """Approximate top-10 via 4-table random-hyperplane LSH; recall vs

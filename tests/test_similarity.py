@@ -64,3 +64,46 @@ def test_lsh_bucket_is_deterministic(spark):
     b2 = emb.select(S.hyperplane_lsh_bucket(F.col("embedding"), 64).alias("b")).collect()
     assert [r["b"] for r in b1] == [r["b"] for r in b2]
     assert len({r["b"] for r in b1}) > 1  # actually spreads across buckets
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4 of nlist=16 cells should recover a solid share
+    of the true top-10 (near-uniform vectors spread across cells, so
+    recall ~ nprobe/nlist is the floor; self-neighbor is always found
+    because a query's own cell is its nearest centroid's cell)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk_bruteforce(emb, queries, k=10)
+    approx = S.cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=4)
+    true_sets: dict[int, set] = {}
+    for r in exact.collect():
+        true_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got_sets: dict[int, set] = {}
+    for r in approx.collect():
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(true_sets[q] & got_sets.get(q, set())) / len(true_sets[q]) for q in true_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.25
+    for q in true_sets:
+        assert q in got_sets.get(q, set())
+
+
+def test_ivf_respects_custom_centroids(spark):
+    """Passing an explicit centroid table (e.g. a k-means result) routes
+    assignment through it: with ONE centroid every vector lands in the
+    single cell, so IVF degenerates to exact brute force."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    one_cent = emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding")
+    ivf = S.cosine_topk_ivf(emb, queries, k=5, nlist=1, nprobe=1, centroids=one_cent)
+    exact = S.cosine_topk_bruteforce(emb, queries, k=5)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
