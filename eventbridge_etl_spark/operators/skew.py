@@ -1,0 +1,74 @@
+"""Skew mitigation for shuffle joins: explicit key salting.
+
+First line of defense at scale is AQE (``spark.sql.adaptive.skewJoin``,
+on by default in ``session.ENGINE_CONF``): it splits oversized
+sort-merge-join partitions at runtime.  Manual salting remains the tool
+for the cases AQE doesn't cover — broadcast-ineligible joins whose hot
+keys overwhelm a single task even after splitting, or when the skewed
+relation feeds a chain of operators that must stay co-partitioned.
+
+``salted_join`` replicates the *unskewed* side ``n_salts`` times and
+scatters the skewed side's hot keys uniformly across the replicas:
+
+    skewed:   key -> (key, salt = uniform_int(n_salts))
+    other:    key -> (key, salt = 0..n_salts-1)   [explode ×n_salts]
+
+so each original key now spreads over ``n_salts`` shuffle partitions.
+Cost: the other side's shuffle volume grows ×n_salts — use only when
+that side is small relative to the skew (the usual shape: a mid-size
+dimension too big to broadcast joining a fact with hot keys).
+
+The salt is derived from a uniformly-distributed row fingerprint
+(xxhash64 over all columns), not ``rand()``, so the operator stays
+deterministic and retry/replay-safe — a task retry re-salts identically.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``skewed`` ⋈ ``other`` on ``on`` with key salting.
+
+    ``how`` may be any join type whose null-extension side is the skewed
+    one ('inner', 'left' with skewed as left) — types that preserve
+    unmatched ``other`` rows ('right'/'full') would duplicate them per
+    replica and are rejected.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins (skewed side preserved); got {how!r}"
+        )
+    on = list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    s = skewed.withColumn(SALT_COL, salt)
+    o = other.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return s.join(o, on + [SALT_COL], how).drop(SALT_COL)
+
+
+def top_keys(df: DataFrame, keys: Sequence[str], n: int = 20) -> DataFrame:
+    """Diagnostic: the ``n`` heaviest key groups with their row counts and
+    share of the table — run this before deciding to salt."""
+    keys = list(keys)
+    total = df.count()
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        .orderBy(F.col("n_rows").desc(), *keys)
+        .limit(n)
+    )

@@ -1,0 +1,125 @@
+"""Write-side layout tests: partition pruning and shuffle-free bucketed
+joins — the properties that make the 100 TB read path cheap."""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark import sinks
+
+from .conftest import SF_DIR
+
+
+@contextlib.contextmanager
+def _conf(spark, key, value):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A partition predicate must prune at the directory level: the scan's
+    partition-filter list carries the predicate, and only matching
+    partition directories exist to be listed."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "event_date", F.to_date(F.from_unixtime(F.col("ts") / 1_000_000_000))
+    )
+    out = str(tmp_path / "events_by_date")
+    sinks.write_partitioned(ev, out, ["event_type"])
+
+    # layout: one directory per event_type
+    dirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    assert len(dirs) >= 2
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with NO Exchange on either side; results identical to
+    the plain join."""
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    sinks.write_bucketed_table(
+        od, "t_orders_b", ["o_orderkey"], 8, path=str(tmp_path / "orders_b")
+    )
+    sinks.write_bucketed_table(
+        li, "t_lineitem_b", ["l_orderkey"], 8, path=str(tmp_path / "lineitem_b")
+    )
+    try:
+        ob = sinks.read_table(spark, "t_orders_b")
+        lb = sinks.read_table(spark, "t_lineitem_b")
+        # force the join path where bucketing matters (no broadcast)
+        with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"), _conf(
+            spark, "spark.sql.adaptive.enabled", "false"
+        ):
+            joined = ob.join(lb, F.col("o_orderkey") == F.col("l_orderkey")).groupBy(
+                "o_orderstatus"
+            ).agg(F.count("*").alias("n"))
+            plan = _plan(joined)
+            n_exchanges = plan.count("Exchange")
+            # the join itself must be exchange-free; only the tiny
+            # post-join aggregation may shuffle
+            assert "SortMergeJoin" in plan
+            assert n_exchanges <= 1, plan
+
+            expected = (
+                od.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+                .groupBy("o_orderstatus")
+                .agg(F.count("*").alias("n"))
+            )
+            assert sorted(map(tuple, joined.collect())) == sorted(
+                map(tuple, expected.collect())
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_aggregation_skips_exchange(spark, tmp_path):
+    """Aggregating on the bucket key reads pre-clustered data: no exchange
+    before the hash aggregate."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sinks.write_bucketed_table(
+        li, "t_li_agg_b", ["l_orderkey"], 8, path=str(tmp_path / "li_agg_b")
+    )
+    try:
+        lb = sinks.read_table(spark, "t_li_agg_b")
+        with _conf(spark, "spark.sql.adaptive.enabled", "false"):
+            agg = lb.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+            plan = _plan(agg)
+            assert "Exchange" not in plan, plan
+            assert agg.count() == li.select("l_orderkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_agg_b")
+
+
+def test_partitioned_write_respects_max_records(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "capped")
+    sinks.write_partitioned(ev, out, ["event_type"], max_records_per_file=100)
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    counts = [spark.read.parquet(f).count() for f in files]
+    assert counts and max(counts) <= 100
