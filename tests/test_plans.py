@@ -1,0 +1,96 @@
+"""Physical-plan regression tests.
+
+Correctness tests prove the right ANSWER; these prove the right PLAN —
+the properties the 100 TB story depends on.  A future edit that silently
+turns a broadcast join into a shuffled one, or detaches a predicate from
+the parquet scan, fails here long before it fails a cluster budget.
+"""
+
+from __future__ import annotations
+
+import re
+
+from eventbridge_etl_spark.queries import QUERIES, load_all
+
+from .conftest import SF_DIR
+
+load_all()
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    """Count shuffle exchanges (hash/range/single), excluding broadcasts."""
+    return len(re.findall(r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan))
+
+
+def test_scan_pushes_filters_and_prunes_columns(spark):
+    plan = _plan(spark, "scan_projection_filter")
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    # projection reaches the reader: ReadSchema carries only the 4 columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"}
+    assert _shuffles(plan) == 0
+
+
+def test_q6_is_single_shuffle_scan_agg(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    # partial agg -> single-partition exchange -> final agg, nothing else
+    assert _shuffles(plan) == 1
+
+
+def test_q1_aggregate_has_one_shuffle(spark):
+    assert _shuffles(_plan(spark, "q1_pricing_summary")) == 1
+
+
+def test_global_topk_never_sorts_fully(spark):
+    plan = _plan(spark, "sort_multi_key_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffles(plan) == 0  # per-partition heaps + driver merge
+
+
+def test_window_topk_uses_group_limit(spark):
+    """row_number() <= k must push into the sort as WindowGroupLimit —
+    each partition keeps k rows per group before the exchange."""
+    plan = _plan(spark, "window_topk_per_group")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan  # dim stays broadcast
+
+
+def test_broadcast_chain_has_no_join_shuffle(spark):
+    """Fact->dim snowflake: every dim broadcast, so the only shuffle is
+    the final 25-group aggregate."""
+    plan = _plan(spark, "join_broadcast_chain")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) == 1
+
+
+def test_q3_broadcasts_dims_and_takes_topk(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_semi_and_anti_joins_stay_semi(spark):
+    """Semi/anti joins must not degenerate into inner joins + dedup."""
+    assert re.search(r"LeftSemi", _plan(spark, "join_semi"))
+    assert re.search(r"LeftAnti", _plan(spark, "join_anti"))
+
+
+def test_scalar_subquery_is_planned_not_collected(spark):
+    plan = _plan(spark, "subquery_scalar_above_avg")
+    assert "Subquery" in plan or "subquery" in plan
+
+
+def test_ivf_broadcasts_centroids(spark):
+    """Both IVF centroid passes (assignment + probing) must broadcast the
+    centroid table, never shuffle the corpus against it."""
+    plan = _plan(spark, "similarity_topk_ivf")
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
