@@ -119,6 +119,76 @@ def decode_media(
     return narrowed.mapInPandas(_decode_batch, out_schema)
 
 
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    target_width: int,
+    target_height: int,
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads via mapInPandas, emitting a new payload
+    bundle with updated meta (width/height set to the target).
+
+    With ``fake=True`` the "resample" is a deterministic byte stride
+    (keep every ceil(len/target_area)-th byte) — schema-correct and
+    size-bounded like a real thumbnail pass; with ``fake=False`` it
+    raises NotImplementedError (no codecs in this container).  A real
+    implementation replaces only the body of ``_resize_batch`` with
+    PIL's ``Image.resize``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    target_area = max(target_width * target_height, 1)
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "no media codecs in this environment; pass fake=True for "
+                    "the deterministic byte-stride resize"
+                )
+            rows = {"id": [], "data": [], "mime": [], "width": [], "height": []}
+            for rid, payload in zip(pdf["_id"], pdf["_payload"]):
+                data = bytes(payload["data"] or b"")
+                stride = max(1, _math.ceil(len(data) / target_area))
+                rows["id"].append(int(rid))
+                rows["data"].append(data[::stride])
+                rows["mime"].append(payload["meta"]["mime"])
+                rows["width"].append(target_width)
+                rows["height"].append(target_height)
+            yield _pd.DataFrame(rows)
+
+    narrowed = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    resized = narrowed.mapInPandas(_resize_batch, out_schema)
+    return resized.select(
+        "id",
+        F.struct(
+            F.col("data"),
+            F.struct(
+                F.col("mime"),
+                F.col("width"),
+                F.col("height"),
+                F.lit(None).cast("int").alias("n_frames"),
+                F.lit(None).cast("int").alias("sample_rate"),
+            ).alias("meta"),
+        ).alias("payload"),
+    )
+
+
 def frame_sample(df: DataFrame, id_col: str, n_frames_col: str, every_n: int) -> DataFrame:
     """Frame sampling plan for video payloads: one output row per sampled
     frame index — pure ``sequence`` + ``explode``, no Python.  The decode

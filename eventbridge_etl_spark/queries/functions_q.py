@@ -226,3 +226,75 @@ def fn_hash_surface(spark, sf_dir):
         F.sha2("text", 256).alias("text_sha256"),
         F.substring(F.hex(F.col("text").cast("binary")), 1, 16).alias("hex_prefix"),
     )
+
+
+@query(
+    "fn_map_surface",
+    oracle="""
+    SELECT event_id,
+           len(json_keys(props))                                    AS n_keys,
+           list_aggregate(list_sort(json_keys(props)), 'string_agg', ',')
+                                                                    AS keys_sorted,
+           json_extract_string(props, '$.k')                        AS k_value,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END                                   AS has_k
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def fn_map_surface(spark, sf_dir):
+    """MapType surface: JSON object -> map<string,string> (from_json —
+    the typed form of the reference's header-zip O12), then map_keys /
+    size / element_at / containment, flattened to scalars so the oracle
+    compares values not container encodings."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "k").alias("k_value"),
+        F.when(F.map_contains_key(m, "k"), 1).otherwise(0).alias("has_k"),
+    )
+
+
+@query(
+    "fn_higher_order_surface",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           list_sum(list_transform(a, t -> length(t)))             AS total_len,
+           len(list_filter(a, t -> length(t) > 4))                 AS n_long,
+           CASE WHEN len(list_filter(a, t -> length(t) > 10)) > 0
+                THEN 1 ELSE 0 END                                  AS has_verylong,
+           CASE WHEN len(list_filter(a, t -> length(t) = 0)) = 0
+                THEN 1 ELSE 0 END                                  AS all_nonempty,
+           a[1]                                                    AS first_tok,
+           list_aggregate(list_sort(a), 'min')                     AS min_tok
+    FROM toks
+    """,
+)
+def fn_higher_order_surface(spark, sf_dir):
+    """Higher-order array functions — transform / filter / exists /
+    forall / aggregate — the JVM-side lambda surface that keeps
+    array-of-token logic out of Python UDFs."""
+    doc = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    a = F.split(F.trim(F.col("text")), r"\s+")
+    return doc.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(a, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+        ).alias("total_len"),
+        F.size(F.filter(a, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.when(F.exists(a, lambda t: F.length(t) > 10), 1).otherwise(0).alias(
+            "has_verylong"
+        ),
+        F.when(F.forall(a, lambda t: F.length(t) > 0), 1).otherwise(0).alias(
+            "all_nonempty"
+        ),
+        F.element_at(a, 1).alias("first_tok"),
+        F.array_min(F.array_sort(a)).alias("min_tok"),
+    )

@@ -89,3 +89,30 @@ def streaming_sessionize(spark, sf_dir):
         F.count("*").alias("n_sessions"),
         F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
     )
+
+
+@query("streaming_running_totals")
+def streaming_running_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (count, sum, max-event-time) state carried across
+    micro-batches; returns the final update per user.  Rows-only: the
+    cross-batch state protocol has no batch-SQL equivalent (the
+    degenerate single-batch case equals groupBy/agg — asserted in
+    tests/test_streaming.py)."""
+    from eventbridge_etl_spark.streaming.stateful import running_totals
+
+    ev = _event_stream(spark, sf_dir).select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+    )
+    out = _drain(running_totals(ev), mode="update")
+    # final update per user (largest n_events wins; dedup via max_by)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+            F.max("max_ts_us").alias("max_ts_us"),
+        )
+    )

@@ -173,3 +173,57 @@ def test_observe_metrics_and_audit(spark, tmp_path, event_stream):
     audit = audit_union(("extract", s1), ("load", s2))
     rows = {(r["detail_type"], r["detail"]) for r in audit.collect()}
     assert rows == {("extract", '{"x":"a"}'), ("load", '{"y":1,"z":2}')}
+
+
+def test_running_totals_custom_stateful_operator(spark, tmp_path):
+    """applyInPandasWithState: per-user state must PERSIST across
+    micro-batches — two parquet files drained one per trigger, with the
+    final update row per user equal to the batch groupBy totals."""
+    from eventbridge_etl_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "ev_src")
+    rows1 = [(1, 10.0, 1_000), (1, 5.0, 2_000), (2, 1.0, 1_500)]
+    rows2 = [(1, 2.5, 3_000), (3, 7.0, 2_500)]
+    schema = "user_id long, value double, ts_us long"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = running_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last emitted update per user == full-batch aggregate
+    updates = spark.sql(
+        """
+        SELECT user_id, n_events, sum_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) AS rn
+          FROM running_totals WHERE NOT expired
+        ) WHERE rn = 1 ORDER BY user_id
+        """
+    ).collect()
+    got = [(r["user_id"], r["n_events"], r["sum_value"]) for r in updates]
+    assert got == [(1, 3, 17.5), (2, 1, 1.0), (3, 1, 7.0)]
+
+    # user 1 spans both files; with one file per trigger the state carried
+    # over (first update shows partial totals, final shows all three)
+    u1 = sorted(
+        (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            "SELECT * FROM running_totals WHERE user_id = 1 AND NOT expired"
+        ).collect()
+    )
+    assert len(u1) >= 2 and u1[-1] == (3, 17.5)

@@ -79,3 +79,37 @@ def test_frame_sample(spark):
     out = frame_sample(df, "vid_id", "n_frames", every_n=4)
     got = sorted((r["vid_id"], r["frame_idx"]) for r in out.collect())
     assert got == [(1, 0), (1, 4), (1, 8), (2, 0)]
+
+
+def test_resize_media_fake_stride(spark):
+    """Resize plumbing: payload bundle out with target dims in meta,
+    body size bounded by the target area, deterministic across runs."""
+    from eventbridge_etl_spark.operators.multimodal import attach_payload, resize_media
+
+    df = spark.createDataFrame(
+        [(1, "x" * 1000), (2, "hello world"), (3, "")], ["doc_id", "text"]
+    )
+    wrapped = attach_payload(df, "text", mime="image/fake")
+    out = resize_media(wrapped, "doc_id", target_width=8, target_height=8, fake=True)
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert r["payload"]["meta"]["width"] == 8
+        assert r["payload"]["meta"]["height"] == 8
+        assert r["payload"]["meta"]["mime"] == "image/fake"
+        assert len(r["payload"]["data"] or b"") <= 64 + 1
+    assert bytes(rows[2]["payload"]["data"]) == b"hello world"  # fits, untouched
+    again = {r["id"]: bytes(r["payload"]["data"]) for r in out.collect()}
+    assert again == {k: bytes(v["payload"]["data"]) for k, v in rows.items()}
+
+
+def test_resize_media_real_path_is_honest_stub(spark):
+    import pytest as _pytest
+
+    from eventbridge_etl_spark.operators.multimodal import attach_payload, resize_media
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    wrapped = attach_payload(df, "text", mime="image/fake")
+    with _pytest.raises(Exception) as ei:
+        resize_media(wrapped, "doc_id", 4, 4, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "no media codecs" in str(ei.value)
