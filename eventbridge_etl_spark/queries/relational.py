@@ -684,3 +684,66 @@ def conditional_pivot(spark, sf_dir):
             2,
         ).alias("finished_price"),
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           ROUND(min(o_totalprice), 2) AS min_price,
+           ROUND(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — identical definition in
+    Spark `percentile` and DuckDB `quantile_cont`).  Exact percentile
+    sorts within groups; the 100 TB path swaps in approx_percentile
+    (t-digest sketch, mergeable, no sort) — see agg_approx_distinct for
+    the same pattern on distinct counts."""
+    (od,) = _t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return od.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.round(F.min(p), 2).alias("min_price"),
+        F.round(F.max(p), 2).alias("max_price"),
+    )
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, ROUND(val, 4) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    """,
+)
+def reshape_unpivot(spark, sf_dir):
+    """Wide->long unpivot (melt): three measure columns become
+    (metric, val) pairs — a zero-shuffle generator expansion."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 100)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+        .withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+        .withColumn("val", F.round("val", 4))
+    )

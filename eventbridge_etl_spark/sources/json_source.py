@@ -1,0 +1,90 @@
+"""JSON-lines landing-directory source — batch and streaming.
+
+The reference's bus payloads are JSON envelopes (SURVEY §1.1); a user
+replacing it needs first-class JSONL ingest alongside CSV.  Same shape
+as ``csv_source``: batch scan with optional schema, streaming scan with
+required schema + the ``maxFilesPerTrigger`` backpressure knob, plus
+envelope-style helpers for a JSON column inside a wider table
+(schema-on-read per record, the typed version of the reference's
+free-form ``Detail``).
+
+Scale: Spark's JSON reader is JVM-vectorized per partition; for
+malformed rows the PERMISSIVE default preserves them in
+``_corrupt_record`` rather than failing the 100 TB job — surface them
+with ``corrupt_records`` below and route to a quarantine sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl_batch(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    keep_corrupt: bool = False,
+    **options: str,
+) -> DataFrame:
+    """Batch JSONL scan.  Without ``schema`` Spark samples to infer one
+    (fine interactively; pin a schema for production scans so the input
+    is read once, not twice)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        if keep_corrupt:
+            schema = _with_corrupt(schema)
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType | str,
+    max_files_per_trigger: int | None = None,
+    keep_corrupt: bool = False,
+    **options: str,
+) -> DataFrame:
+    """Streaming JSONL source over a landing directory (same O1-O3
+    semantics as the CSV source: file discovery is the notification)."""
+    reader = spark.readStream.options(**options)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if keep_corrupt:
+        schema = _with_corrupt(schema)
+    return reader.schema(schema).json(landing_dir)
+
+
+def _with_corrupt(schema: T.StructType | str) -> T.StructType:
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+
+
+def corrupt_records(df: DataFrame) -> DataFrame:
+    """Rows the JSON parser could not fully decode (quarantine stream).
+
+    Caches ``df`` first: Spark refuses plans that read ONLY the corrupt
+    column from a raw file scan (column pruning would ask the parser for
+    nothing but its own failures — UNSUPPORTED_FEATURE.QUERY_ONLY_
+    CORRUPT_RECORD_COLUMN); the documented pattern is to materialize the
+    parsed batch, then filter.  Quarantine the bad rows, then unpersist.
+    """
+    if CORRUPT_COL not in df.columns:
+        raise ValueError(
+            f"read with keep_corrupt=True to materialize {CORRUPT_COL}"
+        )
+    return df.cache().filter(F.col(CORRUPT_COL).isNotNull())
+
+
+def json_field(col: Column | str, path: str, dtype: str = "string") -> Column:
+    """Typed projection of one field out of a JSON-string column —
+    ``get_json_object`` + cast, the per-record schema-on-read primitive
+    (reference O4)."""
+    return F.get_json_object(F.col(col) if isinstance(col, str) else col, path).cast(dtype)

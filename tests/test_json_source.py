@@ -1,0 +1,89 @@
+"""JSONL source tests: batch + streaming reads, corrupt-record
+quarantine, typed field projection."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.sources.json_source import (
+    CORRUPT_COL,
+    corrupt_records,
+    json_field,
+    read_jsonl_batch,
+    read_jsonl_stream,
+)
+
+SCHEMA = "id long, name string, score double"
+
+
+def _write_jsonl(path, rows, corrupt_lines=()):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        for line in corrupt_lines:
+            f.write(line + "\n")
+
+
+def test_batch_read_with_schema(spark, tmp_path):
+    p = str(tmp_path / "in" / "a.jsonl")
+    _write_jsonl(p, [{"id": 1, "name": "x", "score": 1.5}, {"id": 2, "name": "y", "score": 2.0}])
+    df = read_jsonl_batch(spark, str(tmp_path / "in"), SCHEMA)
+    assert sorted(map(tuple, df.collect())) == [(1, "x", 1.5), (2, "y", 2.0)]
+
+
+def test_corrupt_records_quarantine(spark, tmp_path):
+    p = str(tmp_path / "in" / "a.jsonl")
+    _write_jsonl(
+        p,
+        [{"id": 1, "name": "ok", "score": 0.5}],
+        corrupt_lines=['{"id": broken', "not json at all"],
+    )
+    df = read_jsonl_batch(spark, str(tmp_path / "in"), SCHEMA, keep_corrupt=True)
+    bad = corrupt_records(df)
+    assert bad.count() == 2
+    good = df.filter(F.col(CORRUPT_COL).isNull())
+    assert [tuple(r)[:3] for r in good.collect()] == [(1, "ok", 0.5)]
+
+
+def test_corrupt_records_requires_flag(spark, tmp_path):
+    p = str(tmp_path / "in" / "a.jsonl")
+    _write_jsonl(p, [{"id": 1, "name": "x", "score": 0.0}])
+    df = read_jsonl_batch(spark, str(tmp_path / "in"), SCHEMA)
+    with pytest.raises(ValueError):
+        corrupt_records(df)
+
+
+def test_streaming_read_drains_files(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_jsonl(f"{landing}/f1.jsonl", [{"id": 1, "name": "a", "score": 1.0}])
+    _write_jsonl(f"{landing}/f2.jsonl", [{"id": 2, "name": "b", "score": 2.0}])
+    stream = read_jsonl_stream(spark, landing, SCHEMA, max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(map(tuple, spark.sql("select * from jsonl_stream").collect()))
+    assert rows == [(1, "a", 1.0), (2, "b", 2.0)]
+    # one file per trigger -> at least 2 data batches (O20 throttle)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2
+
+
+def test_json_field_typed_projection(spark):
+    df = spark.createDataFrame([('{"a": {"b": 7}, "s": "hi"}',)], ["j"])
+    out = df.select(
+        json_field("j", "$.a.b", "int").alias("b"),
+        json_field("j", "$.s").alias("s"),
+        json_field("j", "$.missing").alias("m"),
+    ).collect()[0]
+    assert (out["b"], out["s"], out["m"]) == (7, "hi", None)
