@@ -227,11 +227,48 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(doc, "doc_id", "text", MINHASH_TAU, num_hashes=16, bands=2)
 
 
-@query("dedup_simhash")  # banding internals are impl-specific -> rows-only
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+      FROM documents
+    ),
+    hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    votes AS (
+      SELECT doc_id, r.j AS j,
+             SUM(CASE WHEN ascii(substr(h, r.j + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hx CROSS JOIN range(32) r(j)
+      GROUP BY doc_id, r.j
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bits
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, r.b AS b, substr(bits, r.b * 8 + 1, 8) AS bh
+      FROM fp CROSS JOIN range(4) r(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_filter(range(1, 33),
+                           i -> substr(fa.bits, i, 1) <> substr(fb.bits, i, 1))) AS hamming
+    FROM cand JOIN fp fa ON fa.doc_id = id_a JOIN fp fb ON fb.doc_id = id_b
+    WHERE len(list_filter(range(1, 33),
+                          i -> substr(fa.bits, i, 1) <> substr(fb.bits, i, 1))) <= 3
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (32-bit fingerprints, Hamming <= 3 via
-    4-band pigeonhole candidates).  Deterministic, unit-tested against a
-    brute-force Hamming scan in tests/test_dedup.py; rows-only here."""
+    """SimHash near-dup pairs (32-bit fingerprints from md5-hex-digit
+    parity votes, Hamming <= 3 via 4-band pigeonhole candidates).  The
+    md5-derived bit votes are engine-independent, so the oracle
+    replicates fingerprint, banding, and verification exactly — full
+    hash-match despite being a 'fuzzy' operator."""
     doc = _doc(spark, sf_dir)
     return D.simhash_pairs(doc, "doc_id", "text", max_hamming=3)
 
@@ -351,10 +388,68 @@ def similarity_topk_ivf(spark, sf_dir):
     return S.cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=4)
 
 
-@query("similarity_topk_lsh")  # seeded hyperplanes -> rows-only
+def _lsh_oracle_sql(n_planes: int = 4, n_tables: int = 8) -> str:
+    """Generate the DuckDB oracle for similarity_topk_lsh.
+
+    The hyperplanes are deterministic constants (seeded in
+    operators.similarity._hyperplanes), so they embed into the SQL as
+    float literals — the full multi-table bucket build, candidate join,
+    and re-rank replicate exactly.  ~90 KB of SQL, machine-written here
+    rather than hand-maintained."""
+    from eventbridge_etl_spark.operators.similarity import _hyperplanes
+
+    def bucket(vec: str, seed: int) -> str:
+        planes = _hyperplanes(64, n_planes, seed)
+        terms = []
+        for i, p in enumerate(planes):
+            lits = ",".join(repr(x) for x in p)
+            dot = (
+                f"list_sum(list_transform(range(1,65), "
+                f"j -> {vec}[j]::DOUBLE * ([{lits}])[j]))"
+            )
+            terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN {2 ** (n_planes - 1 - i)} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id AS neighbor_id, {t} AS tbl, "
+        f"{bucket('embedding', 42 + t)} AS bkt FROM embeddings"
+        for t in range(n_tables)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id AS query_id, {t} AS tbl, "
+        f"{bucket('embedding', 42 + t)} AS bkt FROM embeddings WHERE vec_id < 5"
+        for t in range(n_tables)
+    )
+    cos = _cos_sql("q.embedding", "c.embedding")
+    return f"""
+    WITH cb AS ({cb}),
+    qb AS ({qb}),
+    cand AS (
+      SELECT DISTINCT qb.query_id, cb.neighbor_id
+      FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bkt = cb.bkt
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+      FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+                JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@query("similarity_topk_lsh", oracle=_lsh_oracle_sql())
 def similarity_topk_lsh(spark, sf_dir):
     """Approximate top-10 via 4-table random-hyperplane LSH; recall vs
-    the brute-force baseline is asserted in tests/test_similarity.py."""
+    the brute-force baseline is asserted in tests/test_similarity.py.
+    The seeded hyperplanes embed as literals in the generated oracle, so
+    even this randomized-construction operator hash-matches."""
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
