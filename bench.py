@@ -36,6 +36,7 @@ HEADLINE = [
     "agg_rollup",                # multi-level aggregation
     "window_topk_per_group",     # window + rank
     "events_hourly_rollup",      # pipeline parity: route+upsert+rollup
+    "join_asof_attribution",     # as-of join (union+window encoding)
     "dedup_exact",               # E1
     "dedup_minhash_lsh",         # E2 near-dup at scale
     "similarity_topk_bruteforce",  # E2 ANN baseline

@@ -1,0 +1,89 @@
+"""As-of (time-travel) join — for each left row, the most recent right
+row at or before its timestamp, per key.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do).  The naive encodings
+are both scale-hostile: a range join explodes to O(|L| x matches) before
+aggregation, and a per-key ``applyInPandas`` ships both sides through
+Python.  This implementation is the **union + carry-forward window**
+trick, entirely JVM-side:
+
+1. tag and union both sides (right rows sort before left rows at equal
+   timestamps => inclusive ``r.ts <= l.ts`` semantics),
+2. one shuffle: partition by key, order by (ts, tag),
+3. ``last(right_payload, ignorenulls=True)`` over an unbounded-preceding
+   running frame carries each right row's payload forward to every later
+   left row,
+4. keep the left rows.
+
+Cost: ONE shuffle of |L|+|R| rows and a per-partition sort — the same
+price as a regular sort-merge join, with no row multiplication at any
+point.  Skewed keys fall under the same AQE/salting options as any keyed
+shuffle (operators.skew).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    right_ts_col: str | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, joined to the latest ``right``
+    row with ``right.ts <= left.ts`` for the same key (backward,
+    inclusive); right columns come back suffixed, NULL when no earlier
+    right row exists.
+
+    ``right_ts_col`` names the right side's timestamp when it differs
+    from ``ts_col``.  Ties on (key, ts) inside ``right`` resolve to the
+    row latest in the (ts, payload) sort — pin a unique tiebreak column
+    into ``right`` if that matters.
+    """
+    on = list(on)
+    rts = right_ts_col or ts_col
+    payload_cols = [c for c in right.columns if c not in on and c != rts]
+
+    r = right.select(
+        *[F.col(k) for k in on],
+        F.col(rts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.struct(
+            F.col(rts).alias(f"{rts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+        ).alias("_rpay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in on],
+    )
+    l = left.select(
+        *[F.col(k) for k in on],
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts"), F.col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "_match", F.last("_rpay", ignorenulls=True).over(w)
+    )
+    out_left = [c for c in left.columns if c not in on]
+    match_fields = [f"{rts}{suffix}"] + [f"{c}{suffix}" for c in payload_cols]
+    return (
+        carried.filter(F.col("_tag") == 1)
+        .select(
+            *on,
+            *out_left,
+            *[F.col(f"_match.{f}").alias(f) for f in match_fields],
+        )
+    )

@@ -158,3 +158,34 @@ def events_hourly_rollup(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+@query(
+    "join_asof_attribution",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS ts_matched, c.event_id AS event_id_matched
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_attribution(spark, sf_dir):
+    """As-of join (operators.asof): each purchase attributed to the same
+    user's most recent click at or before it — backward-inclusive,
+    NULL-extended when no prior click exists.  DuckDB's native ASOF JOIN
+    is the oracle; the Spark side is the union + carry-forward-window
+    encoding (one shuffle, no row multiplication)."""
+    from eventbridge_etl_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(purchases, clicks, ["user_id"], "ts")
+    return out.select(
+        "event_id", "user_id", "ts", "value", "ts_matched", "event_id_matched"
+    )

@@ -1,0 +1,56 @@
+"""Watermarked stream-stream joins (event-time interval joins).
+
+The reference cannot join streams at all (each Lambda sees one record);
+Structured Streaming can, provided both sides carry watermarks and the
+join condition bounds how far apart matching events may be — that bound
+is what lets the state store evict rows once the other side's watermark
+passes them (state stays O(events per interval), not O(stream)).
+
+The canonical shape here is attribution: purchases matched to the same
+user's clicks within a lookback interval.  At 100 TB/day the state held
+is (interval x event rate) per key — the interval IS the capacity knob.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    left_watermark: str,
+    right_watermark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two streams on keys + an event-time interval:
+    ``right.ts in [left.ts - lookback, left.ts]``.
+
+    Both inputs MUST be streaming DataFrames with distinct timestamp
+    column names.  Outer variants ('leftOuter' etc.) only emit their
+    NULL-extended rows once the opposite watermark passes the join
+    window — with a terminating drain (availableNow) the trailing rows
+    near the end of input may therefore stay unmatched-but-unemitted;
+    that is watermark semantics, not data loss.
+    """
+    if left_ts == right_ts:
+        raise ValueError("rename one side: timestamp columns must differ for the condition")
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    keys = " AND ".join(f"l.{k} = r.{k}" for k in on)
+    cond = (
+        f"{keys} AND r.{right_ts} <= l.{left_ts} "
+        f"AND r.{right_ts} >= l.{left_ts} - interval {lookback}"
+    )
+    joined = lw.alias("l").join(rw.alias("r"), F.expr(cond), how)
+    # project unambiguous columns: keys once, then both payloads
+    lcols = [F.col(f"l.{c}") for c in left.columns if c not in on]
+    rcols = [F.col(f"r.{c}") for c in right.columns if c not in on]
+    return joined.select(*[F.col(f"l.{k}").alias(k) for k in on], *lcols, *rcols)

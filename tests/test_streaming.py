@@ -227,3 +227,56 @@ def test_running_totals_custom_stateful_operator(spark, tmp_path):
         ).collect()
     )
     assert len(u1) >= 2 and u1[-1] == (3, 17.5)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream attribution join: purchases match the
+    same user's clicks within the 1-hour lookback; matches agree with
+    the equivalent batch join."""
+    from eventbridge_etl_spark.streaming.join import interval_join_streams
+
+    clicks = [
+        (1, "2024-01-01 10:00:00", 100),
+        (1, "2024-01-01 10:40:00", 101),
+        (2, "2024-01-01 09:00:00", 102),
+    ]
+    purchases = [
+        (1, "2024-01-01 11:00:00", 900),  # matches clicks 100+101
+        (2, "2024-01-01 11:30:00", 901),  # click 102 outside lookback -> no match
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    spark.createDataFrame(clicks, "user_id long, c_raw string, click_id long") \
+        .selectExpr("user_id", "cast(c_raw as timestamp) AS click_ts", "click_id") \
+        .write.parquet(cdir)
+    spark.createDataFrame(purchases, "user_id long, p_raw string, purchase_id long") \
+        .selectExpr("user_id", "cast(p_raw as timestamp) AS purchase_ts", "purchase_id") \
+        .write.parquet(pdir)
+
+    cs = spark.readStream.schema("user_id long, click_ts timestamp, click_id long").parquet(cdir)
+    ps = spark.readStream.schema("user_id long, purchase_ts timestamp, purchase_id long").parquet(pdir)
+    joined = interval_join_streams(
+        ps, cs, ["user_id"],
+        left_ts="purchase_ts", right_ts="click_ts",
+        lookback="1 hour", left_watermark="2 hours", right_watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt_join"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("select * from attr_join").collect()
+    )
+    assert rows == [(900, 100), (900, 101)]
+
+    # same-ts-column name must be rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_join_streams(
+            ps, ps, ["user_id"], "purchase_ts", "purchase_ts", "1 hour", "1 hour", "1 hour"
+        )
