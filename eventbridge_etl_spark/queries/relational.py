@@ -747,3 +747,42 @@ def reshape_unpivot(spark, sf_dir):
         .withColumn("metric", F.regexp_replace("metric", "^l_", ""))
         .withColumn("val", F.round("val", 4))
     )
+
+
+@query(
+    "window_range_frame_30d",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+           ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+                       RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+             AS trailing_30d_revenue
+    FROM lineitem
+    WHERE l_suppkey <= 10
+    """,
+)
+def window_range_frame_30d(spark, sf_dir):
+    """Value-based (RANGE) window frame over event time: per supplier,
+    revenue of all shipments in the trailing 30 days.  Unlike a ROWS
+    frame, the frame boundary is a time interval — Spark expresses it as
+    rangeBetween over the epoch-seconds ordering key; ties (same
+    timestamp) are all included by both engines, so decimal sums agree
+    exactly."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        li.filter(F.col("l_suppkey") <= 10)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w), 2)
+            .cast("double")
+            .alias("trailing_30d_revenue"),
+        )
+    )

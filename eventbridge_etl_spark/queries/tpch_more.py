@@ -497,3 +497,162 @@ def q22_dormant_customers(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: the revenue 'view' is computed once and reused for
+    both the ranking scan and the scalar MAX — in Spark the shared
+    subplan is expressed once as a DataFrame and the max rides a
+    broadcast cross join (in-plan, no driver collect)."""
+    li, su = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= _TS("1996-01-01"))
+            & (F.col("l_shipdate") < _TS("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1, 5, 9, 15, 23)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp absent -> supplier relationships come
+    from lineitem): distinct-supplier counts per part attribute group,
+    with negated and IN-list predicates pushed into the broadcast dim."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    pf = pa.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 23)
+    )
+    return (
+        li.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: correlated per-part average decorrelated into an
+    aggregate + join-back on l_partkey — the scalable plan for any
+    'compare each row to its group's statistic' query."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("_qty_cut")
+    )
+    return (
+        li.join(F.broadcast(pa.filter(F.col("p_brand") == "Brand#3")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 shape (receipt/commit dates absent -> 'late' means
+    shipped >30 days after order date): suppliers who were the ONLY late
+    shipper on a multi-supplier finished order.  EXISTS/NOT EXISTS
+    become left-semi / left-anti joins on the same fact."""
+    su, li, od = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    late_cut = F.date_add(F.col("o_orderdate"), 30)
+    l1 = (
+        li.join(od.filter(F.col("o_orderstatus") == "F"),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"),
+        F.col("l_shipdate").alias("_sd"),
+    )
+    has_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+        "left_semi",
+    )
+    sole_late = has_other.join(
+        others,
+        (F.col("l_orderkey") == F.col("_ok"))
+        & (F.col("l_suppkey") != F.col("_sk"))
+        & (F.col("_sd") > F.date_add(F.col("o_orderdate"), 30)),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
