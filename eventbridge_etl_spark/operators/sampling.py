@@ -1,0 +1,57 @@
+"""Deterministic sampling and dataset splits.
+
+Training-data pipelines need samples that are REPRODUCIBLE (same rows on
+every run, every cluster size, every engine) and KEY-STABLE (a document
+keeps its split assignment when the corpus is re-processed).  Spark's
+``df.sample`` is neither — it seeds per-partition RNGs, so results
+change with partitioning.  These operators derive the sampling decision
+from a hash of the key itself:
+
+    bucket(key) = int(md5(key)[:8], 16) / 2^32   in [0, 1)
+
+- md5 (not xxhash64) so any engine can reproduce the decision — the
+  DuckDB oracles replicate it bit-for-bit;
+- the decision is a pure projection: sampling never shuffles, never
+  collects, and composes with pushdown (a sampled scan stays a scan).
+
+At 100 TB a 1% deterministic sample is a full scan that keeps 1% of
+rows; to avoid even reading the other 99%, persist the bucket as a
+partition/bucket column at ingest (sinks.write_partitioned) and prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^32, the denominator of the md5-derived uniform bucket.
+_DENOM = float(2**32)
+
+
+def hash_fraction(key: Column | str) -> Column:
+    """Uniform [0,1) value derived from md5 of the key (engine-portable)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(_DENOM)
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — stable across
+    runs, partitionings, and engines."""
+    return df.filter(hash_fraction(key) < fraction)
+
+
+def train_test_split(
+    df: DataFrame,
+    key: str,
+    test_fraction: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag each row 'train' or 'test' by key hash.  A key's assignment
+    never changes as the corpus grows — the property that keeps test
+    sets uncontaminated across dataset versions."""
+    return df.withColumn(
+        split_col,
+        F.when(hash_fraction(key) < test_fraction, "test").otherwise("train"),
+    )

@@ -493,3 +493,53 @@ def multimodal_byte_histogram(spark, sf_dir):
             for i in range(4)
         ],
     )
+
+
+# -------------------------------------------------------- sampling (E1+)
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINT64 AS DOUBLE)
+          / 4294967296.0 < 0.1
+    """,
+)
+def sample_deterministic(spark, sf_dir):
+    """Reproducible ~10% sample by key hash (operators.sampling): the
+    same doc_ids are kept on every run, partitioning, and engine —
+    unlike df.sample's per-partition RNG.  Pure projection+filter: no
+    shuffle, composes with pushdown."""
+    from eventbridge_etl_spark.operators.sampling import deterministic_sample
+
+    doc = _doc(spark, sf_dir)
+    return deterministic_sample(doc, "doc_id", 0.1).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "sample_train_test_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINT64 AS DOUBLE)
+                       / 4294967296.0 < 0.2
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def sample_train_test_split(spark, sf_dir):
+    """Key-stable train/test tagging (20% test): a document's split
+    assignment never changes as the corpus grows — the property that
+    keeps held-out sets uncontaminated across dataset versions."""
+    from eventbridge_etl_spark.operators.sampling import train_test_split
+
+    doc = _doc(spark, sf_dir)
+    return (
+        train_test_split(doc, "doc_id", test_fraction=0.2)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )

@@ -1,0 +1,43 @@
+"""Deterministic sampling: stability across runs/partitionings, split
+disjointness, and approximate fraction."""
+
+from __future__ import annotations
+
+from eventbridge_etl_spark.operators.sampling import (
+    deterministic_sample,
+    train_test_split,
+)
+
+from .conftest import SF_DIR
+
+
+def test_sample_stable_across_partitionings(spark):
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ids1 = {r["doc_id"] for r in deterministic_sample(doc, "doc_id", 0.2).collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in deterministic_sample(doc.repartition(13), "doc_id", 0.2).collect()
+    }
+    assert ids1 == ids2 and ids1  # same rows whatever the partitioning
+
+
+def test_sample_fraction_approximate(spark):
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = doc.count()
+    k = deterministic_sample(doc, "doc_id", 0.3).count()
+    assert 0.15 * n < k < 0.45 * n  # md5 uniformity, wide tolerance at small n
+
+
+def test_split_partitions_every_row_once(spark):
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tagged = train_test_split(doc, "doc_id", test_fraction=0.25)
+    counts = dict(
+        (r["split"], r["n"]) for r in tagged.groupBy("split").count().withColumnRenamed("count", "n").collect()
+    )
+    assert set(counts) <= {"train", "test"}
+    assert sum(counts.values()) == doc.count()
+    # growing the corpus never reassigns an existing key
+    subset = doc.filter("doc_id < 20")
+    sub_tags = {r["doc_id"]: r["split"] for r in train_test_split(subset, "doc_id", 0.25).collect()}
+    full_tags = {r["doc_id"]: r["split"] for r in tagged.filter("doc_id < 20").collect()}
+    assert sub_tags == full_tags
