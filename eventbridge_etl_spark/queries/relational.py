@@ -786,3 +786,27 @@ def window_range_frame_30d(spark, sf_dir):
             .alias("trailing_30d_revenue"),
         )
     )
+
+
+@query(
+    "agg_pivot_native",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS F,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS O,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_pivot_native(spark, sf_dir):
+    """Native groupBy().pivot() with an explicit value list — with the
+    values pinned, Spark plans ONE pass of conditional aggregates (no
+    extra distinct-values job, same plan as the manual FILTER form)."""
+    od, cu = _t(spark, sf_dir, "orders", "customer")
+    return (
+        od.join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+    )
