@@ -298,3 +298,70 @@ def fn_higher_order_surface(spark, sf_dir):
         F.element_at(a, 1).alias("first_tok"),
         F.array_min(F.array_sort(a)).alias("min_tok"),
     )
+
+
+@query(
+    "fn_regex_surface",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')            AS devoweled,
+           regexp_extract(p_name, '([a-z]+)$', 1)                 AS last_word,
+           len(regexp_extract_all(p_name, '[a-z]+'))              AS n_words,
+           CASE WHEN regexp_matches(p_name, '^(red|blue)') THEN 1 ELSE 0 END AS is_primary,
+           regexp_extract(p_type, '^[A-Z]+')                      AS type_prefix
+    FROM part
+    WHERE p_partkey < 500
+    """,
+)
+def fn_regex_surface(spark, sf_dir):
+    """Regex surface: global replace, group extraction, match counting,
+    anchored boolean match — all JVM-side regexp codegen."""
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return pa.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.size(F.expr("regexp_extract_all(p_name, '[a-z]+', 0)")).alias("n_words"),
+        F.when(F.col("p_name").rlike("^(red|blue)"), 1).otherwise(0).alias("is_primary"),
+        F.regexp_extract("p_type", "^[A-Z]+", 0).alias("type_prefix"),
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER w  AS cheapest_key,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+                                          ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                           AS second_cheapest_key
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window functions: percent_rank / cume_dist /
+    first_value / nth_value in one pass (nth_value over the full-frame
+    window, matching its SQL default of an unbounded frame)."""
+    from pyspark.sql import Window as W
+
+    od = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = W.partitionBy("o_orderpriority").orderBy(price, F.col("o_orderkey"))
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        od.filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("o_orderkey").over(w).alias("cheapest_key"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest_key"),
+        )
+    )
