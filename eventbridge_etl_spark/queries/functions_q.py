@@ -365,3 +365,33 @@ def window_distribution(spark, sf_dir):
             F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest_key"),
         )
     )
+
+
+@query(
+    "fn_generator_surface",
+    oracle="""
+    SELECT n_nationkey,
+           gs.g                                             AS seq_val,
+           regexp_split_to_array(n_name, '_')[wi.pos]       AS word,
+           wi.pos - 1                                       AS word_idx
+    FROM nation
+    CROSS JOIN generate_series(0, 2) gs(g)
+    CROSS JOIN (VALUES (1), (2), (3), (4)) wi(pos)
+    WHERE n_nationkey < 5
+      AND wi.pos <= len(regexp_split_to_array(n_name, '_'))
+    """,
+)
+def fn_generator_surface(spark, sf_dir):
+    """Generator functions: sequence() expansion + posexplode with
+    ordinal position — the row-multiplying primitives behind unpivot,
+    frame sampling, and shingling."""
+    na = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    return (
+        na.withColumn("seq_val", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .select(
+            "n_nationkey",
+            "seq_val",
+            F.posexplode(F.split("n_name", "_")).alias("word_idx", "word"),
+        )
+        .select("n_nationkey", "seq_val", "word", F.col("word_idx").cast("long").alias("word_idx"))
+    )

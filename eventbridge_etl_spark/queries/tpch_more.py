@@ -656,3 +656,47 @@ def q21_waiting_orders(spark, sf_dir):
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT p_partkey, p_name, s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY s_acctbal, s_suppkey) AS rn
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_size = 15
+    )
+    WHERE rn = 1
+    ORDER BY p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (partsupp absent -> supplier relationships from
+    lineitem, min supply cost -> min account balance): argmin-per-group
+    via deterministic min_by on a (balance, suppkey) struct — one
+    aggregate, no window sort over the join output."""
+    pa, li, su = _t(spark, sf_dir, "part", "lineitem", "supplier")
+    joined = (
+        li.join(F.broadcast(pa.filter(F.col("p_size") == 15)),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    order_key = F.struct(F.col("s_acctbal"), F.col("s_suppkey"))
+    row = F.struct("p_name", "s_suppkey", "s_name", "s_acctbal")
+    return (
+        joined.groupBy("p_partkey")
+        .agg(F.min_by(row, order_key).alias("_r"))
+        .select(
+            "p_partkey",
+            F.col("_r.p_name").alias("p_name"),
+            F.col("_r.s_suppkey").alias("s_suppkey"),
+            F.col("_r.s_name").alias("s_name"),
+            F.round(F.col("_r.s_acctbal"), 2).alias("s_acctbal"),
+        )
+        .orderBy("p_partkey")
+    )
