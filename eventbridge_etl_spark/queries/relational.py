@@ -810,3 +810,30 @@ def agg_pivot_native(spark, sf_dir):
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
     )
+
+
+@query(
+    "agg_statistics",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 4)             AS price_stddev,
+           ROUND(var_samp(l_discount), 8)                     AS disc_var,
+           ROUND(avg(l_tax), 6)                               AS tax_mean
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_statistics(spark, sf_dir):
+    """Statistical aggregates (corr / sample covariance / stddev /
+    variance) — single-pass streaming moment computations, mergeable
+    across partitions like any partial aggregate."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 8).alias("disc_var"),
+        F.round(F.avg("l_tax"), 6).alias("tax_mean"),
+    )

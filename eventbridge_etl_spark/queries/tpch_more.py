@@ -5,6 +5,7 @@ no l_commitdate/l_receiptdate/l_shipmode, no p_mfgr/p_container.  Each
 classic query is therefore adapted to the available columns while keeping
 its *plan shape* — that is what matters for the 100 TB story:
 
+- q2  : argmin-per-group (min_by on a struct, no window sort)
 - q4  : EXISTS-driven semi join (decorrelated by Catalyst)
 - q6  : pure scan-agg with every predicate pushed to parquet
 - q7  : two-nation volume with year extraction, dims broadcast
@@ -12,8 +13,12 @@ its *plan shape* — that is what matters for the 100 TB story:
 - q9  : profit by nation/year through part + supplier
 - q10 : returned-item revenue, global top-20
 - q14 : promo share — two conditional sums in one pass
+- q15 : shared subplan + in-plan scalar MAX
+- q16 : distinct-supplier counts, negated/IN-list dim predicates
+- q17 : correlated per-group average, decorrelated to agg + join-back
 - q18 : large-volume customers — agg-then-join back on the fact
 - q19 : disjunctive predicate join (OR-of-ANDs pushed into the join)
+- q21 : sole-late-shipper — chained left-semi + left-anti on one fact
 - q22 : dormant customers — scalar subquery + anti join
 
 All pure DataFrame built-ins; float aggregates ROUNDed identically on
