@@ -123,3 +123,48 @@ def test_partitioned_write_respects_max_records(spark, tmp_path):
     ]
     counts = [spark.read.parquet(f).count() for f in files]
     assert counts and max(counts) <= 100
+
+
+def test_ivf_probe_join_on_cell_bucketed_corpus(spark, tmp_path):
+    """SCALE.md's IVF claim, proven: precompute cell assignments, store
+    the corpus bucketed by cell id, and the probe join needs NO exchange
+    on the corpus side (only the tiny probe side shuffles)."""
+    from pyspark.sql import Window
+
+    from eventbridge_etl_spark.operators.similarity import cosine
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("_cent_id"), F.col("embedding").alias("_cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_c").desc(), F.col("_cent_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("_c", cosine(F.col("embedding"), F.col("_cent")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", F.col("_cent_id").alias("cell"))
+    )
+    sinks.write_bucketed_table(
+        assigned, "t_ivf_corpus", ["cell"], 8, path=str(tmp_path / "ivf_corpus")
+    )
+    try:
+        corpus = sinks.read_table(spark, "t_ivf_corpus")
+        probes = spark.createDataFrame([(0, 1), (1, 3)], "query_id long, cell long")
+        with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"), _conf(
+            spark, "spark.sql.adaptive.enabled", "false"
+        ):
+            joined = probes.join(corpus, "cell").select("query_id", "vec_id")
+            plan = _plan(joined)
+            import re
+
+            shuffles = re.findall(r"Exchange (?:hash|range)partitioning[^\n]*", plan)
+            # exactly one exchange: the 2-row probe side; the corpus reads
+            # straight from its buckets
+            assert len(shuffles) == 1, plan
+            assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_corpus")
