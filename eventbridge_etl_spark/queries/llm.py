@@ -543,3 +543,56 @@ def sample_train_test_split(spark, sf_dir):
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
     )
+
+
+@query(
+    "pipeline_corpus_admission",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, text, lang, n_chars,
+             length(text) AS nc,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt,
+             len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS ndt,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) AS np
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, lang, n_chars, nt,
+             CAST(floor((0.4 * (CASE WHEN nt BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END)
+                 + 0.3 * (1 - least(np / greatest(nc, 1) * 10, 1.0))
+                 + 0.3 * (ndt / nt::DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS quality
+      FROM feat
+    ),
+    admitted AS (
+      SELECT * FROM scored WHERE quality >= 700000 AND n_chars >= 100
+    ),
+    deduped AS (
+      SELECT md5(text) AS content_digest, min(doc_id) AS doc_id,
+             count(*) AS n_duplicates
+      FROM admitted GROUP BY md5(text)
+    )
+    SELECT d.doc_id, a.lang, a.quality, a.nt AS n_tokens, d.n_duplicates
+    FROM deduped d JOIN admitted a ON a.doc_id = d.doc_id
+    """,
+)
+def pipeline_corpus_admission(spark, sf_dir):
+    """The LLM-training-data admission pipeline as ONE declarative plan:
+    quality gate -> length gate -> exact dedup (keep smallest id per
+    content digest) -> admitted corpus with stats.  Composes the text
+    and dedup operators; Catalyst fuses the gates into the scan and the
+    whole thing runs with two shuffles (dedup groupBy + the join back).
+    At 100 TB each stage stays map-side except those two exchanges."""
+    from eventbridge_etl_spark.operators.dedup import exact_dedup
+
+    doc = _doc(spark, sf_dir)
+    admitted = (
+        doc.withColumn("quality", X.quality_score("text"))
+        .withColumn("n_tokens", X.token_count(F.lower(F.col("text"))))
+        .filter((F.col("quality") >= 700000) & (F.col("n_chars") >= 100))
+    )
+    survivors = exact_dedup(admitted, "doc_id", ["text"]).select(
+        "doc_id", "n_duplicates"
+    )
+    return survivors.join(admitted, "doc_id").select(
+        "doc_id", "lang", "quality", "n_tokens", "n_duplicates"
+    )
