@@ -12,12 +12,16 @@ its *plan shape* — that is what matters for the 100 TB story:
 - q8  : market-share — conditional agg over a snowflake join
 - q9  : profit by nation/year through part + supplier
 - q10 : returned-item revenue, global top-20
+- q11 : shared-subplan agg + in-plan scalar threshold
+- q12 : fact-fact join + conditional-sum split in one pass
+- q13 : outer-join histogram (join predicate keeps zero-order customers)
 - q14 : promo share — two conditional sums in one pass
 - q15 : shared subplan + in-plan scalar MAX
 - q16 : distinct-supplier counts, negated/IN-list dim predicates
 - q17 : correlated per-group average, decorrelated to agg + join-back
 - q18 : large-volume customers — agg-then-join back on the fact
 - q19 : disjunctive predicate join (OR-of-ANDs pushed into the join)
+- q20 : two-grain aggregate reuse (rollup re-aggregated, one fact pass)
 - q21 : sole-late-shipper — chained left-semi + left-anti on one fact
 - q22 : dormant customers — scalar subquery + anti join
 
@@ -704,4 +708,179 @@ def q2_min_cost_supplier(spark, sf_dir):
             F.round(F.col("_r.s_acctbal"), 2).alias("s_acctbal"),
         )
         .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH part_value AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(value, 2) AS value
+    FROM part_value
+    WHERE value > (SELECT SUM(value) * 0.001 FROM part_value)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (partsupp absent -> part value = discounted revenue
+    through one nation's suppliers).  The per-part aggregate is expressed
+    ONCE and reused for both the ranking scan and the in-plan scalar total
+    (broadcast cross join of a 1-row agg — no driver collect, no second
+    scan of lineitem at 100 TB)."""
+    li, su, na = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat_supp = su.join(
+        F.broadcast(na.filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    part_value = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = part_value.agg((F.sum("value") * 0.001).alias("_cut"))
+    return (
+        part_value.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_cut"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 20 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode/commit/receipt dates absent -> group by
+    l_returnflag; 'late' = shipped >20 days after order).  High/low
+    priority split is two conditional sums in ONE aggregate pass after
+    the single fact-fact shuffle join."""
+    od, li = _t(spark, sf_dir, "orders", "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _TS("1996-01-01"))
+            & (F.col("l_shipdate") < _TS("1997-01-01"))
+        )
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 20))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: customer order-count histogram (comment-filter adapted
+    to an order-priority exclusion INSIDE the outer-join condition, so
+    zero-order customers survive).  Two-level aggregation: the second
+    group-by runs over one row per customer — tiny whatever the fact
+    size."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cu.join(
+            od.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    part_total AS (
+      SELECT l_partkey AS pt_partkey, SUM(supp_qty) AS total_qty
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    JOIN shipped ON s_suppkey = l_suppkey
+    JOIN part_total ON l_partkey = pt_partkey
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+      AND supp_qty > 0.3 * total_qty
+    ORDER BY s_suppkey
+    """,
+)
+def q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (partsupp absent -> 'excess availability' becomes
+    'dominant supplier': shipped >30% of a red part's 1996 volume).  Two
+    aggregates at different grain reuse ONE shuffle: the per-part total
+    re-aggregates the (supp, part) rollup, already partitioned compatibly
+    — no second pass over lineitem."""
+    li, su, pa = _t(spark, sf_dir, "lineitem", "supplier", "part")
+    red = pa.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= _TS("1996-01-01"))
+            & (F.col("l_shipdate") < _TS("1997-01-01"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(part_total, F.col("l_partkey") == F.col("pt_partkey"))
+        .filter(F.col("supp_qty") > 0.3 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        su.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )
