@@ -529,12 +529,20 @@ def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15: the revenue 'view' is computed once and reused for
     both the ranking scan and the scalar MAX — in Spark the shared
     subplan is expressed once as a DataFrame and the max rides a
-    broadcast cross join (in-plan, no driver collect)."""
+    broadcast cross join (in-plan, no driver collect).
+
+    The explicit isNotNull(l_suppkey) matters: the supplier join infers
+    it on the ranking branch only, which would make the two revenue
+    subtrees canonically different and defeat ReuseExchange — the fact
+    shuffle would run twice.  Stating it in the shared subplan keeps
+    both branches identical (l_suppkey is never null; a plan test pins
+    the reuse)."""
     li, su = _t(spark, sf_dir, "lineitem", "supplier")
     revenue = (
         li.filter(
             (F.col("l_shipdate") >= _TS("1996-01-01"))
             & (F.col("l_shipdate") < _TS("1996-04-01"))
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
@@ -858,13 +866,19 @@ def q20_dominant_suppliers(spark, sf_dir):
     'dominant supplier': shipped >30% of a red part's 1996 volume).  Two
     aggregates at different grain reuse ONE shuffle: the per-part total
     re-aggregates the (supp, part) rollup, already partitioned compatibly
-    — no second pass over lineitem."""
+    — no second pass over lineitem.
+
+    The explicit isNotNull(l_suppkey) keeps the two uses of `shipped`
+    canonically identical (the supplier semi join infers that constraint
+    on the ranking branch only, which would defeat ReuseExchange and
+    re-run the fact shuffle — a plan test pins the reuse)."""
     li, su, pa = _t(spark, sf_dir, "lineitem", "supplier", "part")
     red = pa.filter(F.col("p_name").like("%red%")).select("p_partkey")
     shipped = (
         li.filter(
             (F.col("l_shipdate") >= _TS("1996-01-01"))
             & (F.col("l_shipdate") < _TS("1997-01-01"))
+            & F.col("l_suppkey").isNotNull()
         )
         .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")

@@ -94,3 +94,30 @@ def test_ivf_broadcasts_centroids(spark):
     plan = _plan(spark, "similarity_topk_ivf")
     assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def _final_plan_after_run(spark, name: str) -> str:
+    """Execute the query so AQE finalizes, then return only the final
+    adaptive plan (the section before '== Initial Plan ==')."""
+    df = QUERIES[name](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_shared_subplan_queries_scan_fact_once(spark):
+    """q11/q15/q20 reference an expensive aggregate from two branches
+    (ranking scan + in-plan scalar).  ReuseExchange must collapse the
+    duplicated subtree so lineitem is scanned and shuffled ONCE — this
+    breaks silently if a branch-specific inferred constraint (e.g.
+    isnotnull from a later join) leaks into only one branch's scan."""
+    for name in (
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q20_dominant_suppliers",
+    ):
+        final = _final_plan_after_run(spark, name)
+        assert "ReusedExchange" in final, name
+        assert final.count("lineitem.parquet") == 1, (
+            f"{name}: fact scanned {final.count('lineitem.parquet')}x"
+        )
