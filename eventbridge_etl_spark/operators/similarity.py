@@ -201,20 +201,33 @@ def cosine_topk_lsh(
     considered if it collides in ANY table); per-table bucket count
     2^n_planes bounds each bucket to corpus/2^n_planes rows — that
     quotient is the scan-pruning factor vs brute force.
+
+    All tables' bucket assignments are computed in ONE pass over each
+    side (an array of (table, bucket) structs, exploded) — a union of
+    per-table branches would re-scan the corpus ``n_tables`` times,
+    which at 100 TB is the difference between one pass and four.
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c_b = None
-    q_b = None
-    for t in range(n_tables):
-        cb = c.withColumn("_tbl", F.lit(t)).withColumn(
-            "_bkt", hyperplane_lsh_bucket(F.col("_cv"), dim, n_planes, seed=42 + t)
+
+    def _banded(df, vcol):
+        tb = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("_tbl"),
+                    hyperplane_lsh_bucket(
+                        F.col(vcol), dim, n_planes, seed=42 + t
+                    ).alias("_bkt"),
+                )
+                for t in range(n_tables)
+            ]
         )
-        qb = q.withColumn("_tbl", F.lit(t)).withColumn(
-            "_bkt", hyperplane_lsh_bucket(F.col("_qv"), dim, n_planes, seed=42 + t)
-        )
-        c_b = cb if c_b is None else c_b.union(cb)
-        q_b = qb if q_b is None else q_b.union(qb)
+        return df.select(
+            "*", F.explode(tb).alias("_tb")
+        ).select(*df.columns, "_tb._tbl", "_tb._bkt")
+
+    c_b = _banded(c, "_cv")
+    q_b = _banded(q, "_qv")
     cand = (
         q_b.join(c_b, ["_tbl", "_bkt"])
         .select("query_id", "_qv", "neighbor_id", "_cv")

@@ -604,13 +604,26 @@ def q16_supplier_part_counts(spark, sf_dir):
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17: correlated per-part average decorrelated into an
     aggregate + join-back on l_partkey — the scalable plan for any
-    'compare each row to its group's statistic' query."""
+    'compare each row to its group's statistic' query.
+
+    The per-part average is itself semi-joined to the Brand#3 parts
+    BEFORE aggregating: only those parts' averages are ever consulted,
+    so the broadcast filter prunes ~24/25 of the fact from the
+    aggregate's shuffle (Catalyst can't derive this cross-branch —
+    the filter must be stated on both uses of the fact)."""
     li, pa = _t(spark, sf_dir, "lineitem", "part")
-    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        (F.avg("l_quantity") * 0.2).alias("_qty_cut")
+    brand = pa.filter(F.col("p_brand") == "Brand#3")
+    per_part = (
+        li.join(
+            F.broadcast(brand.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("_pk"))
+        .agg((F.avg("l_quantity") * 0.2).alias("_qty_cut"))
     )
     return (
-        li.join(F.broadcast(pa.filter(F.col("p_brand") == "Brand#3")),
+        li.join(F.broadcast(brand),
                 F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_qty_cut"))
