@@ -134,3 +134,75 @@ def fingerprint(text: Column | str, k: int = 8) -> Column:
     to a single selection).  Content-defined: stable under document
     reordering of unrelated parts, cheap to compare."""
     return F.array_min(F.transform(shingles(text, k), lambda s: F.md5(s)))
+
+
+def chunk_documents(
+    df,
+    chunk_size: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split each document into overlapping token-window chunks — the
+    context-window prep step of a training-data pipeline (chunk_size
+    tokens per chunk, starts every `stride` tokens, so consecutive
+    chunks overlap by chunk_size - stride).
+
+    Pure generator-side built-ins (split → sequence → posexplode →
+    slice): embarrassingly parallel, no shuffle, no Python.  Row count
+    multiplies by ~n_tokens/stride, which is why this runs AFTER
+    quality/dedup admission in the composite pipeline, never before.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tokens(F.col(text_col), lowercase=False)
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk_toks = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(chunk_toks, " ").alias("chunk_text"),
+            F.size(chunk_toks).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def document_frequency(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus vocabulary statistics: per-token total term frequency,
+    document frequency, and IDF — the vocabulary/stopword analysis pass
+    of a corpus pipeline.
+
+    One explode + one aggregate: tf is count(*), df is
+    count(distinct doc) inside the same groupBy, and the corpus size
+    rides a broadcast 1-row aggregate so IDF stays in-plan (no driver
+    collect).  The token shuffle is the only exchange; at 100 TB the
+    partial aggregation absorbs the Zipf head ("the" combines map-side
+    to one row per partition before it moves).
+    """
+    total = df.agg(F.count("*").alias("_n_docs"))
+    return (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct(id_col).alias("df"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(F.log(F.col("_n_docs") / F.col("df")), 6).alias("idf"),
+        )
+    )

@@ -596,3 +596,57 @@ def pipeline_corpus_admission(spark, sf_dir):
     return survivors.join(admitted, "doc_id").select(
         "doc_id", "lang", "quality", "n_tokens", "n_duplicates"
     )
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS s
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, s, unnest(range(0, len(s), 24)) AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_id,
+           array_to_string(s[start + 1 : start + 32], ' ') AS chunk_text,
+           CAST(len(s[start + 1 : start + 32]) AS BIGINT) AS n_chunk_tokens
+    FROM st
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks every 24
+    tokens -> 8-token overlap): the context-window prep step before
+    embedding/tokenizing a corpus.  Generator-side built-ins only."""
+    return X.chunk_documents(
+        _doc(spark, sf_dir), chunk_size=32, stride=24
+    )
+
+
+@query(
+    "text_document_frequency",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df,
+           ROUND(LN((SELECT COUNT(*) FROM documents) / COUNT(DISTINCT doc_id)), 6) AS idf
+    FROM tok
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 50
+    """,
+)
+def text_document_frequency(spark, sf_dir):
+    """Corpus vocabulary head: per-token tf/df/idf, top-50 by total
+    frequency.  One explode, one aggregate; corpus size stays in-plan
+    as a broadcast 1-row aggregate."""
+    return (
+        X.document_frequency(_doc(spark, sf_dir))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(50)
+    )

@@ -113,3 +113,45 @@ def test_resize_media_real_path_is_honest_stub(spark):
     with _pytest.raises(Exception) as ei:
         resize_media(wrapped, "doc_id", 4, 4, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "no media codecs" in str(ei.value)
+
+
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    out = X.chunk_documents(df, chunk_size=3, stride=2).orderBy(
+        "doc_id", "chunk_id"
+    )
+    rows = [tuple(r) for r in out.collect()]
+    # doc 1: 7 tokens -> starts 0,2,4,6; last chunk is a 1-token tail
+    assert rows[:4] == [
+        (1, 0, "a b c", 3),
+        (1, 1, "c d e", 3),
+        (1, 2, "e f g", 3),
+        (1, 3, "g", 1),
+    ]
+    # doc 2: shorter than one chunk -> single short chunk
+    assert rows[4] == (2, 0, "x y", 2)
+    # doc 3: whitespace-only -> split(trim) yields one empty token (the
+    # shared tokenization contract), so exactly one empty-ish chunk
+    assert len(rows) == 6 and rows[5][0] == 3
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        X.chunk_documents(df, chunk_size=0, stride=2)
+    with pytest.raises(ValueError):
+        X.chunk_documents(df, chunk_size=4, stride=0)
+
+
+def test_document_frequency_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the dog"), (3, "a cat")],
+        ["doc_id", "text"],
+    )
+    out = {r["token"]: (r["tf"], r["df"]) for r in X.document_frequency(df).collect()}
+    assert out["the"] == (3, 2)
+    assert out["cat"] == (2, 2)
+    assert out["dog"] == (1, 1)
