@@ -240,3 +240,69 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    impl: str = "builtin",
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean) + group size —
+    the class-prototype computation behind nearest-centroid dedup
+    triage, IVF coarse quantizer training, and cluster drift checks.
+
+    Two implementations with identical output:
+
+    - ``builtin``: posexplode -> groupBy(label, pos) avg -> re-assemble
+      ordered array.  The per-position partial aggregation spreads one
+      label's rows across ALL partitions, so a skewed label (half the
+      corpus in one class) never serializes into one task — this is the
+      100 TB path.
+    - ``arrow``: ``groupBy(label).applyInPandas`` — one Arrow batch per
+      label through numpy.  Simpler, and the template for group-wise
+      logic that ISN'T expressible as built-ins; but a group = a task,
+      so it carries skew risk the builtin path doesn't.  Kept as the
+      reference implementation and exercised in tests/the oracle gate.
+    """
+    if impl == "builtin":
+        per_pos = (
+            df.select(
+                F.col(label_col), F.posexplode(F.col(vec_col)).alias("_pos", "_v")
+            )
+            .groupBy(label_col, "_pos")
+            .agg(
+                F.round(F.avg(F.col("_v").cast("double")), decimals).alias("_av"),
+                F.count("*").alias("_n"),
+            )
+        )
+        return (
+            per_pos.groupBy(label_col)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_av"))),
+                    lambda s: s["_av"],
+                ).alias("centroid"),
+                F.first("_n").alias("n_vectors"),
+            )
+        )
+    if impl == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        out_schema = f"{label_col} int, centroid array<double>, n_vectors bigint"
+
+        def _centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cen = np.round(mat.mean(axis=0), decimals)
+            return pd.DataFrame(
+                {
+                    label_col: [pdf[label_col].iloc[0]],
+                    "centroid": [cen.tolist()],
+                    "n_vectors": [len(pdf)],
+                }
+            )
+
+        return df.groupBy(label_col).applyInPandas(_centroid, out_schema)
+    raise ValueError(f"unknown impl: {impl!r} (want 'builtin' or 'arrow')")

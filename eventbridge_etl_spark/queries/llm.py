@@ -650,3 +650,31 @@ def text_document_frequency(spark, sf_dir):
         .orderBy(F.col("tf").desc(), "token")
         .limit(50)
     )
+
+
+@query(
+    "similarity_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    pp AS (
+      SELECT label, pos, ROUND(AVG(CAST(val AS DOUBLE)), 4) AS av
+      FROM ex GROUP BY label, pos
+    ),
+    cnt AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT pp.label, list(av ORDER BY pos) AS centroid, any_value(n_vectors) AS n_vectors
+    FROM pp JOIN cnt USING (label)
+    GROUP BY pp.label
+    ORDER BY pp.label
+    """,
+)
+def similarity_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids via the Arrow applyInPandas path
+    (one Arrow batch per label through numpy) — the grouped-batch UDF
+    surface.  A built-in posexplode implementation with identical
+    output is unit-tested against it; that one is the skew-proof
+    100 TB path (see operators/similarity.py::label_centroids)."""
+    return S.label_centroids(_emb(spark, sf_dir), impl="arrow").orderBy("label")

@@ -107,3 +107,29 @@ def test_ivf_respects_custom_centroids(spark):
     ivf = S.cosine_topk_ivf(emb, queries, k=5, nlist=1, nprobe=1, centroids=one_cent)
     exact = S.cosine_topk_bruteforce(emb, queries, k=5)
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_label_centroids_builtin_matches_arrow(spark):
+    from eventbridge_etl_spark.operators.similarity import label_centroids
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    a = {
+        r["label"]: (tuple(r["centroid"]), r["n_vectors"])
+        for r in label_centroids(emb, impl="arrow").collect()
+    }
+    b = {
+        r["label"]: (tuple(r["centroid"]), r["n_vectors"])
+        for r in label_centroids(emb, impl="builtin").collect()
+    }
+    assert a == b
+    assert len(a) == 10 and all(len(c) == 64 for c, _ in a.values())
+
+
+def test_label_centroids_rejects_unknown_impl(spark):
+    from eventbridge_etl_spark.operators.similarity import label_centroids
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    with pytest.raises(ValueError):
+        label_centroids(emb, impl="numpy")
