@@ -654,36 +654,41 @@ def q17_small_quantity_revenue(spark, sf_dir):
 def q21_waiting_orders(spark, sf_dir):
     """TPC-H Q21 shape (receipt/commit dates absent -> 'late' means
     shipped >30 days after order date): suppliers who were the ONLY late
-    shipper on a multi-supplier finished order.  EXISTS/NOT EXISTS
-    become left-semi / left-anti joins on the same fact."""
+    shipper on a multi-supplier finished order.
+
+    The EXISTS/NOT EXISTS pair is NOT planned as semi/anti self-joins
+    (three fact scans, two row-exploding shuffles of the full fact).
+    Both predicates collapse into per-order aggregates instead:
+    'sole late shipper' = the order's late-supplier set has size 1;
+    'some other supplier' = distinct-supplier count >= 2.  collect_set
+    state is bounded by suppliers-per-order (~7), the two aggregates
+    and their join all share orderkey partitioning, and the fact is
+    scanned twice (late lines + supplier counts) — the minimum, since
+    the two inputs need different predicates."""
     su, li, od = _t(spark, sf_dir, "supplier", "lineitem", "orders")
-    late_cut = F.date_add(F.col("o_orderdate"), 30)
-    l1 = (
+    late = (
         li.join(od.filter(F.col("o_orderstatus") == "F"),
                 F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > late_cut)
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_suppkey").alias("_late_supps"),
+            F.count("*").alias("_late_lines"),
+        )
+        .filter(F.size("_late_supps") == 1)
+        .select("l_orderkey", F.col("_late_supps")[0].alias("_supp"), "_late_lines")
     )
-    others = li.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"),
-        F.col("l_shipdate").alias("_sd"),
-    )
-    has_other = l1.join(
-        others,
-        (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
-        "left_semi",
-    )
-    sole_late = has_other.join(
-        others,
-        (F.col("l_orderkey") == F.col("_ok"))
-        & (F.col("l_suppkey") != F.col("_sk"))
-        & (F.col("_sd") > F.date_add(F.col("o_orderdate"), 30)),
-        "left_anti",
+    multi = (
+        li.groupBy(F.col("l_orderkey").alias("_ok2"))
+        .agg(F.countDistinct("l_suppkey").alias("_n_supp"))
+        .filter(F.col("_n_supp") >= 2)
+        .select("_ok2")
     )
     return (
-        sole_late.join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        late.join(multi, F.col("l_orderkey") == F.col("_ok2"), "left_semi")
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("_supp"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("_late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
 
