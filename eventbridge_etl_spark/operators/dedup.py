@@ -119,9 +119,16 @@ def _verify_jaccard(cand: DataFrame, token_sets: DataFrame, tau: float) -> DataF
     )
     common = F.size(F.array_intersect("_ta", "_tb"))
     jac = common / (F.col("_na") + F.col("_nb") - common)
+    # Lossless size prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
+    # pair whose set sizes are too far apart can never reach tau — drop it
+    # BEFORE the array_intersect (the expensive part of verification).
+    # The filter sits between the joins and the jaccard projection so
+    # codegen short-circuits on two int comparisons per pruned pair.
+    size_ok = F.least("_na", "_nb") >= tau * F.greatest("_na", "_nb")
     return (
         cand.join(ta, "_ida")
         .join(tb, "_idb")
+        .filter(size_ok)
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= tau)
         .select(
