@@ -121,3 +121,40 @@ def test_shared_subplan_queries_scan_fact_once(spark):
         assert final.count("lineitem.parquet") == 1, (
             f"{name}: fact scanned {final.count('lineitem.parquet')}x"
         )
+
+
+def test_runtime_bloom_filter_fires_on_fact_to_fact_join(spark):
+    """At 100 TB, orders><lineitem can't broadcast; Spark's runtime
+    Bloom-filter rewrite builds a filter from the selective (filtered)
+    side and injects might_contain into the fact scan, pruning shuffle
+    input.  It's threshold-gated (application side >= 10 GB by
+    default), so sf0.1 never triggers it naturally — simulate the
+    at-scale conditions (no broadcast, lowered scan threshold) and pin
+    that the rewrite stays available under ENGINE_CONF."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
