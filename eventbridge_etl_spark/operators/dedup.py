@@ -274,6 +274,71 @@ def simhash_pairs(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at 100 TB scale: hyperplane-LSH bucketed
+    candidate generation + within-bucket exact cosine verification.
+
+    Instead of the O(n^2) self-join of ``embedding_near_dup_pairs``, each
+    vector is hashed into ``n_tables`` sign-pattern buckets (all tables
+    in ONE pass over the corpus — an array of (table, bucket) structs,
+    exploded); candidates are the pairs that collide in at least one
+    table, and only those pairs pay the exact cosine.  Per-table bucket
+    population ~ n/2^n_planes, so candidate volume is ~n^2 *
+    n_tables/2^n_planes vs n^2 — the pruning factor.  Recall for pairs
+    with cosine >= tau is 1-(1-(1-theta/pi)^n_planes)^n_tables
+    (probabilistic, not lossless — the deliberate trade at scale).
+
+    The hyperplanes are deterministic (seeded), so an oracle can
+    replicate bucket assignment exactly with the planes as literals.
+    """
+    from eventbridge_etl_spark.operators.similarity import (
+        cosine,
+        hyperplane_lsh_bucket,
+    )
+
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("_tbl"),
+                hyperplane_lsh_bucket(F.col("_v"), dim, n_planes, seed=seed + t).alias(
+                    "_bkt"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = v.select("_id", F.explode(tb).alias("_tb")).select(
+        "_id", "_tb._tbl", "_tb._bkt"
+    )
+    left = banded.select(F.col("_id").alias("id_a"), "_tbl", "_bkt")
+    right = banded.select(F.col("_id").alias("id_b"), "_tbl", "_bkt")
+    cand = (
+        left.join(right, ["_tbl", "_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, tau: float
 ) -> DataFrame:

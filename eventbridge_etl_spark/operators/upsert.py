@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -120,17 +121,28 @@ class KeyedParquetStore:
             .agg(F.max_by(row, version).alias("_r"))
             .select(self.BUCKET_COL, *self.keys, *[F.col(f"_r.{c}").alias(c) for c in others])
         )
-        # stage to tmp, then atomically swap only the touched buckets
-        tmp = f"{self.path}__stage"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # Stage to a unique tmp dir (no cross-writer races on a shared
+        # path), then publish each touched bucket with two renames: old
+        # aside -> new in -> drop old.  Renames are metadata-only, so the
+        # no-bucket window is two syscalls wide (vs rmtree+copy, which
+        # held it open for a full data rewrite), and a crash inside it
+        # leaves the previous bucket intact under an "_old" name —
+        # underscore-prefixed so Spark's file index ignores it — for
+        # manual recovery instead of data loss.
+        token = uuid.uuid4().hex
+        tmp = f"{self.path}__stage_{token}"
         resolved.repartition(self.BUCKET_COL).write.partitionBy(self.BUCKET_COL).parquet(tmp)
         os.makedirs(self.path, exist_ok=True)
         for b in touched:
             src = f"{tmp}/{self.BUCKET_COL}={b}"
             dst = f"{self.path}/{self.BUCKET_COL}={b}"
-            if os.path.isdir(src):
-                shutil.rmtree(dst, ignore_errors=True)
-                shutil.move(src, dst)
+            if not os.path.isdir(src):
+                continue
+            aside = f"{self.path}/_old_{b}_{token}"
+            if os.path.isdir(dst):
+                os.rename(dst, aside)
+            os.rename(src, dst)
+            shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def foreach_batch(self, version_col: str | None = None):

@@ -266,7 +266,7 @@ def fn_map_surface(spark, sf_dir):
       FROM documents WHERE doc_id < 300
     )
     SELECT doc_id,
-           list_sum(list_transform(a, t -> length(t)))             AS total_len,
+           CAST(list_sum(list_transform(a, t -> length(t))) AS BIGINT) AS total_len,
            len(list_filter(a, t -> length(t) > 4))                 AS n_long,
            CASE WHEN len(list_filter(a, t -> length(t) > 10)) > 0
                 THEN 1 ELSE 0 END                                  AS has_verylong,
@@ -287,7 +287,7 @@ def fn_higher_order_surface(spark, sf_dir):
         "doc_id",
         F.aggregate(
             F.transform(a, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
-        ).alias("total_len"),
+        ).cast("long").alias("total_len"),
         F.size(F.filter(a, lambda t: F.length(t) > 4)).alias("n_long"),
         F.when(F.exists(a, lambda t: F.length(t) > 10), 1).otherwise(0).alias(
             "has_verylong"

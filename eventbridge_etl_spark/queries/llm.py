@@ -299,6 +299,67 @@ def dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_near_dup_pairs(as_double, "vec_id", "embedding", COSINE_TAU)
 
 
+def _embedding_lsh_oracle_sql(
+    tau: float, n_planes: int = 4, n_tables: int = 8
+) -> str:
+    """Generate the DuckDB oracle for dedup_embedding_lsh.
+
+    Same construction as ``_lsh_oracle_sql`` below: the seeded
+    hyperplanes embed as float literals, so the oracle replicates bucket
+    assignment, the pair candidate join, and the within-bucket cosine
+    verification exactly — even though the operator is probabilistic,
+    both engines prune the same pairs."""
+    from eventbridge_etl_spark.operators.similarity import _hyperplanes
+
+    def bucket(vec: str, seed: int) -> str:
+        planes = _hyperplanes(64, n_planes, seed)
+        terms = []
+        for i, p in enumerate(planes):
+            lits = ",".join(repr(x) for x in p)
+            dot = (
+                f"list_sum(list_transform(range(1,65), "
+                f"j -> {vec}[j]::DOUBLE * ([{lits}])[j]))"
+            )
+            terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN {2 ** (n_planes - 1 - i)} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{bucket('embedding', 42 + t)} AS bkt FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH cb AS ({cb}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM cb x JOIN cb y ON x.tbl = y.tbl AND x.bkt = y.bkt
+                AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b, {_COS_SQL} AS cosine
+    FROM cand JOIN embeddings a ON a.vec_id = id_a
+              JOIN embeddings b ON b.vec_id = id_b
+    WHERE {_COS_SQL} >= {tau}
+    """
+
+
+@query("dedup_embedding_lsh", oracle=_embedding_lsh_oracle_sql(COSINE_TAU))
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup at the 100 TB shape: hyperplane-LSH bucketed
+    candidates -> within-bucket exact cosine verify (no all-pairs
+    crossJoin anywhere — asserted in tests/test_plans.py).  The exact
+    companion (dedup_embedding_cosine) stays as the verification-grade
+    oracle of the *scores*; this query gates the scale path itself."""
+    emb = _emb(spark, sf_dir)
+    as_double = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return D.embedding_near_dup_pairs_lsh(
+        as_double, "vec_id", "embedding", COSINE_TAU, dim=64, n_planes=4, n_tables=8
+    )
+
+
 # ------------------------------------------------------- similarity (E2)
 
 @query(
@@ -520,7 +581,7 @@ def sample_deterministic(spark, sf_dir):
 @query(
     "sample_train_test_split",
     oracle="""
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM (
       SELECT n_chars,
              CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINT64 AS DOUBLE)
@@ -665,10 +726,10 @@ def text_document_frequency(spark, sf_dir):
       FROM ex GROUP BY label, pos
     ),
     cnt AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
-    SELECT pp.label, list(av ORDER BY pos) AS centroid, any_value(n_vectors) AS n_vectors
+    SELECT pp.label, CAST(pp.pos - 1 AS BIGINT) AS pos, pp.av AS centroid_val,
+           cnt.n_vectors
     FROM pp JOIN cnt USING (label)
-    GROUP BY pp.label
-    ORDER BY pp.label
+    ORDER BY pp.label, pos
     """,
 )
 def similarity_label_centroids(spark, sf_dir):
@@ -676,5 +737,14 @@ def similarity_label_centroids(spark, sf_dir):
     (one Arrow batch per label through numpy) — the grouped-batch UDF
     surface.  A built-in posexplode implementation with identical
     output is unit-tested against it; that one is the skew-proof
-    100 TB path (see operators/similarity.py::label_centroids)."""
-    return S.label_centroids(_emb(spark, sf_dir), impl="arrow").orderBy("label")
+    100 TB path (see operators/similarity.py::label_centroids).
+
+    Emitted exploded as (label, pos, centroid_val, n_vectors) scalar
+    rows — array-valued result columns aren't sortable by the driver's
+    pandas canonicalizer."""
+    cent = S.label_centroids(_emb(spark, sf_dir), impl="arrow")
+    return cent.select(
+        "label",
+        F.posexplode("centroid").alias("pos", "centroid_val"),
+        "n_vectors",
+    ).withColumn("pos", F.col("pos").cast("long"))

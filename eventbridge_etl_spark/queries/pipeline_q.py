@@ -161,6 +161,42 @@ def events_hourly_rollup(spark, sf_dir):
 
 
 @query(
+    "pipeline_header_zip_rename",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           lang                    AS language,
+           CAST(n_chars AS VARCHAR) AS chars
+    FROM documents
+    """,
+)
+def pipeline_header_zip_rename(spark, sf_dir):
+    """O8/O9/O12/O15 end-to-end on a checkable fixture: typed rows are
+    string-encoded into the reference's (headers, data) envelope pair
+    (O10 splinter, container main.py:36-40), header-zipped into a
+    map<string,string> record (O12, transform.ts:47-61), then
+    rename-projected into the sink shape (O15, load.ts:64-73).  The
+    oracle states the round-trip identity — projecting the original
+    columns as strings — so the gate proves the zip/pivot/rename chain
+    is lossless.  All map_from_arrays/split built-ins; one map-only
+    stage, no shuffle."""
+    from eventbridge_etl_spark.operators.etl import (
+        header_zip,
+        rename_projection,
+        splinter,
+    )
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    doc = load_tables(spark, sf_dir, ("documents",))["documents"]
+    enveloped = splinter(doc, ["doc_id", "lang", "n_chars"])
+    zipped = header_zip(enveloped)
+    return rename_projection(
+        zipped,
+        {"doc_id": "id", "lang": "language", "n_chars": "chars"},
+        source_col="record",
+    )
+
+
+@query(
     "join_asof_attribution",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts, p.value,

@@ -190,16 +190,36 @@ def agg_distinct_count(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct")  # approximate => rows-only check, no oracle
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n_items,
+           TRUE AS approx_within_eps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++): the 100 TB path for
     distinct counting — fixed-size sketch per group, mergeable, no
-    distinct expansion.  Approximate, so no hash oracle; the companion
-    exact query is agg_distinct_count."""
+    distinct expansion.  The sketch estimate itself is engine-specific,
+    so the gated value is the deterministic claim |approx-exact|/exact
+    <= 5*rsd; the oracle computes the exact count and the literal TRUE."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n_items"),
+    )
+    within = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        / F.col("exact_parts")
+        <= 0.10
+    )
+    return agg.select(
+        "l_returnflag", "exact_parts", "n_items", within.alias("approx_within_eps")
     )
 
 

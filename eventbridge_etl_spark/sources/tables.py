@@ -40,6 +40,12 @@ def load_tables(
     engines see identical microsecond values.
     """
     out: dict[str, DataFrame] = {}
+    if "events" in names:
+        # events.parquet stores TIMESTAMP(NANOS); without this conf a
+        # session that didn't come from session.build_session() fails the
+        # read with PARQUET_TYPE_ILLEGAL.  Runtime-settable, so set it
+        # defensively here rather than relying on the session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":

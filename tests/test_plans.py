@@ -88,6 +88,17 @@ def test_scalar_subquery_is_planned_not_collected(spark):
     assert "Subquery" in plan or "subquery" in plan
 
 
+def test_embedding_lsh_dedup_never_crossjoins(spark):
+    """The gated embedding-dedup scale path must generate candidates via
+    the LSH bucket self-join — never an all-pairs product of the corpus.
+    (The O(n^2) crossJoin verifier exists only as the within-bucket /
+    verification-grade companion, dedup_embedding_cosine.)"""
+    plan = _plan(spark, "dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_ivf_broadcasts_centroids(spark):
     """Both IVF centroid passes (assignment + probing) must broadcast the
     centroid table, never shuffle the corpus against it."""
