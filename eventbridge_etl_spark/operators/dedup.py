@@ -35,6 +35,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from eventbridge_etl_spark.operators.partitioning import fan_out as _fan_out
 from eventbridge_etl_spark.operators.text import tokens
 
 
@@ -173,6 +174,7 @@ def minhash_lsh_pairs(
     1-(1-j^r)^bands — steep around tau for r=8, b=2 at tau≈0.9."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    df = _fan_out(df)
     signed = minhash_signatures(df, id_col, text_col, num_hashes)
     band_cols = F.array(
         *[
@@ -248,7 +250,7 @@ def simhash_pairs(
     Candidates: exact match on any of the 4 bands (pigeonhole-lossless
     for max_hamming <= 3); verification compares the 32 fingerprint
     chars.  Returns (id_a, id_b, hamming)."""
-    fp = simhash(df, id_col, text_col).cache()
+    fp = simhash(_fan_out(df), id_col, text_col).cache()
     cands = None
     for b in range(4):
         left = fp.select(F.col(id_col).alias("_ida"), F.col(f"band_{b}").alias("_bh"))
@@ -305,7 +307,7 @@ def embedding_near_dup_pairs_lsh(
         hyperplane_lsh_bucket,
     )
 
-    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    v = _fan_out(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
     tb = F.array(
         *[
             F.struct(

@@ -17,6 +17,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from eventbridge_etl_spark.operators.partitioning import fan_out as _fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     """Elementwise dot product of two array<float/double> columns."""
@@ -57,7 +59,7 @@ def cosine_topk_bruteforce(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        _fan_out(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")))
         .crossJoin(F.broadcast(q))
         .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     )
@@ -102,7 +104,9 @@ def cosine_topk_ivf(
     assignment would be precomputed once and the corpus stored
     partitioned/bucketed by cell id, making the probe join shuffle-free.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = _fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     if centroids is None:
         centroids = (
@@ -207,7 +211,9 @@ def cosine_topk_lsh(
     per-table branches would re-scan the corpus ``n_tables`` times,
     which at 100 TB is the difference between one pass and four.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = _fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
 
     def _banded(df, vcol):
