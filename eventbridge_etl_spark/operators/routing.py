@@ -24,6 +24,14 @@ exact relational analogs):
 - ``[{"anything-but": [..]}]`` -> ``NOT IN``
 - ``[{"exists": True/False}]`` -> null check
 - ``[{"numeric": [">", 0, "<=", 5]}]`` -> range conjunction
+- ``[{"equals-ignore-case": "x"}]`` -> case-folded equality
+- ``[{"wildcard": "a*b"}]`` -> ``LIKE`` with ``*`` -> ``%`` (literal
+  ``%``/``_`` escaped)
+- ``[{"cidr": "10.0.0.0/24"}]`` -> IPv4 block containment compiled to an
+  integer range over the dotted-quad (CIDR parsed driver-side, range
+  check pushed down like any numeric between)
+- ``{"$or": [{...}, {...}]}`` -> branch patterns OR together (each
+  branch is a pattern fragment at the same level, per EventBridge docs)
 - nested dict               -> descend (struct field or JSON path under
   the ``detail`` string column)
 
@@ -32,6 +40,7 @@ Alternatives within one field OR together, matching EventBridge.
 
 from __future__ import annotations
 
+import ipaddress
 from typing import Any, Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -81,6 +90,31 @@ def _alternative_predicate(col: Column, alt: Any) -> Column:
             for op, val in zip(spec[::2], spec[1::2]):
                 pred = pred & _NUMERIC_OPS[op](col.cast("double"), float(val))
             return pred
+        if "equals-ignore-case" in alt:
+            return F.lower(col) == F.lit(str(alt["equals-ignore-case"]).lower())
+        if "wildcard" in alt:
+            spec = str(alt["wildcard"])
+            # EventBridge wildcard has only '*'; escape LIKE's own
+            # metacharacters in the literal parts, then '*' -> '%'
+            like = (
+                spec.replace("\\", "\\\\")
+                .replace("%", r"\%")
+                .replace("_", r"\_")
+                .replace("*", "%")
+            )
+            return col.like(like)
+        if "cidr" in alt:
+            net = ipaddress.ip_network(str(alt["cidr"]), strict=False)
+            if net.version != 4:
+                raise ValueError(f"only IPv4 cidr patterns supported: {alt}")
+            octets = F.split(col, r"\.")
+            ip_num = sum(
+                (octets[i].cast("long") * (256 ** (3 - i)) for i in range(1, 4)),
+                start=octets[0].cast("long") * (256**3),
+            )
+            valid = col.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+            lo, hi = int(net.network_address), int(net.broadcast_address)
+            return valid & ip_num.between(lo, hi)
         raise ValueError(f"unsupported pattern operator: {alt}")
     return col == F.lit(alt)
 
@@ -91,6 +125,18 @@ def compile_pattern(df: DataFrame, pattern: Mapping[str, Any]) -> Column:
     def walk(node: Mapping[str, Any], path: list[str]) -> Column:
         pred: Column | None = None
         for key, value in node.items():
+            if key == "$or":
+                if (
+                    not isinstance(value, list)
+                    or not value
+                    or not all(isinstance(b, Mapping) for b in value)
+                ):
+                    raise ValueError("$or takes a non-empty list of pattern dicts")
+                term = walk(value[0], path)
+                for branch in value[1:]:
+                    term = term | walk(branch, path)
+                pred = term if pred is None else pred & term
+                continue
             sub_path = path + [key]
             if isinstance(value, Mapping):
                 term = walk(value, sub_path)

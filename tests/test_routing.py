@@ -102,3 +102,46 @@ def test_compile_pattern_is_pure_predicate(envelopes):
     """compile_pattern returns a Column usable in any filter context."""
     pred = compile_pattern(envelopes, {"source": ["engine"]})
     assert envelopes.filter(~pred).count() == 1
+
+
+def test_equals_ignore_case(envelopes):
+    out = route(envelopes, {"detail_type": [{"equals-ignore-case": "TRANSFORM"}]})
+    assert detail_types(out) == ["transform"]
+
+
+def test_wildcard(envelopes):
+    out = route(envelopes, {"detail_type": [{"wildcard": "s3*Extraction"}]})
+    assert out.count() == 2
+    # '*' matches empty; literal '%'/'_' in data must NOT act as wildcards
+    assert route(envelopes, {"detail_type": [{"wildcard": "transform*"}]}).count() == 1
+    assert route(envelopes, {"detail_type": [{"wildcard": "trans_orm"}]}).count() == 0
+
+
+def test_cidr(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.5",), ("10.0.1.5",), ("192.168.0.1",), ("not-an-ip",), (None,)],
+        ["ip"],
+    )
+    out = route(df, {"ip": [{"cidr": "10.0.0.0/24"}]})
+    assert [r["ip"] for r in out.collect()] == ["10.0.0.5"]
+    wide = route(df, {"ip": [{"cidr": "10.0.0.0/16"}]})
+    assert sorted(r["ip"] for r in wide.collect()) == ["10.0.0.5", "10.0.1.5"]
+    with pytest.raises(ValueError, match="IPv4"):
+        route(df, {"ip": [{"cidr": "2001:db8::/32"}]})
+
+
+def test_or_branches(envelopes):
+    """$or: branch fragments OR together, AND with sibling keys."""
+    out = route(
+        envelopes,
+        {
+            "source": ["engine"],
+            "$or": [
+                {"detail_type": ["transform"]},
+                {"detail": {"status": ["success"]}},
+            ],
+        },
+    )
+    assert detail_types(out) == ["data-loaded", "ecs-started", "transform"]
+    with pytest.raises(ValueError, match=r"\$or"):
+        compile_pattern(envelopes, {"$or": []})
