@@ -168,3 +168,59 @@ def test_ivf_probe_join_on_cell_bucketed_corpus(spark, tmp_path):
             assert joined.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_corpus")
+
+
+# ---------------------------------------------------- lakehouse MERGE sink
+
+def test_build_merge_sql_shape():
+    from eventbridge_etl_spark.sinks import build_merge_sql
+
+    sql = build_merge_sql(
+        "lake.events_latest", "src", ["user_id"],
+        ["user_id", "ts", "value"], version_col="ts",
+    )
+    assert sql == (
+        "MERGE INTO lake.events_latest t USING src s ON t.`user_id` = s.`user_id` "
+        "WHEN MATCHED AND s.`ts` > t.`ts` THEN UPDATE SET t.`ts` = s.`ts`, "
+        "t.`value` = s.`value` "
+        "WHEN NOT MATCHED THEN INSERT (`user_id`, `ts`, `value`) "
+        "VALUES (s.`user_id`, s.`ts`, s.`value`)"
+    )
+
+
+def test_build_merge_sql_no_version_updates_unconditionally():
+    from eventbridge_etl_spark.sinks import build_merge_sql
+
+    sql = build_merge_sql("t", "s", ["id"], ["id", "v"])
+    assert "WHEN MATCHED THEN UPDATE" in sql
+
+
+def test_build_merge_sql_validates():
+    import pytest as _pytest
+
+    from eventbridge_etl_spark.sinks import build_merge_sql
+
+    with _pytest.raises(ValueError, match="at least one key"):
+        build_merge_sql("t", "s", [], ["a"])
+    with _pytest.raises(ValueError, match="absent"):
+        build_merge_sql("t", "s", ["id"], ["a", "b"])
+
+
+def test_lakehouse_merge_requires_v2_source(spark, tmp_path):
+    """Without delta/iceberg on the classpath, MERGE against a plain
+    parquet table must surface Spark's own unsupported-source error —
+    not silently no-op (the optional-dependency contract)."""
+    import pytest as _pytest
+
+    from eventbridge_etl_spark.sinks import lakehouse_merge_upsert
+
+    df = spark.createDataFrame([(1, 10)], ["id", "v"])
+    df.write.mode("overwrite").option("path", str(tmp_path / "t")).saveAsTable(
+        "merge_target_v1"
+    )
+    try:
+        with _pytest.raises(Exception):
+            lakehouse_merge_upsert(df, "merge_target_v1", ["id"])
+        assert spark.catalog.listTables()  # session still healthy
+    finally:
+        spark.sql("DROP TABLE IF EXISTS merge_target_v1")
