@@ -42,6 +42,28 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     return df.filter(hash_fraction(key) < fraction)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-balancing step of
+    a training-data pipeline (e.g. keep 100% of low-resource languages,
+    5% of English).  Each stratum gets its own keep-fraction; rows in
+    strata absent from ``fractions`` keep ``default_fraction``.
+
+    Same md5-key bucketing as ``deterministic_sample`` (key-stable,
+    engine-portable, pure projection+filter — no shuffle, composes with
+    pushdown), so growing or re-partitioning the corpus never changes
+    which rows a stratum keeps."""
+    frac: Column = F.lit(float(default_fraction))
+    for value, fraction in sorted(fractions.items()):
+        frac = F.when(F.col(stratum_col) == value, float(fraction)).otherwise(frac)
+    return df.filter(hash_fraction(key) < frac)
+
+
 def train_test_split(
     df: DataFrame,
     key: str,

@@ -248,6 +248,37 @@ def cosine_topk_lsh(
     )
 
 
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max(|v_i|),
+    q_i = floor(v_i * scale + 0.5).
+
+    The ANN storage path at 100 TB — int8 vectors are 4x smaller than
+    float32 (8x vs float64), shrinking every scan, shuffle, and bucket
+    file in the similarity pipeline; re-ranking dequantizes with the
+    stored scale.  All higher-order built-ins, map-only, no shuffle.
+    ``floor(x + 0.5)`` rather than ``round`` so the tie-break is
+    explicit and engine-identical (HALF_UP vs banker's rounding).
+
+    Returns (id, qvec array<int>, scale double, max_abs double).
+    """
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(max_abs == 0, F.lit(0.0)).otherwise(127.0 / max_abs)
+    qvec = F.transform(
+        v, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        qvec.alias("qvec"),
+        F.round(scale, 6).alias("scale"),
+        F.round(max_abs, 6).alias("max_abs"),
+    )
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

@@ -64,6 +64,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # new this round
     "dedup_embedding_lsh",
     "pipeline_header_zip_rename",
+    "sample_stratified",
+    "multimodal_frame_sample",
+    "similarity_quantize_int8",
+    "agg_approx_percentile",
     # never driver-checked in r1 (registered after the 50-row window)
     "q2_min_cost_supplier",
     "q4_order_priority",

@@ -607,6 +607,92 @@ def sample_train_test_split(spark, sf_dir):
 
 
 @query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINT64 AS DOUBLE)
+          / 4294967296.0
+          < (CASE lang WHEN 'en' THEN 0.05 WHEN 'fr' THEN 0.5
+                       WHEN 'es' THEN 0.25 ELSE 1.0 END)
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Corpus balancing: per-language keep fractions (downsample the
+    over-represented stratum, keep all of the rare ones) with the same
+    key-stable md5 bucketing as sample_deterministic — reprocessing or
+    growing the corpus never flips a kept row."""
+    from eventbridge_etl_spark.operators.sampling import stratified_sample
+
+    doc = _doc(spark, sf_dir)
+    return stratified_sample(
+        doc, "doc_id", "lang",
+        {"en": 0.05, "fr": 0.5, "es": 0.25},
+        default_fraction=1.0,
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, greatest((n_chars // 64) - 1, 0) + 1, 4)) AS BIGINT)
+             AS frame_idx
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plan for video payloads (every 4th frame index per
+    document, n_frames derived from payload size at 64 bytes/frame) —
+    pure sequence+explode row generation; each sampled frame would then
+    flow through decode_media.  Proves the multimodal row-multiplying
+    plumbing with an exact SQL oracle."""
+    from eventbridge_etl_spark.operators.multimodal import frame_sample
+
+    doc = (
+        _doc(spark, sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .withColumn("n_frames", (F.col("n_chars") / 64).cast("int"))
+    )
+    out = frame_sample(doc, "doc_id", "n_frames", every_n=4)
+    return out.select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+@query(
+    "similarity_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS id,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS max_abs
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT e.vec_id AS id, generate_subscripts(e.embedding, 1) - 1 AS pos,
+             unnest(e.embedding) AS val
+      FROM embeddings e
+    )
+    SELECT ex.id, CAST(ex.pos AS BIGINT) AS pos,
+           CAST(floor(ex.val::DOUBLE * (127.0 / q.max_abs) + 0.5) AS INTEGER) AS qval,
+           ROUND(127.0 / q.max_abs, 6) AS scale
+    FROM ex JOIN q ON ex.id = q.id
+    WHERE ex.id < 100
+    """,
+)
+def similarity_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (the 4-8x ANN storage
+    shrink), emitted exploded as (id, pos, qval, scale) scalar rows for
+    the 100 smallest ids.  floor(x+0.5) tie-break is engine-identical;
+    the oracle replicates scale and quantized values exactly."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
+    q = S.quantize_embeddings_int8(emb, "vec_id", "embedding")
+    return (
+        q.select("id", "scale", F.posexplode("qvec").alias("pos", "qval"))
+        .select("id", F.col("pos").cast("long").alias("pos"), "qval", "scale")
+    )
+
+
+@query(
     "pipeline_corpus_admission",
     oracle="""
     WITH feat AS (

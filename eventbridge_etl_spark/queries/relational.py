@@ -737,6 +737,37 @@ def agg_percentiles(spark, sf_dir):
 
 
 @query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           TRUE AS approx_within_band
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_percentile(spark, sf_dir):
+    """approx_percentile (mergeable quantile sketch): the 100 TB path
+    for percentiles — no per-group sort, fixed-size state.  The sketch
+    value is engine-specific, so the gated claim is deterministic
+    containment: the approximate p50 must land inside the exact p45-p55
+    band (rank error at accuracy=10000 is ~0.01%, far inside).  Both
+    engines emit the exact p50 and the literal TRUE."""
+    (od,) = _t(spark, sf_dir, "orders")
+    agg = od.groupBy("o_orderpriority").agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("_ap50"),
+        F.expr("percentile(o_totalprice, 0.45)").alias("_p45"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("exact_p50"),
+        F.expr("percentile(o_totalprice, 0.55)").alias("_p55"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_p50",
+        F.col("_ap50").between(F.col("_p45"), F.col("_p55")).alias("approx_within_band"),
+    )
+
+
+@query(
     "reshape_unpivot",
     oracle="""
     SELECT l_orderkey, l_linenumber, metric, ROUND(val, 4) AS val

@@ -41,3 +41,26 @@ def test_split_partitions_every_row_once(spark):
     sub_tags = {r["doc_id"]: r["split"] for r in train_test_split(subset, "doc_id", 0.25).collect()}
     full_tags = {r["doc_id"]: r["split"] for r in tagged.filter("doc_id < 20").collect()}
     assert sub_tags == full_tags
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark):
+    from eventbridge_etl_spark.operators.sampling import stratified_sample
+
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = stratified_sample(
+        doc, "doc_id", "lang", {"en": 0.0, "fr": 1.0}, default_fraction=0.5
+    )
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    totals = {r["lang"]: r["n"] for r in doc.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert "en" not in by_lang                       # fraction 0 drops all
+    assert by_lang.get("fr") == totals.get("fr")     # fraction 1 keeps all
+    for lang, n in by_lang.items():
+        if lang not in ("en", "fr") and totals[lang] > 30:
+            assert 0.2 * totals[lang] < n < 0.8 * totals[lang]
+    # key-stability: stratum fraction change never reassigns other strata
+    again = stratified_sample(
+        doc, "doc_id", "lang", {"en": 1.0, "fr": 1.0}, default_fraction=0.5
+    )
+    kept_other = sorted(r["doc_id"] for r in out.filter("lang NOT IN ('en','fr')").collect())
+    kept_other2 = sorted(r["doc_id"] for r in again.filter("lang NOT IN ('en','fr')").collect())
+    assert kept_other == kept_other2

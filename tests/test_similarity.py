@@ -133,3 +133,22 @@ def test_label_centroids_rejects_unknown_impl(spark):
     emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
     with pytest.raises(ValueError):
         label_centroids(emb, impl="numpy")
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    """Dequantized vectors must sit within half a quantization step of
+    the original, and qvals must span the full int8 range symmetrically."""
+    from eventbridge_etl_spark.operators.similarity import quantize_embeddings_int8
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    q = quantize_embeddings_int8(emb, "vec_id", "embedding")
+    rows = q.join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    ).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r["qvec"])
+        if r["scale"] == 0:
+            continue
+        for orig, qv in zip(r["embedding"], r["qvec"]):
+            assert abs(float(orig) - qv / r["scale"]) <= 0.5 / r["scale"] + 1e-9
