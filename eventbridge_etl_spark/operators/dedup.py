@@ -276,6 +276,68 @@ def simhash_pairs(
     )
 
 
+def near_dup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse a near-dup pair graph into clusters: every node gets the
+    minimum id reachable through the pairs as its ``cluster_id``.
+
+    This is the step that turns pair enumeration (minhash/simhash/
+    jaccard output) into an actual deduped corpus: keep the one row per
+    cluster where ``doc_id == cluster_id``, drop the rest.
+
+    Min-label propagation to a fixpoint: each iteration joins current
+    labels across the (symmetrized) edge list and keeps the elementwise
+    min.  Iteration count is bounded by the cluster graph's diameter —
+    near-dup clusters are dense (most members pair directly with the
+    minimum), so 2-3 rounds converge in practice; ``max_iter`` bounds
+    the pathological chain.  Each round is one shuffle join + one
+    aggregate, with ``localCheckpoint`` truncating the lineage so plans
+    stay flat; the driver-side loop itself moves no data (only a
+    converged? count crosses to the driver).  At 1000-executor scale
+    the same loop runs with durable ``checkpoint`` and the
+    large-star/small-star edge rewriting variant — the shape here is
+    the small-diameter core of that algorithm.
+
+    Returns (id_col, cluster_id) — one row per input node, singletons
+    included (their own id).
+    """
+    ids = nodes.select(F.col(id_col).alias("_id")).distinct()
+    fwd = pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
+    edges = fwd.union(
+        fwd.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+    ).localCheckpoint(eager=False)
+    labels = ids.withColumn("_lbl", F.col("_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(edges, labels["_id"] == edges["_src"])
+            .groupBy(F.col("_dst").alias("_id"))
+            .agg(F.min("_lbl").alias("_nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "_id", "left")
+            .select(
+                "_id",
+                F.least(F.col("_lbl"), F.coalesce("_nlbl", "_lbl")).alias("_lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_id")
+            .filter(F.col("n._lbl") != F.col("o._lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("_id").alias(id_col), F.col("_lbl").alias("cluster_id"))
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     id_col: str,

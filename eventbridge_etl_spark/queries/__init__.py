@@ -68,6 +68,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "similarity_quantize_int8",
     "agg_approx_percentile",
+    "dedup_clusters",
     # never driver-checked in r1 (registered after the 50-row window)
     "q2_min_cost_supplier",
     "q4_order_priority",

@@ -191,10 +191,10 @@ def dedup_jaccard_prefix(spark, sf_dir):
     return D.jaccard_pairs_prefix_filtered(doc, "doc_id", "text", JACCARD_TAU)
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS s FROM documents),
+#: Shared CTE chain of the MinHash-LSH oracle (signature -> bands ->
+#: candidates), reused by the pair query and the cluster-collapse query
+#: so the two can never drift apart.
+_MINHASH_CTES = f"""toks AS (SELECT doc_id, {_SQL_TOKS} AS s FROM documents),
     sig AS (
       SELECT doc_id, r.i AS i, min(md5(r.i::VARCHAR || '|' || u.tok)) AS h
       FROM toks t, UNNEST(t.s) AS u(tok), range(16) r(i)
@@ -208,14 +208,22 @@ def dedup_jaccard_prefix(spark, sf_dir):
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
                   AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b,
+    )"""
+
+_MINHASH_VERIFY = f"""SELECT id_a, id_b,
            round(len(list_intersect(ta.s, tb.s))::DOUBLE
                  / (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))), 6) AS jaccard
     FROM cand JOIN toks ta ON ta.doc_id = id_a JOIN toks tb ON tb.doc_id = id_b
     WHERE round(len(list_intersect(ta.s, tb.s))::DOUBLE
                 / (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))), 6)
-          >= {MINHASH_TAU}
+          >= {MINHASH_TAU}"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
+    {_MINHASH_VERIFY}
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -271,6 +279,41 @@ def dedup_simhash(spark, sf_dir):
     hash-match despite being a 'fuzzy' operator."""
     doc = _doc(spark, sf_dir)
     return D.simhash_pairs(doc, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_VERIFY}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.lbl < e.dst
+    )
+    SELECT id AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup cluster collapse: the MinHash-LSH pair graph reduced to
+    connected components by min-label propagation
+    (operators.dedup.near_dup_clusters) — every document mapped to the
+    smallest doc_id reachable through near-dup pairs (singletons map to
+    themselves).  Keeping rows where doc_id == cluster_id IS the
+    deduped corpus; the DuckDB oracle computes the same fixpoint with a
+    recursive CTE over the identical pair SQL."""
+    doc = _doc(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        doc, "doc_id", "text", MINHASH_TAU, num_hashes=16, bands=2
+    )
+    return D.near_dup_clusters(doc, pairs, "doc_id")
 
 
 _COS_SQL = """round(

@@ -98,3 +98,29 @@ def test_embedding_near_dup(spark):
     }
     assert set(out) == {(1, 2)}
     assert out[(1, 2)] > 0.99
+
+
+def test_near_dup_clusters_chain_and_singletons(spark):
+    """Min-label propagation must cross multi-hop chains (several
+    iterations), keep singletons as their own cluster, and match the
+    transitive closure exactly."""
+    from eventbridge_etl_spark.operators.dedup import near_dup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (5, 6), (8, 9)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(nodes, pairs, "doc_id").collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 7, 8: 8, 9: 8, 10: 10}
+
+
+def test_near_dup_clusters_empty_pairs(spark):
+    from eventbridge_etl_spark.operators.dedup import near_dup_clusters
+
+    nodes = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(nodes, pairs).collect()}
+    assert out == {1: 1, 2: 2}
