@@ -3,10 +3,16 @@ Structured Streaming query (readStream -> stateful op -> memory sink,
 availableNow trigger) over the fixture events table and returns the
 drained result.
 
-Rows-only checks by design: watermark/late-data semantics (which windows
-finalize, which rows drop) are part of the operator contract and have no
-batch-SQL equivalent — the exact-value assertions live in
-tests/test_streaming.py on hand-built timelines instead.
+Oracle-gated (round 2): over a bounded single-file input the drained
+result is deterministic, so each query's final state IS expressible as
+batch SQL — append-mode windows are those finalized by the terminal
+watermark (window_end <= max(ts) - delay), session windows are
+gaps-and-islands with the half-open `diff >= gap` break, dedup over
+unique keys is COUNT(DISTINCT), and the custom stateful totals
+degenerate to per-key aggregates.  The *incremental* semantics the
+oracle can't see (multi-batch state carry, late-row drops, eviction)
+are exact-value-asserted on hand-built timelines in
+tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -58,20 +64,49 @@ def _drain(df, mode="append"):
     return df.sparkSession.sql(f"select * from {name}")
 
 
-@query("streaming_hourly_windows")
+@query(
+    "streaming_hourly_windows",
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, n_events, sum_value
+    FROM w
+    WHERE window_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+)
 def streaming_hourly_windows(spark, sf_dir):
     """Watermarked tumbling-window rollup executed as a streaming query
-    (state-store aggregation, append-mode finalized windows)."""
+    (state-store aggregation, append-mode finalized windows).  The
+    oracle states the append contract over bounded input: exactly the
+    windows whose end precedes the terminal watermark (max event time -
+    2 h) are emitted — the trailing windows stay in state and must NOT
+    appear."""
     agg = windowed_counts(
         _event_stream(spark, sf_dir), window_duration="1 hour", watermark="2 hours"
     )
     return _drain(agg)
 
 
-@query("streaming_dedup")
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
 def streaming_dedup(spark, sf_dir):
     """dropDuplicatesWithinWatermark over the event stream (bounded
-    dedup state), counted per event_type after drain."""
+    dedup state), counted per event_type after drain.  Oracle: the
+    fixture's event_ids are unique and any replays would land within the
+    watermark, so the survivor count per type equals
+    COUNT(DISTINCT event_id); the watermark-expiry behavior itself
+    (dups beyond the horizon passing through) is timeline-asserted in
+    tests/test_streaming.py."""
     dd = dedup_within_watermark(
         _event_stream(spark, sf_dir), ["event_id"], watermark="1 hour"
     )
@@ -79,10 +114,35 @@ def streaming_dedup(spark, sf_dir):
     return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
-@query("streaming_sessionize")
+@query(
+    "streaming_sessionize",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t
+    ),
+    g AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_events_per_session
+    FROM g GROUP BY user_id
+    """,
+)
 def streaming_sessionize(spark, sf_dir):
     """Session-window aggregation (30 min gap) as a streaming query;
-    returns per-user session count + mean session size."""
+    returns per-user session count + mean session size.  Oracle: the
+    batch gaps-and-islands equivalent — a session breaks when the gap
+    reaches 30 min (session windows are half-open [start, last+gap),
+    hence >=)."""
     sess = sessionize(_event_stream(spark, sf_dir), gap="30 minutes", watermark="4 hours")
     out = _drain(sess, mode="complete")
     return out.groupBy("user_id").agg(
@@ -91,14 +151,23 @@ def streaming_sessionize(spark, sf_dir):
     )
 
 
-@query("streaming_running_totals")
+@query(
+    "streaming_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           MAX(epoch_us(ts)) AS max_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
 def streaming_running_totals(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user
     running (count, sum, max-event-time) state carried across
-    micro-batches; returns the final update per user.  Rows-only: the
-    cross-batch state protocol has no batch-SQL equivalent (the
-    degenerate single-batch case equals groupBy/agg — asserted in
-    tests/test_streaming.py)."""
+    micro-batches; returns the final update per user.  Oracle: the
+    terminal state over bounded input equals per-user groupBy/agg
+    (sum rounded to 4 dp — the Python-float accumulation order differs
+    from the SQL engine's); the cross-batch state-carry protocol itself
+    is asserted on multi-batch timelines in tests/test_streaming.py."""
     from eventbridge_etl_spark.streaming.stateful import running_totals
 
     ev = _event_stream(spark, sf_dir).select(
@@ -112,7 +181,7 @@ def streaming_running_totals(spark, sf_dir):
         out.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max_by("sum_value", "n_events").alias("sum_value"),
+            F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
             F.max("max_ts_us").alias("max_ts_us"),
         )
     )
