@@ -311,6 +311,7 @@ def near_dup_clusters(
         fwd.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
     ).localCheckpoint(eager=False)
     labels = ids.withColumn("_lbl", F.col("_id"))
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(edges, labels["_id"] == edges["_src"])
@@ -335,6 +336,12 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge within max_iter={max_iter} "
+            "iterations (pair-graph diameter exceeds it); raise max_iter — "
+            "returning partial labels would silently split clusters"
+        )
     return labels.select(F.col("_id").alias(id_col), F.col("_lbl").alias("cluster_id"))
 
 

@@ -192,8 +192,13 @@ def resize_media(
 def frame_sample(df: DataFrame, id_col: str, n_frames_col: str, every_n: int) -> DataFrame:
     """Frame sampling plan for video payloads: one output row per sampled
     frame index — pure ``sequence`` + ``explode``, no Python.  The decode
-    of each sampled frame would then run through ``decode_media``."""
-    idxs = F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))
+    of each sampled frame would then run through ``decode_media``.
+    Zero-frame payloads produce NO rows (explode of the null sequence),
+    never a phantom frame 0."""
+    idxs = F.when(
+        F.col(n_frames_col) > 0,
+        F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n)),
+    )
     return df.select(
         F.col(id_col), F.explode(idxs).alias("frame_idx")
     )

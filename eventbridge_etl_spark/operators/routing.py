@@ -112,7 +112,11 @@ def _alternative_predicate(col: Column, alt: Any) -> Column:
                 (octets[i].cast("long") * (256 ** (3 - i)) for i in range(1, 4)),
                 start=octets[0].cast("long") * (256**3),
             )
-            valid = col.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+            # shape AND per-octet range: "10.0.0.256" must NOT carry into
+            # 10.0.1.0 (EventBridge never matches an invalid address)
+            valid = col.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") & F.forall(
+                octets, lambda o: o.cast("int") <= 255
+            )
             lo, hi = int(net.network_address), int(net.broadcast_address)
             return valid & ip_num.between(lo, hi)
         raise ValueError(f"unsupported pattern operator: {alt}")

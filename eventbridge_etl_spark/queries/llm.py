@@ -679,10 +679,9 @@ def sample_stratified(spark, sf_dir):
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id,
-           CAST(unnest(range(0, greatest((n_chars // 64) - 1, 0) + 1, 4)) AS BIGINT)
-             AS frame_idx
+           CAST(unnest(range(0, (n_chars // 64) - 1 + 1, 4)) AS BIGINT) AS frame_idx
     FROM documents
-    WHERE doc_id < 300
+    WHERE doc_id < 300 AND n_chars // 64 > 0
     """,
 )
 def multimodal_frame_sample(spark, sf_dir):

@@ -111,14 +111,19 @@ def build_merge_sql(
     missing = [k for k in keys if k not in columns]
     if missing:
         raise ValueError(f"key columns absent from batch: {missing}")
+    if version_col is not None and version_col not in columns:
+        raise ValueError(f"version column absent from batch: {version_col!r}")
     on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
     sets = ", ".join(f"t.`{c}` = s.`{c}`" for c in columns if c not in keys)
     ins_cols = ", ".join(f"`{c}`" for c in columns)
     ins_vals = ", ".join(f"s.`{c}`" for c in columns)
     guard = f" AND s.`{version_col}` > t.`{version_col}`" if version_col else ""
+    # keys-only batch (presence set): nothing to update on match — a bare
+    # "UPDATE SET" would be a parse error, so emit insert-only MERGE
+    matched = f"WHEN MATCHED{guard} THEN UPDATE SET {sets} " if sets else ""
     return (
         f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
-        f"WHEN MATCHED{guard} THEN UPDATE SET {sets} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
 
@@ -140,8 +145,12 @@ def lakehouse_merge_upsert(
     """
     from eventbridge_etl_spark.operators.upsert import upsert_by_key
 
+    import uuid
+
     collapsed = upsert_by_key(batch, keys, version_col=version_col)
-    view = f"_merge_src_{abs(hash(target_table)) % 10**8}"
+    # unique per call: concurrent merges into the same target in one
+    # session must not race on createOrReplaceTempView
+    view = f"_merge_src_{uuid.uuid4().hex}"
     collapsed.createOrReplaceTempView(view)
     try:
         batch.sparkSession.sql(
