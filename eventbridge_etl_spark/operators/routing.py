@@ -108,14 +108,18 @@ def _alternative_predicate(col: Column, alt: Any) -> Column:
             if net.version != 4:
                 raise ValueError(f"only IPv4 cidr patterns supported: {alt}")
             octets = F.split(col, r"\.")
+            # try_cast, not cast: `valid &` does not short-circuit in
+            # codegen, so a plain cast would raise CAST_INVALID_INPUT on
+            # any malformed address — EventBridge semantics are
+            # "non-matching, never an error"
             ip_num = sum(
-                (octets[i].cast("long") * (256 ** (3 - i)) for i in range(1, 4)),
-                start=octets[0].cast("long") * (256**3),
+                (octets[i].try_cast("long") * (256 ** (3 - i)) for i in range(1, 4)),
+                start=octets[0].try_cast("long") * (256**3),
             )
             # shape AND per-octet range: "10.0.0.256" must NOT carry into
             # 10.0.1.0 (EventBridge never matches an invalid address)
             valid = col.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") & F.forall(
-                octets, lambda o: o.cast("int") <= 255
+                octets, lambda o: o.try_cast("int") <= 255
             )
             lo, hi = int(net.network_address), int(net.broadcast_address)
             return valid & ip_num.between(lo, hi)

@@ -82,6 +82,40 @@ class KeyedParquetStore:
         df = spark.read.option("basePath", self.path).parquet(self.path)
         return df.drop(self.BUCKET_COL)
 
+    def recover(self) -> None:
+        """Sweep crash leftovers from an interrupted publish.
+
+        - ``_old_<b>_<token>`` dirs whose live bucket is MISSING are
+          re-adopted (the crash landed between the two renames — the
+          aside copy is the only surviving version of that bucket).
+        - ``_old_*`` dirs whose live bucket exists are dropped (crash
+          after publish, before cleanup — the aside copy is stale).
+        - Orphaned ``__stage_<token>`` staging dirs are removed.
+
+        Runs at the start of every ``upsert`` (one ``listdir``, cheap)
+        and may be called explicitly on store open.  Assumes no writer
+        in another process is mid-publish — the same single-writer-per-
+        store assumption the rename publish itself makes.
+        """
+        abspath = os.path.abspath(self.path)
+        parent, base = os.path.dirname(abspath), os.path.basename(abspath)
+        if os.path.isdir(parent):
+            for name in os.listdir(parent):
+                if name.startswith(f"{base}__stage_"):
+                    shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        if not os.path.isdir(self.path):
+            return
+        for name in os.listdir(self.path):
+            if not name.startswith("_old_"):
+                continue
+            bucket_id = name[len("_old_"):].split("_", 1)[0]
+            live = f"{self.path}/{self.BUCKET_COL}={bucket_id}"
+            aside = os.path.join(self.path, name)
+            if os.path.isdir(live):
+                shutil.rmtree(aside, ignore_errors=True)
+            else:
+                os.rename(aside, live)
+
     def upsert(self, batch: DataFrame, version_col: str | None = None) -> None:
         """Merge ``batch`` into the store, last-writer-wins per key.
 
@@ -90,6 +124,7 @@ class KeyedParquetStore:
         the same buckets to the same content).
         """
         spark = batch.sparkSession
+        self.recover()
         new = self._bucket(batch)
         touched = [r[self.BUCKET_COL] for r in new.select(self.BUCKET_COL).distinct().collect()]
         if not touched:

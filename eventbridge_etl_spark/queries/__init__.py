@@ -41,64 +41,24 @@ def query(name: str, oracle: str | None = None):
 #: Names promoted to the FRONT of the registration order.  The driver's
 #: correctness gate checks the first ~50 registered queries per round, so
 #: queries needing fresh verification (fixed since the last round, newly
-#: added, or never yet driver-checked) rotate into that window; queries
-#: already driver-verified green in CORRECTNESS_r01 queue behind them.
-#: Names absent from the registry are skipped, so this list is safe
-#: across refactors.
+#: added, or never yet driver-checked) rotate into that window.  The
+#: tail of the list is a RE-CHECK QUOTA: previously-green queries cycled
+#: back through the window so no row's evidence goes more than two
+#: rounds stale (a regression in an early-green query would otherwise be
+#: invisible forever).  Names absent from the registry are skipped, so
+#: this list is safe across refactors.
+#:
+#: NOTE: ``QUERIES``/``ORACLES`` iteration order is only meaningful
+#: AFTER ``load_all()`` runs — it rebuilds both dicts in gate-priority
+#: order.  Anything importing the registries directly without calling
+#: ``load_all()`` sees plain module-import registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # fixed this round (r1: error/hash-fail) — must flip green
-    "route_transform_rule",
-    "route_observe_tap",
-    "events_json_projection",
-    "events_validity_filter",
-    "events_keyed_upsert",
-    "events_reconciliation",
-    "events_hourly_rollup",
-    "join_asof_attribution",
-    "fn_json_surface",
-    "fn_map_surface",
-    "fn_higher_order_surface",
-    "sample_train_test_split",
-    "similarity_label_centroids",
-    "agg_approx_distinct",
-    # new this round
-    "dedup_embedding_lsh",
-    "pipeline_header_zip_rename",
-    "sample_stratified",
-    "multimodal_frame_sample",
-    "similarity_quantize_int8",
-    "agg_approx_percentile",
-    "dedup_clusters",
-    # never driver-checked in r1 (registered after the 50-row window)
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_predicates",
-    "q20_dominant_suppliers",
-    "q21_waiting_orders",
-    "q22_dormant_customers",
-    "join_semi",
-    "join_anti",
-    "join_left_outer_agg",
-    "join_range_nonequi",
-    "window_topk_per_group",
-    "window_rank_dense",
-    "window_lag_gap",
-    "window_running_total",
-    "window_moving_avg",
-    "window_range_frame_30d",
+    # --- never driver-checked (r1+r2 windows both missed these 14);
+    # streaming first: they are the only oracle evidence for O1-O3/O20
+    "streaming_hourly_windows",
+    "streaming_dedup",
+    "streaming_sessionize",
+    "streaming_running_totals",
     "sort_multi_key_topk",
     "set_intersect",
     "set_except",
@@ -109,10 +69,53 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "agg_pivot_native",
     "agg_statistics",
     "reshape_unpivot",
-    "streaming_hourly_windows",
-    "streaming_dedup",
-    "streaming_sessionize",
-    "streaming_running_totals",
+    # --- code or oracle changed in round 3 — must re-verify
+    "route_transform_rule",  # routing.py cidr try_cast fix
+    "route_observe_tap",
+    "similarity_quantize_int8",  # oracle zero-vector guard
+    "dedup_minhash_lsh",  # band-hash rework (oracle regenerated)
+    "events_keyed_upsert",  # upsert.py crash-recovery sweep
+    # --- new round-3 gates (names registered later; skipped until then)
+    "route_cidr_classifier",
+    "streaming_interval_join",
+    "similarity_ivf_recall",
+    # --- re-check quota: r1 greens, evidence now two rounds old;
+    # scale-load-bearing families first per VERDICT r2 item 7
+    "dedup_jaccard_prefix",
+    "similarity_topk_lsh",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_scores",
+    "text_fingerprint",
+    "text_chunk_windows",
+    "text_document_frequency",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "scan_projection_filter",
+    "join_broadcast_chain",
+    "multimodal_byte_histogram",
+    "sample_deterministic",
+    "pipeline_corpus_admission",
+    "fn_string_surface",
+    "fn_date_surface",
+    "fn_math_surface",
+    "fn_array_surface",
+    "fn_conditional_surface",
+    "fn_hash_surface",
+    "fn_regex_surface",
+    "fn_generator_surface",
+    "window_distribution",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_distinct_count",
 )
 
 

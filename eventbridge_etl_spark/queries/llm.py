@@ -715,8 +715,11 @@ def multimodal_frame_sample(spark, sf_dir):
       FROM embeddings e
     )
     SELECT ex.id, CAST(ex.pos AS BIGINT) AS pos,
-           CAST(floor(ex.val::DOUBLE * (127.0 / q.max_abs) + 0.5) AS INTEGER) AS qval,
-           ROUND(127.0 / q.max_abs, 6) AS scale
+           CAST(floor(ex.val::DOUBLE
+                      * (CASE WHEN q.max_abs = 0 THEN 0.0
+                              ELSE 127.0 / q.max_abs END) + 0.5) AS INTEGER) AS qval,
+           ROUND(CASE WHEN q.max_abs = 0 THEN 0.0
+                      ELSE 127.0 / q.max_abs END, 6) AS scale
     FROM ex JOIN q ON ex.id = q.id
     WHERE ex.id < 100
     """,

@@ -155,19 +155,23 @@ def streaming_sessionize(spark, sf_dir):
     "streaming_running_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value,
-           MAX(epoch_us(ts)) AS max_ts_us
+           ROUND(SUM(value), 2) AS sum_value,
+           MAX(epoch_us(ts)) AS max_ts_us,
+           TRUE AS state_sum_ok
     FROM events GROUP BY user_id
     """,
 )
 def streaming_running_totals(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user
     running (count, sum, max-event-time) state carried across
-    micro-batches; returns the final update per user.  Oracle: the
-    terminal state over bounded input equals per-user groupBy/agg
-    (sum rounded to 4 dp — the Python-float accumulation order differs
-    from the SQL engine's); the cross-batch state-carry protocol itself
-    is asserted on multi-batch timelines in tests/test_streaming.py."""
+    micro-batches; returns the final update per user.  Oracle parity:
+    n_events / max_ts_us are exact integers; sum_value is the ENGINE
+    batch sum at 2 dp (same contract every other float agg in the suite
+    uses); the Python-float state accumulation — whose ordering differs
+    from any SQL engine — is asserted via the epsilon-banded boolean
+    ``state_sum_ok`` (the agg_approx_percentile pattern) instead of a
+    rounding-boundary-flaky value compare.  Cross-batch state carry is
+    exact-asserted on hand-built timelines in tests/test_streaming.py."""
     from eventbridge_etl_spark.streaming.stateful import running_totals
 
     ev = _event_stream(spark, sf_dir).select(
@@ -177,11 +181,21 @@ def streaming_running_totals(spark, sf_dir):
     )
     out = _drain(running_totals(ev), mode="update")
     # final update per user (largest n_events wins; dedup via max_by)
-    return (
-        out.groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
-            F.max("max_ts_us").alias("max_ts_us"),
-        )
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("_state_sum"),
+        F.max("max_ts_us").alias("max_ts_us"),
+    )
+    exact = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("_batch_sum"))
+    )
+    tol = F.greatest(F.lit(1.0), F.abs(F.col("_batch_sum"))) * 1e-9
+    return final.join(exact, "user_id").select(
+        "user_id",
+        "n_events",
+        F.round("_batch_sum", 2).alias("sum_value"),
+        "max_ts_us",
+        (F.abs(F.col("_state_sum") - F.col("_batch_sum")) <= tol).alias("state_sum_ok"),
     )

@@ -82,6 +82,44 @@ def test_stream_throttle_max_files_per_trigger(spark, tmp_path):
     assert store.read(spark).count() == 3
 
 
+def test_store_recover_sweeps_crash_leftovers(spark, tmp_path):
+    """A crash between the publish renames must be self-healing: recover()
+    re-adopts an orphaned _old_ bucket, drops a stale one, and reaps
+    abandoned __stage_ dirs — then upsert/read behave as if no crash."""
+    root = str(tmp_path / "store")
+    store = KeyedParquetStore(root, keys=["id"], n_buckets=4)
+    df = spark.createDataFrame([(str(i), f"t{i}") for i in range(20)], ["id", "town"])
+    store.upsert(df)
+    buckets = sorted(
+        n for n in os.listdir(root) if n.startswith(KeyedParquetStore.BUCKET_COL)
+    )
+    assert len(buckets) >= 2
+
+    # crash scenario 1: bucket renamed aside, new never moved in (orphan)
+    b0 = buckets[0].split("=", 1)[1]
+    os.rename(f"{root}/{buckets[0]}", f"{root}/_old_{b0}_deadbeef")
+    # crash scenario 2: publish done but stale aside copy never cleaned
+    b1 = buckets[1].split("=", 1)[1]
+    shutil.copytree(f"{root}/{buckets[1]}", f"{root}/_old_{b1}_cafebabe")
+    # crash scenario 3: abandoned staging dir from a dead writer
+    os.makedirs(f"{root}__stage_0123abcd/{KeyedParquetStore.BUCKET_COL}=0")
+
+    store.recover()
+    assert os.path.isdir(f"{root}/{buckets[0]}")  # orphan re-adopted
+    assert not os.path.isdir(f"{root}/_old_{b0}_deadbeef")
+    assert not os.path.isdir(f"{root}/_old_{b1}_cafebabe")  # stale dropped
+    assert not os.path.isdir(f"{root}__stage_0123abcd")
+    got = {r["id"]: r["town"] for r in store.read(spark).collect()}
+    assert got == {str(i): f"t{i}" for i in range(20)}  # nothing lost
+
+    # upsert() itself sweeps on entry: plant another orphan, then upsert
+    os.rename(f"{root}/{buckets[0]}", f"{root}/_old_{b0}_feedface")
+    store.upsert(spark.createDataFrame([("0", "updated")], ["id", "town"]))
+    assert not any(n.startswith("_old_") for n in os.listdir(root))
+    got = {r["id"]: r["town"] for r in store.read(spark).collect()}
+    assert got["0"] == "updated" and len(got) == 20
+
+
 @pytest.fixture()
 def event_stream(spark, tmp_path):
     """File-backed streaming events source (deterministic, replayable)."""
