@@ -13,10 +13,11 @@ Scale design (the point of each algorithm):
   share a prefix token, so recall is exactly 1.0 while the join input
   shrinks by ~tau/(1+tau) and, critically, the hottest tokens (highest
   df) fall out of the prefixes.  Candidates are then verified exactly.
-- **MinHash-LSH** — fixed-size signatures (k md5-min-hashes), banded so
-  probability of candidacy is a sharp sigmoid around the target
-  similarity; cost is O(docs * k) + a join on band buckets.  All hashing
-  is md5-derived => deterministic and reproducible in the SQL oracle.
+- **MinHash-LSH** — fixed-size signatures (k affine hashes over ONE
+  md5-derived base value per token), banded so probability of candidacy
+  is a sharp sigmoid around the target similarity; cost is O(docs *
+  tokens) digests + O(docs * tokens * k) integer multiply-adds + a join
+  on band buckets.  Deterministic => reproducible in the SQL oracle.
 - **SimHash** — 32-bit fingerprints; near-dups = small Hamming distance,
   candidate generation by exact match on one of 4 8-bit bands (any pair
   within Hamming<=3 must agree on >=1 band — pigeonhole; lossless for
@@ -138,26 +139,61 @@ def _verify_jaccard(cand: DataFrame, token_sets: DataFrame, tau: float) -> DataF
     )
 
 
+#: Modulus and frozen affine coefficients for the MinHash family
+#: h_i(x) = (a_i * x + b_i) mod P over the md5-derived base value x.
+#: P = 2^31 - 1 (Mersenne prime) keeps every a*x+b product < 2^62 — no
+#: 64-bit overflow under ANSI mode.  The coefficients are arbitrary
+#: fixed draws, frozen as literals so the SQL oracle can inline the
+#: exact same family.
+MINHASH_PRIME = (1 << 31) - 1
+MINHASH_A: tuple[int, ...] = (
+    319860338, 1945836713, 1956143625, 717436825, 137232829, 1802335203,
+    2025738368, 386381433, 1644055472, 1048108785, 1094126957, 1802194359,
+    1676998832, 909307023, 864914510, 2063853270,
+)
+MINHASH_B: tuple[int, ...] = (
+    560999184, 492388557, 1695263976, 1875936893, 1176880739, 1301073852,
+    1217190994, 1970997088, 940730612, 1969702949, 1634523527, 1057290752,
+    632048985, 135477598, 1975904768, 1998987651,
+)
+
+
+def _sign_token_sets(t: DataFrame, num_hashes: int) -> DataFrame:
+    """Attach ``_sig array<long>`` to a ``(_id, _toks, _n)`` frame.
+
+    Built as ONE ``F.expr`` string: the 16 array_min/transform lambdas
+    constructed Column-by-Column cost ~1 s of Py4J round-trips per plan
+    build — measurable in a per-query cold benchmark — while a single
+    SQL string parses JVM-side in one call."""
+    assert num_hashes <= len(MINHASH_A)
+    xs = (
+        "transform(_toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"
+        f" % {MINHASH_PRIME})"
+    )
+    mins = ", ".join(
+        f"array_min(transform(_xs, x -> ({MINHASH_A[i]}L * x + {MINHASH_B[i]}L)"
+        f" % {MINHASH_PRIME}))"
+        for i in range(num_hashes)
+    )
+    return (
+        t.withColumn("_xs", F.expr(xs))
+        .withColumn("_sig", F.expr(f"array({mins})"))
+        .drop("_xs")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """Deterministic MinHash: h_i(doc) = min over tokens of
-    md5('{i}|' + token).  md5's avalanche makes each seed an independent
-    pseudo-permutation; lexicographic min over hex digests is a uniform
-    min-hash.  Returns (_id, _toks, _n, _sig array<string>[num_hashes])."""
-    t = _token_sets(df, id_col, text_col)
-
-    def min_hash(i: int):
-        # NB: the transform lambda must take exactly one parameter — a
-        # two-arg lambda would receive the array *index* as its second
-        # argument and shadow the seed closure.
-        prefix = f"{i}|"
-        return F.array_min(
-            F.transform("_toks", lambda tok: F.md5(F.concat(F.lit(prefix), tok)))
-        )
-
-    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
-    return t.withColumn("_sig", sig)
+    """Deterministic MinHash: ONE md5 per token yields a 32-bit base
+    value x (first 8 hex chars), then each of the ``num_hashes`` hashes
+    is the cheap affine map (a_i*x + b_i) mod 2^31-1 — the classic
+    universal family, so the seeds stay pairwise-independent while the
+    expensive digest is paid once instead of once per seed (the previous
+    md5('{i}|'+tok) formulation was 16 md5 calls per token and dominated
+    the whole LSH pipeline's cost).  min over tokens per seed is a
+    uniform min-hash.  Returns (_id, _toks, _n, _sig array<long>)."""
+    return _sign_token_sets(_token_sets(df, id_col, text_col), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -171,28 +207,102 @@ def minhash_lsh_pairs(
     """MinHash-LSH near-dup pairs: banded signature buckets generate
     candidates; exact Jaccard verification keeps only pairs >= tau.
     With r = num_hashes/bands rows per band, P(candidate | j) =
-    1-(1-j^r)^bands — steep around tau for r=8, b=2 at tau≈0.9."""
+    1-(1-j^r)^bands — steep around tau for r=8, b=2 at tau≈0.9.
+
+    Exact-duplicate collapse first: documents with IDENTICAL token sets
+    have identical signatures, identical band buckets, and identical
+    pairwise Jaccard with everything else, so LSH + verification runs
+    once per DISTINCT set (one representative), and the result expands
+    back to member pairs afterwards (cross pairs carry the rep pair's
+    jaccard; within-group pairs are jaccard 1.0 by construction).  This
+    is equivalence-preserving — the output is bit-identical to running
+    on the full corpus — but the candidate volume shrinks by the
+    duplication factor SQUARED per group pair, which is decisive on
+    boilerplate-heavy corpora where the largest exact-dup cluster is
+    10^2-10^4 documents (the common case in web-scale training data)."""
+    from pyspark import StorageLevel
+
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     df = _fan_out(df)
-    signed = minhash_signatures(df, id_col, text_col, num_hashes)
+    t = _token_sets(df, id_col, text_col)
+    # canonical set digest: order-insensitive (array_sort), computed
+    # map-side so the group shuffle moves (digest, id) — never the text
+    set_key = F.md5(F.concat_ws("\x1f", F.array_sort("_toks")))
+    # groups is read three times (rep selection + both expansion sides);
+    # persist so the corpus is tokenized and the digest shuffled ONCE
+    groups = (
+        t.select("_id", set_key.alias("_k"))
+        .groupBy("_k")
+        .agg(F.min("_id").alias("_rep"), F.collect_list("_id").alias("_members"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # token-set rows of the representatives — the banding branch and both
+    # verify branches (ta, tb) all read this frame, so persist it once:
+    # tokenization and the rep join run a single time per action tree
+    rep_t = t.join(groups.select(F.col("_rep").alias("_id")), "_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rep_pairs = _minhash_lsh_rep_pairs(rep_t, tau, num_hashes, bands)
+    # expansion: rep-level pair -> all member cross pairs (same jaccard);
+    # groups with >1 member additionally emit their C(k,2) internal
+    # pairs at jaccard 1.0 (identical sets always collide and verify)
+    ga = groups.select(F.col("_rep").alias("id_a"), F.col("_members").alias("_ma"))
+    gb = groups.select(F.col("_rep").alias("id_b"), F.col("_members").alias("_mb"))
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("jaccard", F.explode("_ma").alias("_i"), "_mb")
+        .select("jaccard", "_i", F.explode("_mb").alias("_j"))
+        .select(
+            F.least("_i", "_j").alias("id_a"),
+            F.greatest("_i", "_j").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        groups.filter(F.size("_members") > 1)
+        .select(F.explode("_members").alias("_i"), F.col("_members").alias("_m"))
+        .select("_i", F.explode("_m").alias("_j"))
+        .filter(F.col("_i") < F.col("_j"))
+        .select(
+            F.col("_i").alias("id_a"),
+            F.col("_j").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    if tau > 1.0:  # degenerate: nothing can verify, incl. identical sets
+        return cross
+    return cross.unionByName(within)
+
+
+def _minhash_lsh_rep_pairs(
+    rep_t: DataFrame,
+    tau: float,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """The banded-LSH core over an already-deduplicated ``(_id, _toks,
+    _n)`` token-set frame."""
+    r = num_hashes // bands
+    signed = _sign_token_sets(rep_t, num_hashes)
+    # band bucket = the r signature ints joined verbatim — tuple equality
+    # needs no digest, so banding costs zero hash calls
     band_cols = F.array(
         *[
-            F.md5(F.concat_ws(",", *[F.col("_sig")[b * r + i] for i in range(r)]))
+            F.concat_ws(",", *[F.col("_sig")[b * r + i] for i in range(r)])
             for b in range(bands)
         ]
     )
+    from pyspark import StorageLevel
+
     banded = signed.select(
         "_id", F.posexplode(band_cols).alias("_band", "_bh")
     )
-    # Persist the banded rows: the self-join otherwise evaluates the md5
+    # Persist the banded rows: the self-join otherwise evaluates the
     # signature subtree TWICE (once per branch).  Lazy persist — the
     # first action's left branch populates the cache, the right branch
-    # reuses it (measured ~30% end-to-end at sf0.1).  Footprint is tiny
-    # (bands rows/doc x ~50 B) and MEMORY_AND_DISK self-evicts; callers
-    # in long-lived sessions can spark.catalog.clearCache() if needed.
-    from pyspark import StorageLevel
-
+    # reuses it.  Footprint is tiny (bands rows/doc x ~50 B) and
+    # MEMORY_AND_DISK self-evicts.
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.select(F.col("_id").alias("_ida"), "_band", "_bh")
     right = banded.select(F.col("_id").alias("_idb"), "_band", "_bh")
@@ -208,7 +318,10 @@ def minhash_lsh_pairs(
         .select("_ida", "_idb")
         .distinct()
     )
-    return _verify_jaccard(cand, _token_sets_int(df, id_col, text_col), tau)
+    # int-encode the already-computed token sets for faster intersects
+    # (see _token_sets_int) — no re-tokenization
+    t_int = rep_t.withColumn("_toks", F.transform("_toks", lambda tok: F.xxhash64(tok)))
+    return _verify_jaccard(cand, t_int, tau)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

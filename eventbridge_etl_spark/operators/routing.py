@@ -21,7 +21,9 @@ exact relational analogs):
 - ``["a", "b"]``            -> ``col IN ('a','b')``
 - ``[{"prefix": "x"}]``     -> ``startswith``
 - ``[{"suffix": "x"}]``     -> ``endswith``
-- ``[{"anything-but": [..]}]`` -> ``NOT IN``
+- ``[{"anything-but": [..]}]`` -> ``NOT IN``; nested forms
+  ``{"anything-but": {"prefix"|"suffix"|"equals-ignore-case"|"wildcard":
+  ...}}`` negate the inner operator
 - ``[{"exists": True/False}]`` -> null check
 - ``[{"numeric": [">", 0, "<=", 5]}]`` -> range conjunction
 - ``[{"equals-ignore-case": "x"}]`` -> case-folded equality
@@ -29,7 +31,8 @@ exact relational analogs):
   ``%``/``_`` escaped)
 - ``[{"cidr": "10.0.0.0/24"}]`` -> IPv4 block containment compiled to an
   integer range over the dotted-quad (CIDR parsed driver-side, range
-  check pushed down like any numeric between)
+  check pushed down like any numeric between); IPv6 blocks compare the
+  ``::``-expanded fixed-width hex form lexicographically
 - ``{"$or": [{...}, {...}]}`` -> branch patterns OR together (each
   branch is a pattern fragment at the same level, per EventBridge docs)
 - nested dict               -> descend (struct field or JSON path under
@@ -71,6 +74,38 @@ def _field_column(df: DataFrame, path: list[str]) -> Column:
     return F.col(".".join(path))
 
 
+def _ipv6_cidr_predicate(col: Column, net: ipaddress.IPv6Network) -> Column:
+    """IPv6 block containment, pure Catalyst expressions.
+
+    Strategy: normalize the address to its fixed-width 32-hex-digit
+    form (expand ``::`` zero-compression, lower-case, left-pad every
+    group to 4), then one lexicographic ``between`` over the hex bounds
+    — for fixed-width hex strings lexicographic order IS numeric order,
+    which sidesteps BIGINT being too narrow for 128-bit math.  Malformed
+    or unsupported shapes (zone indexes, IPv4-mapped dotted tails) are
+    non-matching, never an error, mirroring the IPv4 try_cast contract.
+    """
+    lo = format(int(net.network_address), "032x")
+    hi = format(int(net.broadcast_address), "032x")
+    g = "[0-9A-Fa-f]{1,4}"
+    full_form = f"^{g}(:{g}){{7}}$"
+    compressed = f"^({g}(:{g})*)?::({g}(:{g})*)?$"
+    halves = F.split(col, "::", -1)
+    left = F.filter(F.split(halves[0], ":"), lambda x: x != "")
+    right = F.filter(
+        F.split(F.when(F.size(halves) == 2, halves[1]).otherwise(F.lit("")), ":"),
+        lambda x: x != "",
+    )
+    # '::' must compress >=1 group, so left+right <= 7 in compressed form
+    shape_ok = col.rlike(full_form) | (
+        col.rlike(compressed) & (F.size(left) + F.size(right) <= F.lit(7))
+    )
+    fill = F.array_repeat(F.lit("0"), F.lit(8) - F.size(left) - F.size(right))
+    groups = F.concat(left, fill, right)
+    norm = F.concat_ws("", F.transform(groups, lambda x: F.lpad(F.lower(x), 4, "0")))
+    return shape_ok & norm.between(lo, hi)
+
+
 def _alternative_predicate(col: Column, alt: Any) -> Column:
     """Predicate for a single alternative within a field's list."""
     if isinstance(alt, Mapping):
@@ -79,8 +114,19 @@ def _alternative_predicate(col: Column, alt: Any) -> Column:
         if "suffix" in alt:
             return col.endswith(str(alt["suffix"]))
         if "anything-but" in alt:
-            vals = alt["anything-but"]
-            vals = vals if isinstance(vals, list) else [vals]
+            spec = alt["anything-but"]
+            # Nested operator forms (public EventBridge docs): negate the
+            # inner predicate.  Only the string-shaped inner operators
+            # are valid here, matching EventBridge's own restriction.
+            if isinstance(spec, Mapping):
+                allowed = {"prefix", "suffix", "equals-ignore-case", "wildcard"}
+                if not allowed & spec.keys():
+                    raise ValueError(
+                        f"anything-but supports scalar lists or one of "
+                        f"{sorted(allowed)}, got: {spec}"
+                    )
+                return ~_alternative_predicate(col, spec) | col.isNull()
+            vals = spec if isinstance(spec, list) else [spec]
             return ~col.isin(vals) | col.isNull()
         if "exists" in alt:
             return col.isNotNull() if alt["exists"] else col.isNull()
@@ -105,8 +151,8 @@ def _alternative_predicate(col: Column, alt: Any) -> Column:
             return col.like(like)
         if "cidr" in alt:
             net = ipaddress.ip_network(str(alt["cidr"]), strict=False)
-            if net.version != 4:
-                raise ValueError(f"only IPv4 cidr patterns supported: {alt}")
+            if net.version == 6:
+                return _ipv6_cidr_predicate(col, net)
             octets = F.split(col, r"\.")
             # try_cast, not cast: `valid &` does not short-circuit in
             # codegen, so a plain cast would raise CAST_INVALID_INPUT on

@@ -193,15 +193,28 @@ def dedup_jaccard_prefix(spark, sf_dir):
 
 #: Shared CTE chain of the MinHash-LSH oracle (signature -> bands ->
 #: candidates), reused by the pair query and the cluster-collapse query
-#: so the two can never drift apart.
+#: so the two can never drift apart.  Replicates the engine's family
+#: exactly (operators.dedup.minhash_signatures): one md5 per token, the
+#: first 8 hex chars as a 32-bit base value, then 16 affine hashes
+#: (a_i*x + b_i) mod 2^31-1 with the frozen coefficient literals.
+_MINHASH_A_SQL = "[" + ", ".join(str(a) for a in D.MINHASH_A) + "]"
+_MINHASH_B_SQL = "[" + ", ".join(str(b) for b in D.MINHASH_B) + "]"
 _MINHASH_CTES = f"""toks AS (SELECT doc_id, {_SQL_TOKS} AS s FROM documents),
+    xs AS (
+      SELECT doc_id,
+             list_transform(s, tok ->
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % {D.MINHASH_PRIME}) AS xv
+      FROM toks
+    ),
     sig AS (
-      SELECT doc_id, r.i AS i, min(md5(r.i::VARCHAR || '|' || u.tok)) AS h
-      FROM toks t, UNNEST(t.s) AS u(tok), range(16) r(i)
+      SELECT doc_id, r.i AS i,
+             min(({_MINHASH_A_SQL}[r.i + 1] * u.x + {_MINHASH_B_SQL}[r.i + 1])
+                 % {D.MINHASH_PRIME}) AS h
+      FROM xs t, UNNEST(t.xv) AS u(x), range(16) r(i)
       GROUP BY doc_id, r.i
     ),
     bands AS (
-      SELECT doc_id, i // 8 AS band, md5(string_agg(h, ',' ORDER BY i)) AS bh
+      SELECT doc_id, i // 8 AS band, string_agg(h::VARCHAR, ',' ORDER BY i) AS bh
       FROM sig GROUP BY doc_id, i // 8
     ),
     cand AS (
@@ -227,10 +240,11 @@ _MINHASH_VERIFY = f"""SELECT id_a, id_b,
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs (16 md5-min-hashes, 2 bands of 8,
-    verify at tau=0.9).  The oracle replicates signature, banding, and
-    verification exactly — the md5-derived hash family is engine-
-    independent, so even this 'approximate' operator hash-matches."""
+    """MinHash-LSH near-dup pairs (16 affine min-hashes over one md5
+    base per token, 2 bands of 8, verify at tau=0.9).  The oracle
+    replicates signature, banding, and verification exactly — the
+    md5+affine hash family is engine-independent, so even this
+    'approximate' operator hash-matches."""
     doc = _doc(spark, sf_dir)
     return D.minhash_lsh_pairs(doc, "doc_id", "text", MINHASH_TAU, num_hashes=16, bands=2)
 
@@ -405,9 +419,8 @@ def dedup_embedding_lsh(spark, sf_dir):
 
 # ------------------------------------------------------- similarity (E2)
 
-@query(
-    "similarity_topk_bruteforce",
-    oracle=f"""
+#: Brute-force top-10 oracle SELECT, shared with similarity_ivf_recall.
+_BRUTE_TOPK_SQL = f"""
     WITH scored AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cosine
       FROM embeddings a JOIN embeddings b ON a.vec_id < 5
@@ -417,8 +430,10 @@ def dedup_embedding_lsh(spark, sf_dir):
                                    ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@query("similarity_topk_bruteforce", oracle=_BRUTE_TOPK_SQL)
 def similarity_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-10 for 5 query vectors against the corpus —
     broadcast queries, one corpus scan, per-query window top-k
@@ -441,9 +456,8 @@ def _cos_sql(x: str, y: str) -> str:
      * sqrt(list_sum(list_transform(range(1,65), i -> {y}[i]::DOUBLE * {y}[i]::DOUBLE)))), 6)"""
 
 
-@query(
-    "similarity_topk_ivf",
-    oracle=f"""
+#: IVF top-10 oracle SELECT, shared with similarity_ivf_recall.
+_IVF_TOPK_SQL = f"""
     WITH cent AS (
       SELECT vec_id AS cent_id, embedding AS cent
       FROM embeddings ORDER BY vec_id LIMIT 16
@@ -474,8 +488,10 @@ def _cos_sql(x: str, y: str) -> str:
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@query("similarity_topk_ivf", oracle=_IVF_TOPK_SQL)
 def similarity_topk_ivf(spark, sf_dir):
     """IVF-indexed approximate top-10 (nlist=16 cells, nprobe=4): cell
     assignment by nearest centroid, probe the 4 nearest cells per query,
@@ -490,6 +506,44 @@ def similarity_topk_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=4)
+
+
+@query(
+    "similarity_ivf_recall",
+    oracle=f"""
+    WITH brute AS ({_BRUTE_TOPK_SQL}),
+         ivf AS ({_IVF_TOPK_SQL})
+    SELECT b.query_id,
+           ROUND(COUNT(i.neighbor_id)::DOUBLE / 10, 4) AS recall_at_10
+    FROM brute b
+    LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def similarity_ivf_recall(spark, sf_dir):
+    """Recall@10 of the IVF index against exact brute force, per query —
+    the quantity that justifies shipping an *approximate* ANN path at
+    all.  Both sides are deterministic and SQL-expressible, so unlike
+    the usual epsilon-band treatment of approximate operators this gate
+    is an EXACT value compare: the oracle rebuilds both result sets and
+    computes the identical intersection fraction."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = S.cosine_topk_bruteforce(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = S.cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=4).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.count("_hit") / 10.0, 4).alias("recall_at_10"))
+    )
 
 
 def _lsh_oracle_sql(n_planes: int = 4, n_tables: int = 8) -> str:

@@ -47,6 +47,53 @@ def route_transform_rule(spark, sf_dir):
 
 
 @query(
+    "route_cidr_classifier",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 0 THEN 'not-an-ip'
+                  ELSE '10.' || (user_id % 4)::VARCHAR || '.'
+                       || (event_id % 300)::VARCHAR || '.'
+                       || (event_id % 256)::VARCHAR
+             END AS ip
+      FROM events
+    )
+    SELECT event_id, ip FROM e
+    WHERE regexp_matches(ip, '^\\d{1,3}(\\.\\d{1,3}){3}$')
+      AND list_max(list_transform(string_split(ip, '.'), x -> x::BIGINT)) <= 255
+      AND (split_part(ip, '.', 1)::BIGINT * 16777216
+           + split_part(ip, '.', 2)::BIGINT * 65536
+           + split_part(ip, '.', 3)::BIGINT * 256
+           + split_part(ip, '.', 4)::BIGINT)
+          BETWEEN 167903232 AND 167968767
+    """,
+)
+def route_cidr_classifier(spark, sf_dir):
+    """O11/O14 cidr extension: EventBridge ``{"cidr": "10.2.0.0/16"}``
+    block containment compiled to an integer range predicate.  The
+    synthesized ip column deliberately contains malformed strings
+    ('not-an-ip', every 97th event) and shape-valid-but-out-of-range
+    octets (third octet up to 299) — both must route as NON-matching,
+    never abort the query (the try_cast contract, routing.py:110).  The
+    oracle recomputes block membership from first principles: shape
+    regex, per-octet <= 255, and the numeric between over the dotted
+    quad — 10.2.0.0/16 = [167903232, 167968767]."""
+    ev = _events(spark, sf_dir).withColumn(
+        "ip",
+        F.when(F.col("event_id") % 97 == 0, F.lit("not-an-ip")).otherwise(
+            F.concat_ws(
+                ".",
+                F.lit("10"),
+                (F.col("user_id") % 4).cast("string"),
+                (F.col("event_id") % 300).cast("string"),
+                (F.col("event_id") % 256).cast("string"),
+            )
+        ),
+    )
+    return route(ev, {"ip": [{"cidr": "10.2.0.0/16"}]}).select("event_id", "ip")
+
+
+@query(
     "route_observe_tap",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events

@@ -152,6 +152,54 @@ def streaming_sessionize(spark, sf_dir):
 
 
 @query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream event-time interval join (streaming/join.py): each
+    purchase matched to the same user's clicks within a 30-minute
+    lookback, both sides watermarked so join state stays bounded by the
+    interval.  Over bounded input the inner join's match set is
+    deterministic (watermarks govern state eviction, not inner-match
+    emission), so the oracle is the batch interval join with the
+    identical inclusive bounds; multi-batch eviction behavior is
+    timeline-asserted in tests/test_streaming.py."""
+    from eventbridge_etl_spark.streaming.join import interval_join_streams
+
+    ev = _event_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+    )
+    joined = interval_join_streams(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lookback="30 minutes",
+        left_watermark="2 hours",
+        right_watermark="2 hours",
+    )
+    out = _drain(joined)
+    return out.groupBy("purchase_id").agg(F.count("*").alias("n_clicks"))
+
+
+@query(
     "streaming_running_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,

@@ -126,8 +126,47 @@ def test_cidr(spark):
     assert [r["ip"] for r in out.collect()] == ["10.0.0.5"]
     wide = route(df, {"ip": [{"cidr": "10.0.0.0/16"}]})
     assert sorted(r["ip"] for r in wide.collect()) == ["10.0.0.5", "10.0.1.5"]
-    with pytest.raises(ValueError, match="IPv4"):
-        route(df, {"ip": [{"cidr": "2001:db8::/32"}]})
+
+
+def test_cidr_ipv6(spark):
+    rows = [
+        ("2001:db8::1",),  # in 2001:db8::/32 (compressed)
+        ("2001:0DB8:0:0:0:0:0:2",),  # in-block, full form, uppercase
+        ("2001:db9::1",),  # adjacent block — out
+        ("::1",),  # loopback — out
+        ("2001:db8::1::2",),  # malformed: two '::'
+        ("2001:db8:1:2:3:4:5:6:7",),  # malformed: 9 groups
+        ("1::2:3:4:5:6:7:8",),  # malformed: '::' compressing nothing
+        ("not-an-ip",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, ["ip"])
+    out = route(df, {"ip": [{"cidr": "2001:db8::/32"}]})
+    assert sorted(r["ip"] for r in out.collect()) == [
+        "2001:0DB8:0:0:0:0:0:2",
+        "2001:db8::1",
+    ]
+    # '::' alone is the all-zeros address — contained in ::/0 only
+    allnet = route(spark.createDataFrame([("::",)], ["ip"]), {"ip": [{"cidr": "::/0"}]})
+    assert allnet.count() == 1
+
+
+def test_anything_but_nested(envelopes):
+    out = route(
+        envelopes, {"detail_type": [{"anything-but": {"prefix": "s3"}}]}
+    )
+    assert detail_types(out) == ["data-loaded", "ecs-started", "transform"]
+    out = route(
+        envelopes, {"detail_type": [{"anything-but": {"wildcard": "*form"}}]}
+    )
+    assert "transform" not in detail_types(out)
+    out = route(
+        envelopes,
+        {"detail_type": [{"anything-but": {"equals-ignore-case": "TRANSFORM"}}]},
+    )
+    assert "transform" not in detail_types(out)
+    with pytest.raises(ValueError, match="anything-but"):
+        route(envelopes, {"detail_type": [{"anything-but": {"numeric": [">", 0]}}]})
 
 
 def test_or_branches(envelopes):
