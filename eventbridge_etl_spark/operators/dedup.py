@@ -543,3 +543,49 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------- decontamination
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with a benchmark/eval set — the standard guard against
+    test-set leakage into training data.
+
+    Returns ``(id_col, n_contaminated)`` for flagged documents only,
+    where ``n_contaminated`` counts the document's distinct offending
+    n-grams.
+
+    Scale design: each side reduces to DISTINCT n-gram hashes per doc
+    BEFORE any join (``array_distinct`` map-side, so the shuffle — if
+    any — moves 64-bit ints, not strings).  The benchmark side is tiny
+    by nature (eval sets are thousands of docs against a corpus of
+    billions), so its distinct-hash set broadcasts and the corpus never
+    shuffles: the whole operator is scan -> hash -> broadcast-join ->
+    partial-agg.  xxhash64 collisions could in principle conflate two
+    n-grams (odds ~m^2/2^64); acceptable for a flagging operator whose
+    hits get human/exact review anyway.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        starts = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        gs = F.array_distinct(
+            F.transform(starts, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")))
+        )
+        return df.select(F.col(id_col), F.explode(gs).alias("_g"))
+
+    bench = grams(benchmark).select("_g").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )

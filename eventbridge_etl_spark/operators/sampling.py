@@ -21,7 +21,7 @@ partition/bucket column at ingest (sinks.write_partitioned) and prune.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: 2^32, the denominator of the md5-derived uniform bucket.
@@ -76,4 +76,31 @@ def train_test_split(
     return df.withColumn(
         split_col,
         F.when(hash_fraction(key) < test_fraction, "test").otherwise("train"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, order_cols: list[Column | str], n: int
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by a deterministic
+    order — the per-domain/per-source cap of a crawl pipeline (no single
+    domain may dominate the corpus).
+
+    ``row_number`` over ``(group, order)``: Spark 4's WindowGroupLimit
+    rule pushes the rank<=n filter below the shuffle as a per-partition
+    partial top-n, so a hot domain holding 10% of a crawl contributes at
+    most n rows *per map partition* to the exchange instead of its full
+    volume — the skew case this operator exists for is exactly the case
+    the plan handles.  Order columns must be a total order (include a
+    unique key) or the cap is nondeterministic across runs.
+    """
+    if n <= 0:
+        raise ValueError("cap must be positive")
+    w = Window.partitionBy(group_col).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
     )

@@ -206,3 +206,70 @@ def document_frequency(df, text_col: str = "text", id_col: str = "doc_id"):
             F.round(F.log(F.col("_n_docs") / F.col("df")), 6).alias("idf"),
         )
     )
+
+
+#: PII patterns, deliberately restricted to the regex subset where Java
+#: (Spark) and RE2 (the DuckDB oracle) agree exactly: no backreferences,
+#: no lookaround.  Replacement order is EMAIL -> IP -> PHONE; the
+#: earlier replacements' '<TAG>' markers contain no digits or '@', so
+#: later patterns cannot match inside them.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "PHONE": r"\+\d{7,15}",
+}
+
+
+def pii_columns(text: Column | str) -> dict[str, Column]:
+    """PII scrubbing for training corpora: redacted text plus per-class
+    match counts (emails, IPv4 literals, international phone numbers).
+
+    Counts are taken on the ORIGINAL text per pattern, so they report
+    what was present, independent of replacement order.  Pure
+    ``regexp_count``/``regexp_replace`` chain — map-only, JVM codegen,
+    no shuffle; at 100 TB this is scan-bound like the rest of E4.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    red = col
+    for tag, pat in PII_PATTERNS.items():
+        out[f"n_{tag.lower()}"] = F.regexp_count(col, F.lit(pat))
+        red = F.regexp_replace(red, pat, f"<{tag}>")
+    out["redacted"] = red
+    return out
+
+
+def repetition_features(text: Column | str) -> dict[str, Column]:
+    """Repetition-based quality signals (the Gopher-rules family): the
+    fraction of the document taken by its most frequent token and by its
+    most frequent word bigram.  Boilerplate, keyword-stuffed, and
+    looping-generation documents score high; clean prose scores low.
+
+    Pure higher-order array expressions — per-document, map-only, no
+    shuffle.  The mode count is O(distinct × n) per document, bounded by
+    document length, not corpus size."""
+    toks = tokens(text)
+
+    def mode_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda g: F.size(F.filter(arr, lambda x: x == g)),
+            )
+        )
+        return F.when(n > 0, F.round(top / n.cast("double"), 6)).otherwise(
+            F.lit(0.0)
+        )
+
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return {
+        "top_token_frac": mode_frac(toks),
+        "top_bigram_frac": mode_frac(grams),
+    }

@@ -79,6 +79,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "route_cidr_classifier",
     "streaming_interval_join",
     "similarity_ivf_recall",
+    "text_pii_redact",
+    "dedup_contamination_flag",
+    "sample_source_cap",
+    "text_repetition_stats",
     # --- re-check quota: r1 greens, evidence now two rounds old;
     # scale-load-bearing families first per VERDICT r2 item 7
     "dedup_jaccard_prefix",

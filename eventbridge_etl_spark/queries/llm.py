@@ -933,3 +933,183 @@ def similarity_label_centroids(spark, sf_dir):
         F.posexplode("centroid").alias("pos", "centroid_val"),
         "n_vectors",
     ).withColumn("pos", F.col("pos").cast("long"))
+
+
+# ------------------------------------- corpus hygiene (E1/E4, round 3)
+
+#: Redaction chain rendered for DuckDB ('g' = replace all, matching
+#: Spark's regexp_replace); patterns come straight from the operator so
+#: query and oracle can never drift.
+_PII_RED_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, '"
+    + X.PII_PATTERNS["EMAIL"] + "', '<EMAIL>', 'g'), '"
+    + X.PII_PATTERNS["IP"] + "', '<IP>', 'g'), '"
+    + X.PII_PATTERNS["PHONE"] + "', '<PHONE>', 'g')"
+)
+
+_PII_AUG_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact u' || doc_id || '@example.com now' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' call +3531700' || (doc_id % 10000) ELSE '' END AS text
+    FROM documents
+"""
+
+
+@query(
+    "text_pii_redact",
+    oracle="WITH aug AS (" + _PII_AUG_SQL + ")\n"
+    "SELECT doc_id,\n"
+    "       len(regexp_extract_all(text, '" + X.PII_PATTERNS["EMAIL"] + "')) AS n_email,\n"
+    "       len(regexp_extract_all(text, '" + X.PII_PATTERNS["IP"] + "')) AS n_ip,\n"
+    "       len(regexp_extract_all(text, '" + X.PII_PATTERNS["PHONE"] + "')) AS n_phone,\n"
+    "       " + _PII_RED_SQL + " AS redacted\n"
+    "FROM aug",
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing (operators.text.pii_columns): emails, IPv4
+    literals, and phone numbers redacted to typed markers, with
+    per-class counts taken on the original text.  The fixture corpus is
+    PII-free word salad, so the query deterministically injects
+    addresses into a rotating subset of documents (same CASE logic in
+    the oracle) — the gate exercises real replacements, not a no-op.
+    Map-only regex chain, scan-bound at 100 TB."""
+    doc = _doc(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call +3531700"), (F.col("doc_id") % 10000).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    cols = X.pii_columns("text")
+    return doc.select(
+        "doc_id",
+        cols["n_email"].cast("long").alias("n_email"),
+        cols["n_ip"].cast("long").alias("n_ip"),
+        cols["n_phone"].cast("long").alias("n_phone"),
+        cols["redacted"].alias("redacted"),
+    )
+
+
+@query(
+    "dedup_contamination_flag",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    ng AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> array_to_string(t[i:i+7], ' '))) AS gs
+      FROM tok
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 20 = 0),
+    corp  AS (SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 20 != 0)
+    SELECT c.doc_id, COUNT(*) AS n_contaminated
+    FROM corp c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_contamination_flag(spark, sf_dir):
+    """Benchmark decontamination (operators.dedup.ngram_contamination):
+    every 20th document plays the held-out eval set; corpus documents
+    sharing any word 8-gram with it are flagged with their distinct
+    overlapping-gram count.  The engine joins on xxhash64 of the gram
+    (broadcast of the tiny benchmark side, ints on the wire); the oracle
+    joins on the gram strings themselves — counts agree because the
+    count is hash-independent."""
+    doc = _doc(spark, sf_dir)
+    bench = doc.filter(F.col("doc_id") % 20 == 0)
+    corpus = doc.filter(F.col("doc_id") % 20 != 0)
+    return D.ngram_contamination(corpus, bench, "doc_id", "text", n=8)
+
+
+@query(
+    "sample_source_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) <= 10
+    """,
+)
+def sample_source_cap(spark, sf_dir):
+    """Per-source cap (operators.sampling.cap_per_group): at most 10
+    documents per source, preferring the longest (n_chars DESC, doc_id
+    tie-break — a total order, so the kept set is run-stable).  The
+    anti-domination step of a crawl pipeline; WindowGroupLimit turns the
+    rank filter into a map-side partial top-n so hot domains never
+    materialize through the shuffle."""
+    from eventbridge_etl_spark.operators.sampling import cap_per_group
+
+    doc = _doc(spark, sf_dir)
+    return cap_per_group(
+        doc, "source", [F.col("n_chars").desc(), "doc_id"], 10
+    ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                  ELSE [] END AS gs
+      FROM tok
+    )
+    SELECT doc_id,
+           CASE WHEN len(t) > 0 THEN round(
+             list_max(list_transform(list_distinct(t),
+               x -> len(list_filter(t, y -> y = x))))::DOUBLE / len(t), 6)
+           ELSE 0.0 END AS top_token_frac,
+           CASE WHEN len(gs) > 0 THEN round(
+             list_max(list_transform(list_distinct(gs),
+               x -> len(list_filter(gs, y -> y = x))))::DOUBLE / len(gs), 6)
+           ELSE 0.0 END AS top_bigram_frac
+    FROM g
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Repetition quality signals (operators.text.repetition_features):
+    most-frequent-token and most-frequent-bigram document fractions, the
+    Gopher-style boilerplate/looping-generation filters.  Map-only
+    higher-order array expressions; the oracle recomputes the mode
+    fraction with the identical list algebra."""
+    doc = _doc(spark, sf_dir)
+    feats = X.repetition_features("text")
+    return doc.select(
+        "doc_id",
+        feats["top_token_frac"].alias("top_token_frac"),
+        feats["top_bigram_frac"].alias("top_bigram_frac"),
+    )

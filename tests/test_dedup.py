@@ -124,3 +124,32 @@ def test_near_dup_clusters_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     out = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(nodes, pairs).collect()}
     assert out == {1: 1, 2: 2}
+
+
+def test_ngram_contamination_edges(spark):
+    from eventbridge_etl_spark.operators.dedup import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail tokens here"),  # shares the 8-gram a..h
+            (2, "totally disjoint words without any overlap at all"),
+            (3, "short doc"),  # < n tokens: no grams, never flagged
+            (4, "a b c d e f g h a b c d e f g h"),  # dup grams count once
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix a b c d e f g h suffix")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in ngram_contamination(corpus, bench, "doc_id", "text", n=8).collect()
+    }
+    assert out == {1: 1, 4: 1}
+    # empty benchmark -> nothing flagged
+    assert (
+        ngram_contamination(
+            corpus, bench.filter("doc_id < 0"), "doc_id", "text", n=8
+        ).count()
+        == 0
+    )

@@ -169,3 +169,25 @@ def test_runtime_bloom_filter_fires_on_fact_to_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark n-gram set must broadcast — the corpus side never
+    shuffles for the join (its only exchange is the final per-doc agg)."""
+    plan = _plan(spark, "dedup_contamination_flag")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    """The per-source cap's rank<=n filter must push map-side as
+    WindowGroupLimit: hot sources contribute at most n rows per map
+    partition to the exchange."""
+    plan = _plan(spark, "sample_source_cap")
+    assert "WindowGroupLimit" in plan
+    assert _shuffles(plan) == 1  # the window partitioning, nothing else
+
+
+def test_pii_redact_is_map_only(spark):
+    plan = _plan(spark, "text_pii_redact")
+    assert _shuffles(plan) == 0

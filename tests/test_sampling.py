@@ -64,3 +64,25 @@ def test_stratified_sample_respects_per_stratum_fractions(spark):
     kept_other = sorted(r["doc_id"] for r in out.filter("lang NOT IN ('en','fr')").collect())
     kept_other2 = sorted(r["doc_id"] for r in again.filter("lang NOT IN ('en','fr')").collect())
     assert kept_other == kept_other2
+
+
+def test_cap_per_group_keeps_n_and_is_deterministic(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators.sampling import cap_per_group
+
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    capped = cap_per_group(doc, "source", [F.col("n_chars").desc(), "doc_id"], 3)
+    per = {r["source"]: r["n"] for r in capped.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert per and all(n <= 3 for n in per.values())
+    # deterministic under repartitioning (total order via doc_id tie-break)
+    again = cap_per_group(
+        doc.repartition(17), "source", [F.col("n_chars").desc(), "doc_id"], 3
+    )
+    assert {r["doc_id"] for r in capped.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_group(doc, "source", ["doc_id"], 0)

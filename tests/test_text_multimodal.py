@@ -155,3 +155,59 @@ def test_document_frequency_values(spark):
     assert out["the"] == (3, 2)
     assert out["cat"] == (2, 2)
     assert out["dog"] == (1, 1)
+
+
+def test_pii_columns_semantics(spark):
+    from eventbridge_etl_spark.operators.text import pii_columns
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, ip 10.0.0.1, call +35317001234"),
+            (2, "no pii here, version 1.2 of 3.4 is not an ip"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    cols = pii_columns("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            cols["n_email"].alias("ne"),
+            cols["n_ip"].alias("ni"),
+            cols["n_phone"].alias("np"),
+            cols["redacted"].alias("red"),
+        ).collect()
+    }
+    assert (out[1]["ne"], out[1]["ni"], out[1]["np"]) == (2, 1, 1)
+    assert out[1]["red"] == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"
+    assert (out[2]["ne"], out[2]["ni"], out[2]["np"]) == (0, 0, 0)
+    assert out[2]["red"] == "no pii here, version 1.2 of 3.4 is not an ip"
+    assert out[3]["red"] is None  # null propagates, never errors
+
+
+def test_repetition_features_edges(spark):
+    from eventbridge_etl_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one token repeated: both fracs 1.0
+            (2, "a b c d"),          # all distinct: token 1/4, bigram 1/3
+            (3, "x"),                # single token: no bigrams -> 0.0
+            (4, "a b a b a"),        # bigram 'a b' appears 2/4
+        ],
+        ["doc_id", "text"],
+    )
+    feats = repetition_features("text")
+    out = {
+        r["doc_id"]: (r["tt"], r["tb"])
+        for r in df.select(
+            "doc_id",
+            feats["top_token_frac"].alias("tt"),
+            feats["top_bigram_frac"].alias("tb"),
+        ).collect()
+    }
+    assert out[1] == (1.0, 1.0)
+    assert out[2] == (0.25, round(1 / 3, 6))
+    assert out[3] == (1.0, 0.0)
+    assert out[4] == (0.6, 0.5)
