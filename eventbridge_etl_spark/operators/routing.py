@@ -154,13 +154,18 @@ def _alternative_predicate(col: Column, alt: Any) -> Column:
             if net.version == 6:
                 return _ipv6_cidr_predicate(col, net)
             octets = F.split(col, r"\.")
-            # try_cast, not cast: `valid &` does not short-circuit in
-            # codegen, so a plain cast would raise CAST_INVALID_INPUT on
-            # any malformed address — EventBridge semantics are
-            # "non-matching, never an error"
+            # try_cast + F.get, not cast/[]: `valid &` does not
+            # short-circuit in codegen (subexpression elimination can
+            # hoist ip_num), so a plain cast would raise
+            # CAST_INVALID_INPUT on any malformed address and [] would
+            # raise ArrayIndexOutOfBounds on '10.0.0' — EventBridge
+            # semantics are "non-matching, never an error"
             ip_num = sum(
-                (octets[i].try_cast("long") * (256 ** (3 - i)) for i in range(1, 4)),
-                start=octets[0].try_cast("long") * (256**3),
+                (
+                    F.get(octets, i).try_cast("long") * (256 ** (3 - i))
+                    for i in range(1, 4)
+                ),
+                start=F.get(octets, 0).try_cast("long") * (256**3),
             )
             # shape AND per-octet range: "10.0.0.256" must NOT carry into
             # 10.0.1.0 (EventBridge never matches an invalid address)

@@ -52,6 +52,7 @@ def route_transform_rule(spark, sf_dir):
     WITH e AS (
       SELECT event_id,
              CASE WHEN event_id % 97 = 0 THEN 'not-an-ip'
+                  WHEN event_id % 89 = 0 THEN '10.0.0'
                   ELSE '10.' || (user_id % 4)::VARCHAR || '.'
                        || (event_id % 300)::VARCHAR || '.'
                        || (event_id % 256)::VARCHAR
@@ -72,7 +73,8 @@ def route_cidr_classifier(spark, sf_dir):
     """O11/O14 cidr extension: EventBridge ``{"cidr": "10.2.0.0/16"}``
     block containment compiled to an integer range predicate.  The
     synthesized ip column deliberately contains malformed strings
-    ('not-an-ip', every 97th event) and shape-valid-but-out-of-range
+    ('not-an-ip' every 97th event, truncated '10.0.0' every 89th —
+    the ArrayIndexOutOfBounds shape) and shape-valid-but-out-of-range
     octets (third octet up to 299) — both must route as NON-matching,
     never abort the query (the try_cast contract, routing.py:110).  The
     oracle recomputes block membership from first principles: shape
@@ -80,7 +82,9 @@ def route_cidr_classifier(spark, sf_dir):
     quad — 10.2.0.0/16 = [167903232, 167968767]."""
     ev = _events(spark, sf_dir).withColumn(
         "ip",
-        F.when(F.col("event_id") % 97 == 0, F.lit("not-an-ip")).otherwise(
+        F.when(F.col("event_id") % 97 == 0, F.lit("not-an-ip"))
+        .when(F.col("event_id") % 89 == 0, F.lit("10.0.0"))
+        .otherwise(
             F.concat_ws(
                 ".",
                 F.lit("10"),

@@ -145,3 +145,74 @@ def test_empty_pattern_rejected(spark):
         raise AssertionError("empty pattern must raise")
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------- cidr property
+
+_V4_BLOCKS = ["10.0.0.0/8", "10.2.0.0/16", "192.168.1.0/24", "0.0.0.0/0"]
+_V6_BLOCKS = ["2001:db8::/32", "fe80::/10", "2001:db8:abcd::/48", "::/0"]
+
+
+def _py_cidr(value, cidr):
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    try:
+        addr = ipaddress.ip_address(value)
+    except (TypeError, ValueError):
+        return False
+    return addr.version == net.version and addr in net
+
+
+def _v6_strings():
+    """Valid-by-construction IPv6 strings: 8 hex groups, optionally with
+    one zero-run '::'-compressed (generated from group values, so no
+    leading-zero or dotted-tail forms the engine documents as
+    unsupported)."""
+
+    def build(groups, compress):
+        s = [format(g, "x") for g in groups]
+        if compress:
+            # compress the first run of zeros, if any
+            for i, g in enumerate(groups):
+                if g == 0:
+                    j = i
+                    while j < len(groups) and groups[j] == 0:
+                        j += 1
+                    return (":".join(s[:i]) or "") + "::" + (":".join(s[j:]) or "")
+        return ":".join(s)
+
+    return st.builds(
+        build,
+        st.lists(
+            st.sampled_from([0, 0, 1, 0x2001, 0xDB8, 0xABCD, 0xFE80, 0xFFFF]),
+            min_size=8,
+            max_size=8,
+        ),
+        st.booleans(),
+    )
+
+
+_addr = st.one_of(
+    st.builds(
+        lambda a, b, c, d: f"{a}.{b}.{c}.{d}",
+        *([st.sampled_from([0, 1, 2, 10, 168, 192, 255, 256, 299])] * 4),
+    ),
+    _v6_strings(),
+    st.sampled_from(
+        ["not-an-ip", "", "1:2", "10.0.0", "10.0.0.0.0", "::g", "1::2::3", None]
+    ),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    block=st.sampled_from(_V4_BLOCKS + _V6_BLOCKS),
+    addrs=st.lists(_addr, min_size=1, max_size=12),
+)
+def test_cidr_agrees_with_ipaddress_oracle(spark, block, addrs):
+    data = [{"rid": i, "ip": a} for i, a in enumerate(addrs)]
+    df = spark.createDataFrame(data, "rid long, ip string")
+    got = {r["rid"] for r in route(df, {"ip": [{"cidr": block}]}).collect()}
+    want = {d["rid"] for d in data if _py_cidr(d["ip"], block)}
+    assert got == want, f"block={block} addrs={addrs} got={got} want={want}"
