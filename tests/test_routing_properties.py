@@ -29,9 +29,18 @@ def _match_alt(value, alt):
         if "suffix" in alt:
             return value is not None and value.endswith(alt["suffix"])
         if "anything-but" in alt:
-            vals = alt["anything-but"]
-            vals = vals if isinstance(vals, list) else [vals]
+            spec = alt["anything-but"]
+            if isinstance(spec, dict):
+                return value is None or not _match_alt(value, spec)
+            vals = spec if isinstance(spec, list) else [spec]
             return value is None or value not in vals
+        if "equals-ignore-case" in alt:
+            return value is not None and value.lower() == alt["equals-ignore-case"].lower()
+        if "wildcard" in alt:
+            import re as _re
+
+            pat = ".*".join(_re.escape(part) for part in alt["wildcard"].split("*"))
+            return value is not None and _re.fullmatch(pat, value) is not None
         if "exists" in alt:
             return (value is not None) if alt["exists"] else (value is None)
         if "numeric" in alt:
@@ -57,6 +66,9 @@ def _match_alt(value, alt):
 def _match_pattern(row: dict, pattern: dict, path=()) -> bool:
     ok = True
     for key, val in pattern.items():
+        if key == "$or":
+            ok = ok and any(_match_pattern(row, b, path) for b in val)
+            continue
         p = path + (key,)
         if isinstance(val, dict):
             ok = ok and _match_pattern(row, val, p)
@@ -82,6 +94,18 @@ _op_alt = st.one_of(
     st.fixed_dictionaries({"suffix": st.sampled_from(["a", "ta", "x"])}),
     st.fixed_dictionaries({"anything-but": st.lists(_scalar_alt, min_size=1, max_size=2)}),
     st.fixed_dictionaries({"exists": st.booleans()}),
+    st.fixed_dictionaries({"equals-ignore-case": st.sampled_from(["ALPHA", "beta", "Gamma", ""])}),
+    st.fixed_dictionaries({"wildcard": st.sampled_from(["a*", "*a", "*e*a*", "alpha", "*", "be_a"])}),
+    st.fixed_dictionaries(
+        {
+            "anything-but": st.one_of(
+                st.fixed_dictionaries({"prefix": st.sampled_from(["a", "g", ""])}),
+                st.fixed_dictionaries({"suffix": st.sampled_from(["a", "ta"])}),
+                st.fixed_dictionaries({"equals-ignore-case": st.sampled_from(["ALPHA", "beta"])}),
+                st.fixed_dictionaries({"wildcard": st.sampled_from(["a*", "*ta"])}),
+            )
+        }
+    ),
 )
 _field_spec = st.lists(st.one_of(_scalar_alt, _op_alt), min_size=1, max_size=3)
 _num_alt = st.fixed_dictionaries(
@@ -91,6 +115,9 @@ _num_alt = st.fixed_dictionaries(
         )
     }
 )
+_or_branch = st.fixed_dictionaries(
+    {}, optional={"source": _field_spec, "detail_type": _field_spec}
+).filter(bool)
 _pattern = st.fixed_dictionaries(
     {},
     optional={
@@ -99,6 +126,7 @@ _pattern = st.fixed_dictionaries(
         "detail": st.fixed_dictionaries(
             {}, optional={"status": _field_spec, "k": st.lists(_num_alt, min_size=1, max_size=1)}
         ),
+        "$or": st.lists(_or_branch, min_size=2, max_size=2),
     },
 ).filter(lambda p: p and all(v != {} for v in p.values()))
 
