@@ -83,6 +83,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_contamination_flag",
     "sample_source_cap",
     "text_repetition_stats",
+    "pipeline_training_mix",
     # --- re-check quota: r1 greens, evidence now two rounds old;
     # scale-load-bearing families first per VERDICT r2 item 7
     "dedup_jaccard_prefix",

@@ -1113,3 +1113,95 @@ def text_repetition_stats(spark, sf_dir):
         feats["top_token_frac"].alias("top_token_frac"),
         feats["top_bigram_frac"].alias("top_bigram_frac"),
     )
+
+
+@query(
+    "pipeline_training_mix",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             length(text) AS nc,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt,
+             len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS ndt,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) AS np
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, lang, source, n_chars, nt,
+             CAST(floor((0.4 * (CASE WHEN nt BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END)
+                 + 0.3 * (1 - least(np / greatest(nc, 1) * 10, 1.0))
+                 + 0.3 * (ndt / nt::DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS quality,
+             round(list_max(list_transform(list_distinct(t),
+               x -> len(list_filter(t, y -> y = x))))::DOUBLE / len(t), 6) AS ttf
+      FROM feat
+    ),
+    adm AS (
+      SELECT * FROM scored
+      WHERE quality >= 700000 AND n_chars >= 100 AND ttf <= 0.15
+    ),
+    ded AS (
+      SELECT min(doc_id) AS doc_id, count(*) AS n_duplicates
+      FROM adm GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT a.doc_id, a.lang, a.source, a.quality, a.nt, d.n_duplicates
+      FROM adm a JOIN ded d ON a.doc_id = d.doc_id
+    ),
+    capped AS (
+      SELECT * FROM kept
+      QUALIFY row_number() OVER (PARTITION BY source
+                                 ORDER BY quality DESC, doc_id) <= 15
+    )
+    SELECT doc_id, lang, source, quality, nt AS n_tokens, n_duplicates
+    FROM capped
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINT64 AS DOUBLE)
+          / 4294967296.0
+          < (CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END)
+    """,
+)
+def pipeline_training_mix(spark, sf_dir):
+    """The full training-data curation pipeline as ONE declarative
+    Catalyst plan — the showcase composition a corpus team would
+    actually run:
+
+      quality gate (score >= 0.7, length >= 100)
+      -> repetition gate (top-token fraction <= 0.15, Gopher-style)
+      -> exact dedup (keep smallest doc_id per content digest)
+      -> per-source cap (<= 15 docs, best-quality-first anti-domination)
+      -> language rebalance (keep 50% of en, all of the rest,
+         key-stable md5 buckets)
+
+    Two to three exchanges total at any scale: the dedup groupBy, the
+    per-source window (WindowGroupLimit map-side top-n), and the join
+    back — which AQE downgrades to a broadcast when the surviving set
+    is small (it is at sf0.01; plan-asserted).  Every gate and the
+    sampling stage fuse into the scans around them.
+    Demonstrates that the operator family composes as plain DataFrame
+    algebra — no materialization boundaries between stages."""
+    from eventbridge_etl_spark.operators.dedup import exact_dedup
+    from eventbridge_etl_spark.operators.sampling import (
+        cap_per_group,
+        stratified_sample,
+    )
+
+    doc = _doc(spark, sf_dir)
+    rep = X.repetition_features("text")
+    adm = (
+        doc.withColumn("quality", X.quality_score("text"))
+        .withColumn("n_tokens", X.token_count(F.lower(F.col("text"))))
+        .withColumn("ttf", rep["top_token_frac"])
+        .filter(
+            (F.col("quality") >= 700000)
+            & (F.col("n_chars") >= 100)
+            & (F.col("ttf") <= 0.15)
+        )
+    )
+    survivors = exact_dedup(adm, "doc_id", ["text"]).select("doc_id", "n_duplicates")
+    kept = survivors.join(adm, "doc_id").select(
+        "doc_id", "lang", "source", "quality", "n_tokens", "n_duplicates"
+    )
+    capped = cap_per_group(kept, "source", [F.col("quality").desc(), "doc_id"], 15)
+    return stratified_sample(
+        capped, "doc_id", "lang", {"en": 0.5}, default_fraction=1.0
+    ).select("doc_id", "lang", "source", "quality", "n_tokens", "n_duplicates")

@@ -191,3 +191,13 @@ def test_source_cap_uses_window_group_limit(spark):
 def test_pii_redact_is_map_only(spark):
     plan = _plan(spark, "text_pii_redact")
     assert _shuffles(plan) == 0
+
+
+def test_training_mix_composes_without_extra_exchanges(spark):
+    """The five-stage curation pipeline must stay at two shuffles (dedup
+    groupBy + per-source window; AQE broadcasts the join back at this
+    size), with the window's rank filter pushed map-side."""
+    plan = _plan(spark, "pipeline_training_mix")
+    assert _shuffles(plan) <= 3
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
