@@ -343,3 +343,157 @@ def label_centroids(
 
         return df.groupBy(label_col).applyInPandas(_centroid, out_schema)
     raise ValueError(f"unknown impl: {impl!r} (want 'builtin' or 'arrow')")
+
+
+# ----------------------------------------------------------- k-means
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance — ordered left fold, so both engines
+    (and any two runs) produce bit-identical doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _centroid_struct_array(centroids: list[tuple[int, list[float]]]) -> Column:
+    """Literal array<struct<cid,c>> — centroids travel inside the plan
+    (constant-folded, broadcast with the task binary), so assignment is
+    a map-only projection with zero joins."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared euclidean,
+    ties to the lowest cluster id).
+
+    ``array_min`` over struct<d,cid> IS the argmin — struct comparison
+    is lexicographic, so the tie-break is explicit and engine-portable.
+    Map-only: no join, no shuffle; the centroid table rides along as a
+    plan literal (fine for the k <= a few thousand of a coarse
+    quantizer).  Adds ``cluster`` and ``sqdist`` (raw double) columns.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = F.transform(
+        _centroid_struct_array(centroids),
+        lambda s: F.struct(sq_dist(s["c"], v).alias("d"), s["cid"].alias("cid")),
+    )
+    best = F.array_min(scored)
+    return df.withColumn("cluster", best["cid"]).withColumn("sqdist", best["d"])
+
+
+def kmeans_init(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic init: the k lowest-id vectors, cluster id = rank.
+    (Sorted-limit — a TakeOrdered, not a full sort.)"""
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    )
+    return [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(rows)]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's iterations with deterministic init and quantized
+    centroids.
+
+    Each round: map-only assignment (plan-literal centroids), then the
+    skew-proof per-position mean of ``label_centroids`` (posexplode ->
+    groupBy(cluster, pos) -> avg), ROUNDED to ``decimals`` so the
+    cross-engine / cross-run float-accumulation-order difference is
+    quantized away before it can flip a boundary assignment next round.
+    Only k x dim rounded doubles ever reach the driver per iteration —
+    the same driver-side footprint as Spark MLlib's KMeans.  Clusters
+    that lose all members are dropped (ids of survivors are stable).
+    """
+    cents = kmeans_init(df, k, id_col, vec_col)
+    for _ in range(int(iters)):
+        assigned = kmeans_assign(df, cents, id_col, vec_col)
+        per_pos = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("_pos", "_x")
+            )
+            .groupBy("cluster", "_pos")
+            .agg(F.round(F.avg(F.col("_x").cast("double")), decimals).alias("_av"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_av"))),
+                    lambda s: s["_av"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cluster"]), [float(x) for x in r["c"]]) for r in per_pos
+        )
+    return cents
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means the corpus, then
+    within each cluster drop every vector that has a higher-similarity
+    (cosine >= tau) neighbor with a lower id.
+
+    The cluster is the candidate-bounding device — pairwise comparison
+    happens only inside a cluster, never across the corpus, so the cost
+    is sum(|cluster|^2) instead of n^2; at 100 TB you raise k until the
+    largest cluster's pair block fits a task (and salt any residual hot
+    cluster).  Returns (id, cluster, kept boolean).
+    """
+    cents = kmeans_fit(df, k, iters, id_col, vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = kmeans_assign(df, cents, id_col, vec_col).select(
+        F.col(id_col).alias("id"), "cluster", v.alias("_v")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(F.round(cosine(F.col("a._v"), F.col("b._v")), 6) >= tau)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_dropped", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -273,3 +273,46 @@ def repetition_features(text: Column | str) -> dict[str, Column]:
         "top_token_frac": mode_frac(toks),
         "top_bigram_frac": mode_frac(grams),
     }
+
+
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-trained unigram language-model score per document — the
+    CCNet-style "perplexity bucket" proxy used to rank crawl text by
+    how language-like it is, with the LM trained on the corpus itself.
+
+    Model: add-one-smoothed unigram,  logp(t) = ln((tf_t + 1) / (N + V))
+    with N = total tokens, V = vocabulary size.  Score = mean token
+    log-prob (rounded; the per-doc sum's accumulation order differs
+    across engines/runs, so the raw double is not reproducible — the
+    rounded one is).
+
+    Plan shape: one explode feeding TWO aggregations that reuse the
+    same token stream — the per-token tf (the Zipf head combines
+    map-side), and the 1-row (N, V) corpus total that rides a
+    broadcast crossJoin so smoothing stays in-plan, no driver collect.
+    Then join tokens->logprob (the corpus LM is a token-keyed table —
+    at 100 TB it broadcast-joins if the vocab is small or
+    shuffle-joins keyed on the same token hash as the tf agg) and one
+    final per-doc aggregate.  Returns (id, n_tokens, avg_logprob).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count("*").alias("_tf"))
+    totals = tf.agg(
+        F.sum("_tf").alias("_n"), F.count("*").alias("_v")
+    )
+    lm = tf.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.log((F.col("_tf") + 1).cast("double") / (F.col("_n") + F.col("_v"))).alias(
+            "_logp"
+        ),
+    )
+    return (
+        toks.join(lm, "token")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("_logp"), 4).alias("avg_logprob"),
+        )
+    )

@@ -84,6 +84,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sample_source_cap",
     "text_repetition_stats",
     "pipeline_training_mix",
+    "pack_token_sequences",
+    "sample_global_shuffle",
+    "similarity_kmeans_refine",
+    "dedup_semantic",
+    "text_unigram_logprob",
     # --- re-check quota: r1 greens, evidence now two rounds old;
     # scale-load-bearing families first per VERDICT r2 item 7
     "dedup_jaccard_prefix",

@@ -1205,3 +1205,199 @@ def pipeline_training_mix(spark, sf_dir):
     return stratified_sample(
         capped, "doc_id", "lang", {"en": 0.5}, default_fraction=1.0
     ).select("doc_id", "lang", "source", "quality", "n_tokens", "n_duplicates")
+
+
+# ------------------------------------------- training-set assembly
+
+from eventbridge_etl_spark.operators import packing as P  # noqa: E402
+
+#: DuckDB rendering of packing._md5_u32(doc_id, seed) % 8.
+def _shard8_sql(seed: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 8))"
+        f"::UINT64 % 8 AS INTEGER)"
+    )
+
+
+@query(
+    "pack_token_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+             {_shard8_sql(0)} AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, nt,
+             SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT doc_id, shard,
+           CAST(cum - nt AS BIGINT) AS start_offset,
+           CAST(floor((cum - nt) / 512) AS BIGINT) AS seq_id
+    FROM c
+    """,
+)
+def pack_token_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (capacity 512, 8 shards):
+    which fixed-length training sequence does each document start in.
+    Integer-exact window math, one hash shuffle
+    (operators/packing.py:pack_sequences)."""
+    doc = _doc(spark, sf_dir)
+    with_nt = doc.select("doc_id", X.token_count("text").alias("nt"))
+    packed = P.pack_sequences(with_nt, "doc_id", "nt", capacity=512, n_shards=8)
+    return packed.select("doc_id", "shard", "start_offset", "seq_id")
+
+
+@query(
+    "sample_global_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':7') AS hx,
+             {_shard8_sql(7)} AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+                PARTITION BY shard
+                ORDER BY hx, CAST(doc_id AS VARCHAR)) AS INTEGER) AS shuffle_rank
+    FROM h
+    """,
+)
+def sample_global_shuffle(spark, sf_dir):
+    """Seeded deterministic corpus shuffle: every row gets a stable
+    (shard, rank) position from md5(key, seed) — the reproducible
+    alternative to ORDER BY rand() that never needs a global sort
+    (operators/packing.py:shuffle_shards)."""
+    doc = _doc(spark, sf_dir)
+    out = P.shuffle_shards(doc.select("doc_id"), "doc_id", seed=7, n_shards=8)
+    return out.select("doc_id", "shard", "shuffle_rank")
+
+
+# ------------------------------------------------- k-means / SemDeDup
+
+def _kmeans_cte_sql(k: int, iters: int, dim: int = 64, decimals: int = 4) -> str:
+    """CTE chain replicating kmeans_fit + final kmeans_assign exactly:
+    deterministic lowest-id init, ordered-fold squared distances
+    (bit-identical to the Spark fold), per-(cluster,pos) means rounded
+    to ``decimals`` so float accumulation order cannot flip a boundary
+    assignment.  Final assignment lands in ``a_{iters+1}(vec_id, cid,
+    d)``."""
+
+    def dist(e: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1,{dim + 1}), j -> "
+            f"({e}[j]::DOUBLE - {c}[j]) * ({e}[j]::DOUBLE - {c}[j])))"
+        )
+
+    parts = [
+        f"""c_0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS c
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for i in range(1, iters + 2):
+        parts.append(
+            f"""a_{i} AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid, {dist('e.embedding', 'c.c')} AS d
+              FROM embeddings e CROSS JOIN c_{i - 1} c)
+      ) WHERE rn = 1
+    )"""
+        )
+        if i <= iters:
+            parts.append(
+                f"""c_{i} AS (
+      SELECT cid, list(av ORDER BY pos) AS c FROM (
+        SELECT a.cid, t.pos,
+               round(avg(e.embedding[t.pos]::DOUBLE), {decimals}) AS av
+        FROM a_{i} a JOIN embeddings e USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos) t
+        GROUP BY a.cid, t.pos
+      ) GROUP BY cid
+    )"""
+            )
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "similarity_kmeans_refine",
+    oracle=_kmeans_cte_sql(8, 2)
+    + """
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster, round(d, 6) AS sqdist
+    FROM a_3
+    """,
+)
+def similarity_kmeans_refine(spark, sf_dir):
+    """Two Lloyd iterations of k-means (k=8, deterministic init,
+    quantized centroids) then the final assignment — the coarse
+    quantizer training step IVF and SemDeDup both sit on
+    (operators/similarity.py:kmeans_fit).  Assignment is map-only with
+    plan-literal centroids; each update is one posexplode aggregate."""
+    emb = _emb(spark, sf_dir)
+    cents = S.kmeans_fit(emb, k=8, iters=2)
+    out = S.kmeans_assign(emb, cents)
+    return out.select("vec_id", "cluster", F.round("sqdist", 6).alias("sqdist"))
+
+
+@query(
+    "dedup_semantic",
+    oracle=_kmeans_cte_sql(8, 1)
+    + f"""
+    , assigned AS (SELECT vec_id, cid FROM a_2),
+    pairs AS (
+      SELECT y.vec_id AS id_b
+      FROM assigned x
+      JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE {_COS_SQL} >= {COSINE_TAU}
+    )
+    SELECT s.vec_id AS id, CAST(s.cid AS INTEGER) AS cluster,
+           (s.vec_id NOT IN (SELECT id_b FROM pairs)) AS kept
+    FROM assigned s
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup: k-means clusters bound the
+    candidate pairs, then any vector with a cosine>=tau neighbor of
+    lower id inside its cluster is dropped
+    (operators/similarity.py:semantic_dedup).  Pairwise work is
+    per-cluster, never corpus-wide."""
+    emb = _emb(spark, sf_dir)
+    return S.semantic_dedup(emb, tau=COSINE_TAU, k=8, iters=1)
+
+
+# ------------------------------------------------- unigram LM scoring
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n, count(*) AS v FROM tf),
+    lm AS (
+      SELECT token, ln((tf + 1)::DOUBLE / (n + v)::DOUBLE) AS logp
+      FROM tf CROSS JOIN tot
+    )
+    SELECT t.id, count(*) AS n_tokens, round(avg(lm.logp), 4) AS avg_logprob
+    FROM toks t JOIN lm USING (token)
+    GROUP BY t.id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-trained add-one unigram LM score per document — the
+    perplexity-bucket proxy of CCNet-style quality filtering
+    (operators/text.py:unigram_logprob)."""
+    doc = _doc(spark, sf_dir)
+    return X.unigram_logprob(doc)

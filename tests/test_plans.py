@@ -201,3 +201,39 @@ def test_training_mix_composes_without_extra_exchanges(spark):
     assert _shuffles(plan) <= 3
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """Plan-literal centroids: assignment must be a pure projection —
+    no join, no exchange, nothing but scan + project."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.kmeans_init(emb, k=4)
+    plan = (
+        S.kmeans_assign(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert _shuffles(plan) == 0
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+
+
+def test_pack_and_shuffle_are_single_exchange(spark):
+    """Assembly ops move data exactly once — one hash partition by
+    shard, then window math inside the shard."""
+    for name in ("pack_token_sequences", "sample_global_shuffle"):
+        plan = _plan(spark, name)
+        assert _shuffles(plan) == 1, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_unigram_lm_broadcasts_totals_and_model(spark):
+    """The 1-row (N,V) total and the token->logprob model join must not
+    add full-corpus exchanges beyond the two token aggregations."""
+    plan = _plan(spark, "text_unigram_logprob")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
