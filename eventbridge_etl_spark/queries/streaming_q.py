@@ -43,8 +43,12 @@ def _event_stream(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_dt = dict(stream.dtypes).get("ts")
+    if ts_dt == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_dt == "timestamp_ntz":
+        # watermarks require LTZ; UTC session zone keeps values identical
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     assert stream.schema == batch.schema
     return stream
 

@@ -31,6 +31,10 @@ ENGINE_CONF: dict[str, str] = {
     # the fixture events table stores TIMESTAMP(NANOS) parquet, which Spark
     # has no native type for; read as long and convert in sources.tables
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # unannotated (isAdjustedToUTC=false) parquet timestamps must read as
+    # TIMESTAMP (LTZ), not TIMESTAMP_NTZ: watermarks/windows require LTZ,
+    # and with the UTC session zone the wall-clock values are identical
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MiB
     "spark.sql.session.timeZone": "UTC",
     # Streaming: bound state stores and enable RocksDB-style eviction when

@@ -33,23 +33,30 @@ def load_tables(
     filters and projections written downstream reach the parquet scan
     (verify with ``.explain`` -> ``PushedFilters`` / ``ReadSchema``).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet; Spark reads it as long
-    (``nanosAsLong``) and we convert to a microsecond timestamp with
-    integer division (``div`` — exact on int64; a double divide would
-    lose precision above 2^53).  DuckDB truncates the same way, so both
-    engines see identical microsecond values.
+    ``events.ts`` has shipped in two fixture layouts: TIMESTAMP(NANOS)
+    (Spark reads it as long under ``nanosAsLong``; we convert with exact
+    int64 division — a double divide would lose precision above 2^53)
+    and plain TIMESTAMP(MICROS) with ``isAdjustedToUTC=false`` (Spark 4
+    infers TIMESTAMP_NTZ unless told otherwise; watermarks and windowing
+    require LTZ, so we normalize).  DuckDB sees microsecond values either
+    way, and with the UTC session zone both engines agree wall-clock.
     """
     out: dict[str, DataFrame] = {}
     if "events" in names:
-        # events.parquet stores TIMESTAMP(NANOS); without this conf a
-        # session that didn't come from session.build_session() fails the
-        # read with PARQUET_TYPE_ILLEGAL.  Runtime-settable, so set it
-        # defensively here rather than relying on the session factory.
+        # Runtime-settable confs a session that didn't come from
+        # session.get_spark() would miss: nanos layout fails the read
+        # outright (PARQUET_TYPE_ILLEGAL), micros layout silently infers
+        # TIMESTAMP_NTZ.  Set both defensively here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if name == "events":
+            dt = dict(df.dtypes).get("ts")
+            if dt == "bigint":
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            elif dt == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out[name] = df
     return out
 

@@ -9,6 +9,7 @@ import os
 from pyspark.sql import functions as F
 
 from eventbridge_etl_spark import sinks
+from eventbridge_etl_spark.sources.tables import load_tables
 
 from .conftest import SF_DIR
 
@@ -34,8 +35,8 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     """A partition predicate must prune at the directory level: the scan's
     partition-filter list carries the predicate, and only matching
     partition directories exist to be listed."""
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "event_date", F.to_date(F.from_unixtime(F.col("ts") / 1_000_000_000))
+    ev = load_tables(spark, SF_DIR, ("events",))["events"].withColumn(
+        "event_date", F.to_date("ts")
     )
     out = str(tmp_path / "events_by_date")
     sinks.write_partitioned(ev, out, ["event_type"])
