@@ -589,3 +589,72 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 4,
+) -> DataFrame:
+    """Chunk-level corpus dedup (the C4/RefinedWeb line-dedup shape):
+    split every document into fixed-width token chunks, keep only the
+    corpus-wide FIRST occurrence of each distinct chunk (ordered by
+    (doc, position) — deterministic), and reassemble the surviving
+    chunks per document.
+
+    Returns ``(id_col, new_text, n_removed)`` for every document;
+    unaffected documents round-trip verbatim.
+
+    Scale shape: one explode (bounded by token count / chunk width),
+    then the corpus-wide winner per chunk comes from a hash aggregate —
+    ``min(struct(_id, _idx))``, lexicographically identical to
+    first-by-(doc, position) — whose partial combines map-side, so a
+    boilerplate chunk repeated a billion times contributes ONE row per
+    map partition to the shuffle, not a billion.  (A ``row_number``
+    window over the chunk key would instead sort the whole hot chunk in
+    a single task — verified in the physical plan and rejected.)  The
+    winner table (one row per distinct chunk) joins back on the chunk
+    key — skewed chunk keys split under AQE skew-join — and one per-doc
+    aggregate reassembles.  The equivalent of the banded-LSH "never
+    all-pairs" rule for exact chunk matching.
+    """
+    c = chunk_tokens
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(c))).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * c + 1, c), " "),
+    )
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(chunks).alias("_idx", "_chunk")
+    )
+    winners = ex.groupBy("_chunk").agg(
+        F.min(F.struct("_id", "_idx")).alias("_w")
+    )
+    keep = (F.col("_id") == F.col("_w._id")) & (F.col("_idx") == F.col("_w._idx"))
+    return (
+        ex.join(winners, "_chunk")
+        .withColumn("_keep", keep)
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_idx"), F.col("_chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("_chunk"),
+                ),
+                " ",
+            ).alias("new_text"),
+            (F.count("*") - F.count(F.when(F.col("_keep"), 1))).alias("n_removed"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

@@ -1,0 +1,126 @@
+"""Product-analytics operators over event streams: ordered funnel
+conversion and cohort retention.
+
+The reference pipeline ends at "rows loaded into a keyed table"
+(reference lambda-fns/load/load.ts:61-81); these are the first queries
+an analytics user runs on that loaded table, so they complete the
+engine's story the same way the E1-E4 operators complete the corpus
+story.
+
+Scale shape (both operators):
+
+- Everything keys on the user column.  The funnel is a chain of
+  filtered aggregates joined back on the key — every stage partitions
+  identically, so AQE plans one co-partitioned chain; no stage ever
+  re-shuffles the full fact table more than once.
+- Retention joins the per-user first-seen aggregate (one row per user)
+  back to the fact on the key — a shuffle join whose build side is
+  user-cardinality, then one (cohort, offset) aggregate whose
+  cardinality is weeks², independent of event volume.
+- No windows over unbounded partitions, no driver-side loops, no
+  Python.  At 100 TB the cost is the one fact shuffle on user_id that
+  any per-user analysis pays; pre-bucketing the events table by
+  user_id (sinks.py) eliminates even that.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key ordered funnel: timestamp of the first qualifying event
+    per step, where step *i* must occur strictly AFTER the key's step
+    *i-1* time (the classic ordered-funnel semantics — a purchase before
+    the first view does not count).
+
+    Returns one row per key that completed step 1:
+    ``(key, step_1_ts, ..., step_N_ts, n_steps)`` with nulls from the
+    first uncompleted step onward.
+    """
+    k = F.col(key_col)
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(k.alias(key_col))
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"step_{i - 1}_ts"
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(out.select(key_col, prev), key_col)
+            .filter(F.col(ts_col) > F.col(prev))
+            .groupBy(key_col)
+            .agg(F.min(ts_col).alias(f"step_{i}_ts"))
+        )
+        out = out.join(nxt, key_col, "left")
+    reached = [F.col(f"step_{i}_ts").isNotNull().cast("int") for i in range(1, len(steps) + 1)]
+    return out.withColumn("n_steps", reduce(lambda a, b: a + b, reached))
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel summary: ``(step, step_name, n_users)`` — how many keys
+    sequentially reached each step.  Monotonically non-increasing by
+    construction."""
+    per_key = funnel_steps(events, steps, key_col, ts_col, type_col)
+    rows = [
+        F.struct(
+            F.lit(i).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.col(f"step_{i}_ts")).alias("n_users"),
+        )
+        for i, name in enumerate(steps, start=1)
+    ]
+    return (
+        per_key.agg(F.array(*rows).alias("_rows"))
+        .select(F.explode("_rows").alias("_r"))
+        .select("_r.step", "_r.step_name", "_r.n_users")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Cohort retention matrix: cohort = the period (default: calendar
+    week starting at the epoch-aligned 7-day boundary) of the key's
+    first event; offset = whole periods between the cohort start and
+    each later event.  Returns ``(cohort_start, period_offset,
+    n_active)`` with n_active = distinct keys from that cohort active at
+    that offset (offset 0 = cohort size).
+
+    Period boundaries are epoch-aligned integer arithmetic (no calendar
+    ambiguity), so any engine reproduces them bitwise.
+    """
+    p = F.lit(period_seconds).cast("long")
+    epoch = F.unix_timestamp(F.col(ts_col))
+    first = events.groupBy(key_col).agg(
+        ((F.min(epoch) / p).cast("long") * p).alias("_cohort_epoch")
+    )
+    return (
+        events.select(key_col, epoch.alias("_e"))
+        .join(first, key_col)
+        .select(
+            F.timestamp_seconds(F.col("_cohort_epoch")).alias("cohort_start"),
+            ((F.col("_e") - F.col("_cohort_epoch")) / p).cast("long").alias("period_offset"),
+            F.col(key_col),
+        )
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.count_distinct(key_col).alias("n_active"))
+    )

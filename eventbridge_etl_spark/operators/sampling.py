@@ -104,3 +104,60 @@ def cap_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    total: int = 300,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-LM
+    sampling rule, p_s ∝ n_s^alpha): allocate a ``total`` budget across
+    sources by tempered share, then take each source's quota
+    deterministically by key hash.
+
+    alpha=1 reproduces natural proportions; alpha=0 gives uniform
+    per-source; 0.5 is the common compromise that up-weights small
+    sources without letting them dominate.
+
+    Engine-portable determinism: the tempered weights are summed as
+    DECIMAL images of sqrt(n) (double summation order varies across
+    engines; decimal summation cannot), the quota is floor(share*total
+    + 0.5) on pure IEEE doubles, and within-source selection orders by
+    md5(key) — the same key-stable hash as ``hash_fraction``.
+
+    Scale shape: the per-source histogram is a tiny agg (sources are
+    few); it broadcasts back onto the corpus, and the per-source pick is
+    one ranked window guarded by a LITERAL ``rn <= total`` filter —
+    every per-source quota is <= ``total``, and the literal bound is
+    what lets Spark's WindowGroupLimit run a partial top-k below the
+    exchange, so no map partition ships more than ``total`` rows per
+    source into the sort.  (The exact ``rn <= quota`` filter compares
+    against a joined column and cannot push down on its own — verified
+    in the physical plan.)
+    """
+    d = F.pow(F.col("_n").cast("double"), F.lit(alpha)).cast("decimal(18,6)")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n")).select(
+        group_col, d.alias("_d")
+    )
+    z = counts.agg(F.sum("_d").alias("_z"))
+    quota = counts.crossJoin(F.broadcast(z)).select(
+        group_col,
+        F.floor(
+            F.col("_d").cast("double") / F.col("_z").cast("double") * total + 0.5
+        )
+        .cast("int")
+        .alias("_k"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(total))  # literal → WindowGroupLimit
+        .join(F.broadcast(quota), group_col)
+        .filter(F.col("_rn") <= F.col("_k"))
+        .drop("_rn", "_k")
+    )

@@ -316,3 +316,69 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
             F.round(F.avg("_logp"), 4).alias("avg_logprob"),
         )
     )
+
+
+def gopher_flags(text: Column | str) -> dict[str, Column]:
+    """Gopher-style rule filters (Rae et al. 2021, public): per-document
+    boolean quality gates plus the underlying measurements.
+
+    Rules (thresholds are the published defaults, trimmed to what the
+    fixture schema can express): word count in [50, 100k], mean word
+    length in [3, 10], >=80% of words contain an alphabetic character,
+    >=2 distinct common-English stopwords present, and the most frequent
+    token covering <=20% of the document (repetition gate).
+
+    Pure higher-order array expressions over one tokenization — map-only,
+    no shuffle, scan-bound at 100 TB like the rest of E4.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    nd = n.cast("double")
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_len = total_len.cast("double") / nd
+    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / nd
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    top_frac = repetition_features(text)["top_token_frac"]
+    wc_ok = (n >= 50) & (n <= 100_000)
+    mwl_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
+    alpha_ok = alpha_frac >= 0.8
+    stop_ok = stop_hits >= 2
+    rep_ok = top_frac <= 0.2
+    return {
+        "n_tokens": n,
+        "mean_token_len": F.round(mean_len, 4),
+        "alpha_frac": F.round(alpha_frac, 4),
+        "stop_hits": stop_hits,
+        "top_token_frac": top_frac,
+        "wc_ok": wc_ok,
+        "mwl_ok": mwl_ok,
+        "alpha_ok": alpha_ok,
+        "stop_ok": stop_ok,
+        "rep_ok": rep_ok,
+        "gopher_pass": wc_ok & mwl_ok & alpha_ok & stop_ok & rep_ok,
+    }
+
+
+def collapse_runs(text: Column | str) -> dict[str, Column]:
+    """Collapse runs of identical adjacent tokens ("batch batch batch"
+    -> "batch") — the cheap intra-document repetition repair used before
+    LM training (looping-generation and boilerplate cleanup).
+
+    Case-preserving: operates on the raw whitespace tokens.  Indexed
+    array filter (keep token i when i == 0 or it differs from token
+    i-1) — map-only, no shuffle.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    raw = F.split(F.trim(col), r"\s+")
+    kept = F.filter(
+        raw, lambda x, i: (i == F.lit(0)) | (x != F.element_at(raw, i))
+    )
+    return {
+        "collapsed": F.array_join(kept, " "),
+        "n_removed": F.size(raw) - F.size(kept),
+    }

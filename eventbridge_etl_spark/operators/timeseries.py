@@ -1,0 +1,206 @@
+"""Time-series operators over event streams: grid resampling with
+gap-fill and rolling-window anomaly scoring.
+
+The reference has no time-series surface (its events are processed
+"whenever they arrive, unordered" — reference README.md:42); these
+extend the events-table family the same way the E1-E4 operators extend
+the corpus family.
+
+Scale shape:
+
+- ``gap_fill_hourly`` is two hash aggregates over the fact (bounds +
+  per-hour last-value), a ``sequence``/``explode`` grid generated FROM
+  the bounds agg (never a driver-side range), one shuffle join on
+  (user, hour), and one partition-local window.  Everything partitions
+  by user_id; grid size is bounded by span/granularity, not event
+  count, so a 100 TB events table with a 1-year span still yields only
+  8.8k grid rows per user.
+- ``rolling_zscore`` is a single partition-local window pass.  The
+  rolling mean/variance are computed from *decimal* running sums
+  (exact, order-independent) and only converted to double at the end —
+  windowed double summation differs between engines (segment-tree vs
+  streaming), decimal summation cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Resample each key's series onto an hourly grid and forward-fill.
+
+    Returns one row per (key, hour) in the key's [min, max] hour span:
+    ``n_events`` in that hour (0 for gaps), ``last_value`` = the most
+    recent observation in the hour (``max_by`` on the event timestamp),
+    and ``filled_value`` = carry-forward of ``last_value`` across gaps
+    (null until the key's first observation — leading edges are not
+    back-filled).
+    """
+    k, ts, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    hour = F.date_trunc("hour", ts)
+
+    bounds = events.groupBy(k.alias(key_col)).agg(
+        F.date_trunc("hour", F.min(ts)).alias("h0"),
+        F.date_trunc("hour", F.max(ts)).alias("h1"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    observed = events.groupBy(k.alias(key_col), hour.alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.expr(f"max_by({value_col}, {ts_col})").alias("last_value"),
+    )
+    joined = grid.join(observed, [key_col, "hour"], "left").withColumn(
+        "n_events", F.coalesce("n_events", F.lit(0))
+    )
+    carry = (
+        Window.partitionBy(key_col)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn(
+        "filled_value", F.last("last_value", ignorenulls=True).over(carry)
+    )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    granularity: str = "hour",
+) -> DataFrame:
+    """Downsample to OHLC bars per (group, bucket): open/close = value
+    of the chronologically first/last event, high/low = extremes,
+    plus event count and summed volume.
+
+    Open/close use ``min_by``/``max_by`` on a FIXED-WIDTH zero-padded
+    ``(epoch_micros, id)`` string — string order equals numeric order,
+    so ties on the timestamp break deterministically by id in any
+    engine (struct-ordered arg_min is not portable; a (ts*K + id)
+    bigint encoding overflows).
+
+    One hash aggregate with map-side partial combine — min_by/max_by
+    partials carry one (value, key) pair per group per partition.
+    Output cardinality is groups × buckets, bounded by span/granularity
+    regardless of event volume.
+    """
+    order_key = F.concat(
+        F.lpad((F.unix_micros(F.col(ts_col))).cast("string"), 20, "0"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    )
+    v = F.col(value_col)
+    return (
+        events.withColumn("_ok", order_key)
+        .groupBy(
+            F.col(group_col),
+            F.date_trunc(granularity, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.expr(f"min_by({value_col}, _ok)").alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.expr(f"max_by({value_col}, _ok)").alias("close"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(v), 2).alias("volume"),
+        )
+    )
+
+
+def counter_increase(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Counter-delta aggregation with reset handling (the PromQL
+    ``increase()`` rule): per key, sum the positive deltas between
+    consecutive observations — a drop means the counter reset, so the
+    drop itself contributes zero rather than a negative.
+
+    Returns ``(key, n_obs, total_increase, n_resets)``.
+
+    Deltas of IEEE doubles are deterministic; each per-step delta is
+    cast to DECIMAL before summation so the per-key total is
+    order-independent across engines.  One partition-local lag window
+    + one hash aggregate on the same key — a single shuffle.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col, "event_id" if "event_id" in events.columns else ts_col)
+    delta = v - F.lag(v).over(w)
+    stepped = events.select(
+        F.col(key_col),
+        delta.alias("_d"),
+    )
+    return (
+        stepped.groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+                ).cast("double"),
+                4,
+            ).alias("total_increase"),
+            F.count(F.when(F.col("_d") < 0, 1)).alias("n_resets"),
+        )
+    )
+
+
+def _dec(col: Column) -> Column:
+    """Exact decimal image of a double for order-independent summation."""
+    return col.cast("decimal(18,6)")
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lookback: int = 20,
+    min_obs: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Flag observations whose value deviates > ``threshold`` sigma from
+    the trailing ``lookback``-row mean (current row excluded).
+
+    Mean/variance come from exact decimal sums over the frame
+    (sum x, sum x²), converted to double only for the final
+    sqrt/divide, so Spark and any replicating engine agree bitwise.
+    Rows with fewer than ``min_obs`` trailing observations or zero
+    variance get ``zscore`` null / ``is_anomaly`` false.
+    """
+    v = F.col(value_col)
+    frame = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(value_col).over(frame)
+    s1 = F.sum(_dec(v)).over(frame).cast("double")
+    s2 = F.sum(_dec(v) * _dec(v)).over(frame).cast("double")
+    nn = n.cast("double")
+    mean = s1 / nn
+    # sample variance; guard the n=1 divide and negative rounding noise
+    var = F.greatest((s2 - s1 * s1 / nn) / F.greatest(nn - 1.0, F.lit(1.0)), F.lit(0.0))
+    std = F.sqrt(var)
+    z = (v - mean) / std
+    ok = (n >= min_obs) & (std > 0)
+    return events.select(
+        key_col,
+        ts_col,
+        value_col,
+        F.when(ok, F.round(z, 4)).alias("zscore"),
+        F.when(ok, F.abs(z) > threshold).otherwise(F.lit(False)).alias("is_anomaly"),
+    )

@@ -53,62 +53,24 @@ def query(name: str, oracle: str | None = None):
 #: order.  Anything importing the registries directly without calling
 #: ``load_all()`` sees plain module-import registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (r1+r2 windows both missed these 14);
-    # streaming first: they are the only oracle evidence for O1-O3/O20
-    "streaming_hourly_windows",
-    "streaming_dedup",
-    "streaming_sessionize",
-    "streaming_running_totals",
-    "sort_multi_key_topk",
-    "set_intersect",
-    "set_except",
-    "set_union_distinct",
-    "subquery_scalar_above_avg",
-    "conditional_pivot",
-    "agg_percentiles",
-    "agg_pivot_native",
-    "agg_statistics",
-    "reshape_unpivot",
-    # --- code or oracle changed in round 3 — must re-verify
-    "route_transform_rule",  # routing.py cidr try_cast fix
-    "route_observe_tap",
-    "similarity_quantize_int8",  # oracle zero-vector guard
-    "dedup_minhash_lsh",  # band-hash rework (oracle regenerated)
-    "events_keyed_upsert",  # upsert.py crash-recovery sweep
-    # --- new round-3 gates (names registered later; skipped until then)
-    "route_cidr_classifier",
-    "streaming_interval_join",
-    "similarity_ivf_recall",
-    "text_pii_redact",
-    "dedup_contamination_flag",
-    "sample_source_cap",
-    "text_repetition_stats",
-    "pipeline_training_mix",
-    "pack_token_sequences",
-    "sample_global_shuffle",
-    "similarity_kmeans_refine",
-    "dedup_semantic",
-    "text_unigram_logprob",
-    # --- re-check quota: r1 greens, evidence now two rounds old;
-    # scale-load-bearing families first per VERDICT r2 item 7
-    "dedup_jaccard_prefix",
-    "similarity_topk_lsh",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_scores",
-    "text_fingerprint",
-    "text_chunk_windows",
-    "text_document_frequency",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "scan_projection_filter",
-    "join_broadcast_chain",
+    # --- round-4 additions, never driver-checked: time-series ops over
+    # events, corpus-hygiene (Gopher gates / run collapse / chunk dedup /
+    # bigram stats / temperature resampling), and two relational-surface
+    # fills (full-outer daily reconciliation, deterministic mode)
+    "events_gap_fill",
+    "events_anomaly_zscore",
+    "events_ohlc_hourly",
+    "events_counter_increase",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "text_gopher_quality",
+    "text_collapse_runs",
+    "text_bigram_topk",
+    "dedup_chunk_level",
+    "sample_temperature",
+    "join_full_outer_coalesce",
+    "agg_mode_deterministic",
+    # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",
     "pipeline_corpus_admission",
@@ -126,6 +88,34 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "agg_grouping_sets",
     "agg_having",
     "agg_distinct_count",
+    # --- re-check quota: last green in r2, scale-load-bearing first
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "sample_train_test_split",
+    "sample_stratified",
+    "multimodal_frame_sample",
+    "similarity_label_centroids",
+    "events_json_projection",
+    "events_validity_filter",
+    "events_reconciliation",
+    "events_hourly_rollup",
+    "events_keyed_upsert",
+    "pipeline_header_zip_rename",
+    "join_asof_attribution",
+    "fn_json_surface",
+    "fn_map_surface",
+    "fn_higher_order_surface",
+    "join_semi",
+    "join_anti",
+    "join_left_outer_agg",
+    "join_range_nonequi",
+    "window_topk_per_group",
+    "window_rank_dense",
+    "window_running_total",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    # (remaining r2 greens — window_lag_gap/moving_avg/range_frame and
+    # the TPC-H q-series tail — rotate through the r5 window)
 )
 
 
@@ -133,11 +123,13 @@ def load_all() -> None:
     """Import every query submodule (idempotent), then order the registry
     so gate-priority names (see ``_GATE_PRIORITY``) come first."""
     from eventbridge_etl_spark.queries import (  # noqa: F401
+        corpus_q,
         functions_q,
         llm,
         pipeline_q,
         relational,
         streaming_q,
+        timeseries_q,
         tpch_more,
     )
 

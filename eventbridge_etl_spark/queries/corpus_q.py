@@ -1,0 +1,205 @@
+"""Round-4 corpus-hygiene queries: Gopher rule filters, adjacent-run
+collapse, chunk-level dedup, corpus bigram statistics, and temperature
+source rebalancing.
+
+Shared tokenization contract with queries/llm.py: lower -> trim ->
+split on whitespace runs (case-preserving variants note it explicitly).
+Every oracle replicates the exact deterministic algorithm so the driver
+hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.operators import text as X
+from eventbridge_etl_spark.operators.dedup import chunk_dedup
+from eventbridge_etl_spark.operators.sampling import temperature_resample
+from eventbridge_etl_spark.queries import query
+from eventbridge_etl_spark.sources.tables import load_tables
+
+_STOPS = "['the','and','of','to','a','in','is','that']"
+
+
+def _doc(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+@query(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             list_sum(list_transform(toks, x -> len(x))) AS total_len,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_n,
+             len(list_filter({_STOPS}::VARCHAR[], s -> list_contains(toks, s)))
+               AS stop_hits,
+             list_max(list_transform(list_distinct(toks),
+                      g -> len(list_filter(toks, x -> x = g)))) AS topc
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, n, stop_hits,
+             CAST(total_len AS DOUBLE) / n AS mean_len,
+             CAST(alpha_n AS DOUBLE) / n AS alpha_frac,
+             ROUND(CAST(topc AS DOUBLE) / n, 6) AS top_frac
+      FROM f
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           ROUND(mean_len, 4) AS mean_token_len,
+           ROUND(alpha_frac, 4) AS alpha_frac,
+           stop_hits,
+           top_frac AS top_token_frac,
+           n >= 50 AND n <= 100000 AS wc_ok,
+           mean_len >= 3.0 AND mean_len <= 10.0 AS mwl_ok,
+           alpha_frac >= 0.8 AS alpha_ok,
+           stop_hits >= 2 AS stop_ok,
+           top_frac <= 0.2 AS rep_ok,
+           (n >= 50 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+             AND alpha_frac >= 0.8 AND stop_hits >= 2 AND top_frac <= 0.2
+             AS gopher_pass
+    FROM m
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher rule gates per document (operators/text.gopher_flags)."""
+    doc = _doc(spark, sf_dir)
+    flags = X.gopher_flags("text")
+    return doc.select("doc_id", *[c.alias(k) for k, c in flags.items()])
+
+
+@query(
+    "text_collapse_runs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, toks,
+             list_filter(toks, (x, i) -> i = 1 OR x != toks[i - 1]) AS kept
+      FROM t
+    )
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS collapsed,
+           len(toks) - len(kept) AS n_removed
+    FROM k
+    """,
+)
+def text_collapse_runs(spark, sf_dir):
+    """Adjacent duplicate-token collapse (looping-text repair)."""
+    doc = _doc(spark, sf_dir)
+    out = X.collapse_runs("text")
+    return doc.select(
+        "doc_id", out["collapsed"].alias("collapsed"), out["n_removed"].alias("n_removed")
+    )
+
+
+@query(
+    "text_bigram_topk",
+    oracle="""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 30
+    """,
+)
+def text_bigram_topk(spark, sf_dir):
+    """Corpus-wide most frequent word bigrams (boilerplate discovery).
+    One explode + one agg + TakeOrderedAndProject; the Zipf head
+    combines map-side, and the deterministic (count desc, bigram asc)
+    tie-break makes the k-boundary stable across engines."""
+    doc = _doc(spark, sf_dir)
+    toks = X.tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        doc.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(30)
+    )
+
+
+@query(
+    "dedup_chunk_level",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, i,
+             array_to_string(toks[(i * 4 + 1):(i * 4 + 4)], ' ') AS chunk
+      FROM t, unnest(range(0, greatest(CAST(ceil(len(toks) / 4.0) AS BIGINT), 1)))
+             AS u(i)
+    ),
+    r AS (
+      SELECT doc_id, i, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY i), '')
+             AS new_text,
+           COUNT(*) - COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_removed
+    FROM r GROUP BY doc_id
+    """,
+)
+def dedup_chunk_level(spark, sf_dir):
+    """C4-style chunk dedup: corpus-wide first occurrence of each
+    4-token chunk survives; documents are reassembled from their
+    surviving chunks (operators/dedup.chunk_dedup)."""
+    return chunk_dedup(_doc(spark, sf_dir), chunk_tokens=4)
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    w AS (SELECT source, CAST(sqrt(cnt) AS DECIMAL(18,6)) AS d FROM n),
+    z AS (SELECT SUM(d) AS z FROM w),
+    q AS (
+      SELECT source,
+             CAST(floor(CAST(d AS DOUBLE) / CAST(z.z AS DOUBLE) * 300 + 0.5)
+                  AS BIGINT) AS k
+      FROM w, z
+    ),
+    r AS (
+      SELECT doc_id, source, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, lang, n_chars
+    FROM r JOIN q USING (source)
+    WHERE rn <= k
+    """,
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature (alpha=0.5) source rebalancing over a 300-doc budget
+    (operators/sampling.temperature_resample)."""
+    doc = _doc(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
+    return temperature_resample(doc, alpha=0.5, total=300)

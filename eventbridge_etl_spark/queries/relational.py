@@ -888,3 +888,89 @@ def agg_statistics(spark, sf_dir):
         F.round(F.var_samp("l_discount"), 8).alias("disc_var"),
         F.round(F.avg("l_tax"), 6).alias("tax_mean"),
     )
+
+
+# ------------------------------------------- round-4 surface additions
+
+@query(
+    "join_full_outer_coalesce",
+    oracle="""
+    WITH o AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS order_total
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT date_trunc('day', l_shipdate) AS day,
+             COUNT(*) AS n_ships,
+             ROUND(SUM(l_extendedprice), 2) AS ship_total
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.day, s.day) AS day,
+           o.n_orders, o.order_total, s.n_ships, s.ship_total
+    FROM o FULL OUTER JOIN s ON o.day = s.day
+    """,
+)
+def join_full_outer_coalesce(spark, sf_dir):
+    """FULL OUTER join of two daily aggregates with coalesced keys —
+    ship dates trail order dates, so both unmatched sides genuinely
+    occur.  Both inputs pre-aggregate to one row per day before the
+    join (the shuffle moves day-cardinality rows, not the facts), and
+    both sides hash-partition on the same key."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("order_total"),
+    )
+    s = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        F.count("*").alias("n_ships"),
+        F.round(F.sum("l_extendedprice"), 2).alias("ship_total"),
+    )
+    return (
+        o.join(s, "day", "full_outer")
+        # USING-join already coalesces the key in Spark; keep the
+        # explicit projection so both engines emit identical columns
+        .select("day", "n_orders", "order_total", "n_ships", "ship_total")
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Exact per-group mode with a deterministic tie-break (count desc,
+    value asc) — engines' native ``mode()`` returns an arbitrary row on
+    ties, so a portable engine must state the tie order.  Two hash
+    aggregates + a WindowGroupLimit rank-1; the heavy first agg combines
+    map-side."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )

@@ -1,0 +1,197 @@
+"""Time-series queries over the events table: hourly gap-fill
+resampling and rolling z-score anomaly flags.
+
+Oracles replicate the exact algorithm (decimal running sums, max_by
+last-observation semantics) so both engines hash-match; see
+operators/timeseries.py for the scale rationale.
+"""
+
+from __future__ import annotations
+
+from eventbridge_etl_spark.operators.funnel import funnel_counts, retention_cohorts
+from eventbridge_etl_spark.operators.timeseries import (
+    counter_increase,
+    gap_fill_hourly,
+    ohlc_bars,
+    rolling_zscore,
+)
+from eventbridge_etl_spark.queries import query
+from eventbridge_etl_spark.sources.tables import load_tables
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n_events,
+             arg_max(value, ts) AS last_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.hour,
+           COALESCE(o.n_events, 0) AS n_events,
+           o.last_value AS last_value,
+           last_value(o.last_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN obs o USING (user_id, hour)
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Hourly resample + forward-fill per user.  No arithmetic touches
+    the carried value (``max_by`` passes the stored double through), so
+    the fill is bit-identical across engines."""
+    return gap_fill_hourly(_events(spark, sf_dir))
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, value,
+             COUNT(value) OVER w AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    m AS (
+      SELECT user_id, ts, value, n,
+             s1 / n AS mean,
+             sqrt(greatest((s2 - s1 * s1 / n) / greatest(n - 1, 1), 0)) AS std
+      FROM s
+    )
+    SELECT user_id, ts, value,
+           CASE WHEN n >= 10 AND std > 0
+                THEN ROUND((value - mean) / std, 4) END AS zscore,
+           COALESCE(n >= 10 AND std > 0
+                    AND abs((value - mean) / std) > 3.0, FALSE) AS is_anomaly
+    FROM m
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Trailing-20-row z-score anomaly flags per user.  The oracle
+    replicates the decimal-sum trick: windowed DOUBLE summation is
+    engine-order-dependent (DuckDB segment tree vs Spark streaming
+    frame), decimal summation is exact either way."""
+    return rolling_zscore(_events(spark, sf_dir))
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH k AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+      FROM events
+    )
+    SELECT event_type, bucket,
+           arg_min(value, ok) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ok) AS close,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS volume
+    FROM k GROUP BY event_type, bucket
+    """,
+)
+def events_ohlc_hourly(spark, sf_dir):
+    """Hourly OHLC downsampling per event type — open/close picked by
+    the portable fixed-width (epoch_micros, id) string key
+    (operators/timeseries.ohlc_bars)."""
+    return ohlc_bars(_events(spark, sf_dir))
+
+
+@query(
+    "events_counter_increase",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS d
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_obs,
+           ROUND(CAST(SUM(CAST(CASE WHEN d > 0 THEN d ELSE 0.0 END
+                               AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS total_increase,
+           COUNT(CASE WHEN d < 0 THEN 1 END) AS n_resets
+    FROM d GROUP BY user_id
+    """,
+)
+def events_counter_increase(spark, sf_dir):
+    """PromQL-style increase(): per-user positive-delta sum with reset
+    handling (operators/timeseries.counter_increase)."""
+    return counter_increase(_events(spark, sf_dir))
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS step_name, (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel: users sequentially
+    reaching each step (operators/funnel.funnel_counts)."""
+    return funnel_counts(_events(spark, sf_dir))
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             ((epoch_us(min(ts)) // 1000000) // 604800) * 604800 AS cohort_epoch
+      FROM events GROUP BY user_id
+    )
+    SELECT make_timestamp(f.cohort_epoch * 1000000) AS cohort_start,
+           ((epoch_us(e.ts) // 1000000) - f.cohort_epoch) // 604800 AS period_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix, epoch-aligned period arithmetic
+    (operators/funnel.retention_cohorts)."""
+    return retention_cohorts(_events(spark, sf_dir))

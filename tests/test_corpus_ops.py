@@ -1,0 +1,95 @@
+"""Round-4 corpus-hygiene operators: Gopher gates, run collapse,
+chunk-level dedup, temperature resampling — value-pinned on tiny
+hand-built corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.operators.dedup import chunk_dedup
+from eventbridge_etl_spark.operators.sampling import temperature_resample
+from eventbridge_etl_spark.operators.text import collapse_runs, gopher_flags
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_collapse_runs_values(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a a a b b c"),
+            (2, "x y x y"),  # alternating: nothing to collapse
+            (3, "solo"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in df.select("doc_id", *[
+        c.alias(k) for k, c in collapse_runs("text").items()
+    ]).collect()}
+    assert out[1]["collapsed"] == "a b c" and out[1]["n_removed"] == 3
+    assert out[2]["collapsed"] == "x y x y" and out[2]["n_removed"] == 0
+    assert out[3]["collapsed"] == "solo" and out[3]["n_removed"] == 0
+
+
+def test_gopher_flags_rules(spark):
+    good = " ".join(["the quick brown fox jumps over a lazy dog that runs"] * 5)
+    short = "too short"
+    repetitive = " ".join(["the"] * 60)
+    df = _docs(spark, [(1, good), (2, short), (3, repetitive)])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(k) for k, c in gopher_flags("text").items()]
+        ).collect()
+    }
+    assert out[1]["gopher_pass"]
+    assert not out[2]["wc_ok"] and not out[2]["gopher_pass"]
+    assert not out[3]["rep_ok"] and not out[3]["gopher_pass"]  # one token = 100%
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    # doc1 and doc2 share an identical 4-token chunk at position 0;
+    # doc2's copy is removed, doc1's survives
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d x y z w"),
+            (3, "p q r"),  # single short chunk, untouched
+        ],
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_tokens=4).collect()}
+    assert out[1]["new_text"] == "a b c d e f g h" and out[1]["n_removed"] == 0
+    assert out[2]["new_text"] == "x y z w" and out[2]["n_removed"] == 1
+    assert out[3]["new_text"] == "p q r" and out[3]["n_removed"] == 0
+
+
+def test_chunk_dedup_plan_no_cartesian(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
+    plan = chunk_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+
+
+def test_temperature_resample_quota_shape(spark):
+    # 90/10 split, alpha=0.5: quotas ∝ sqrt(n) -> sqrt(90):sqrt(10) ≈ 3:1,
+    # so the small source is up-weighted vs its natural 9:1 share
+    rows = [(i, "big") for i in range(90)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    picked = temperature_resample(df, alpha=0.5, total=40).groupBy("source").count()
+    got = {r["source"]: r["count"] for r in picked.collect()}
+    assert got["big"] + got["small"] == 40
+    assert 8 <= got["small"] <= 12  # ~10 under temperature vs 4 natural
+
+
+def test_temperature_resample_deterministic(spark):
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {r["doc_id"] for r in temperature_resample(df, total=20).collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_resample(df.repartition(7), total=20).collect()
+    }
+    # per-source floor(share*total+0.5) rounding can drift from the exact
+    # budget by up to n_sources/2 rows; determinism is the contract
+    assert a == b and 18 <= len(a) <= 22

@@ -1,0 +1,163 @@
+"""Time-series operators: gap-fill grid shape/carry semantics and
+rolling z-score edge cases, pinned on hand-built frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.operators.timeseries import gap_fill_hourly, rolling_zscore
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def test_gap_fill_grid_and_carry(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _ts(0, 10), 10.0),
+            (1, _ts(0, 50), 11.0),  # same hour: last-by-ts wins
+            (1, _ts(3, 5), 12.0),  # hours 1,2 are gaps
+            (2, _ts(5, 0), 99.0),  # single-point series: one grid row
+        ],
+    )
+    out = {
+        (r["user_id"], r["hour"].hour): r
+        for r in gap_fill_hourly(ev).collect()
+    }
+    assert len(out) == 4 + 1  # user1 hours 0..3, user2 hour 5
+    assert out[(1, 0)]["n_events"] == 2 and out[(1, 0)]["last_value"] == 11.0
+    assert out[(1, 1)]["n_events"] == 0 and out[(1, 1)]["last_value"] is None
+    assert out[(1, 1)]["filled_value"] == 11.0  # carried across the gap
+    assert out[(1, 2)]["filled_value"] == 11.0
+    assert out[(1, 3)]["filled_value"] == 12.0
+    assert out[(2, 5)]["filled_value"] == 99.0
+
+
+def test_gap_fill_no_backfill_before_first_obs(spark):
+    # leading-edge rows exist only from each key's own min hour, so the
+    # first grid row always has an observation: filled_value never null
+    ev = _events(spark, [(1, _ts(2, 0), 5.0), (1, _ts(4, 0), 6.0)])
+    rows = sorted(gap_fill_hourly(ev).collect(), key=lambda r: r["hour"])
+    assert [r["hour"].hour for r in rows] == [2, 3, 4]
+    assert all(r["filled_value"] is not None for r in rows)
+
+
+def test_zscore_flags_outlier_and_respects_min_obs(spark):
+    base = [(1, _ts(0, m), 10.0 + (m % 3) * 0.5) for m in range(20)]
+    spike = [(1, _ts(1, 0), 1000.0)]
+    out = rolling_zscore(_events(spark, base + spike), min_obs=10).collect()
+    by_ts = {r["ts"]: r for r in out}
+    # first rows lack min_obs trailing history -> no score
+    assert by_ts[_ts(0, 0)]["zscore"] is None
+    assert not by_ts[_ts(0, 0)]["is_anomaly"]
+    # the spike is flagged
+    assert by_ts[_ts(1, 0)]["is_anomaly"] and by_ts[_ts(1, 0)]["zscore"] > 3
+
+
+def test_zscore_zero_variance_guard(spark):
+    ev = _events(spark, [(1, _ts(0, m), 7.0) for m in range(15)])
+    out = rolling_zscore(ev, min_obs=5).collect()
+    assert all(r["zscore"] is None and not r["is_anomaly"] for r in out)
+
+
+def test_gap_fill_single_shuffle_family(spark):
+    """The grid/observed join keys and the carry window all partition by
+    user — no per-row Python, no cartesian, no driver loop."""
+    ev = _events(spark, [(1, _ts(0), 1.0), (2, _ts(1), 2.0)])
+    plan = gap_fill_hourly(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_ohlc_deterministic_tie_break(spark):
+    from eventbridge_etl_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        # two events at the SAME timestamp: id order decides open/close
+        (2, _ts(0, 0), 1, "a", 5.0, None),
+        (1, _ts(0, 0), 1, "a", 3.0, None),
+        (3, _ts(0, 30), 1, "a", 9.0, None),
+        (4, _ts(1, 0), 1, "a", 2.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = {r["bucket"].hour: r for r in ohlc_bars(df).collect()}
+    assert out[0]["open"] == 3.0  # id 1 beats id 2 at the tied ts
+    assert out[0]["close"] == 9.0
+    assert out[0]["high"] == 9.0 and out[0]["low"] == 3.0
+    assert out[0]["n_events"] == 3 and out[0]["volume"] == 17.0
+    assert out[1]["open"] == out[1]["close"] == 2.0
+
+
+def test_counter_increase_resets(spark):
+    from eventbridge_etl_spark.operators.timeseries import counter_increase
+
+    ev = _events(
+        spark,
+        [(1, _ts(0, m), v) for m, v in enumerate([10.0, 12.0, 15.0, 3.0, 8.0])],
+    )
+    row = counter_increase(ev).collect()[0]
+    # +2 +3 (reset: 15->3 contributes 0) +5
+    assert row["n_obs"] == 5
+    assert row["total_increase"] == 10.0
+    assert row["n_resets"] == 1
+
+
+def test_funnel_ordered_semantics(spark):
+    from eventbridge_etl_spark.operators.funnel import funnel_counts, funnel_steps
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, _ts(0), 1, "view", 0.0, None),
+        (2, _ts(1), 1, "click", 0.0, None),
+        (3, _ts(2), 1, "purchase", 0.0, None),
+        # user 2: purchase BEFORE first view -> step 3 not reached
+        (4, _ts(0), 2, "purchase", 0.0, None),
+        (5, _ts(1), 2, "view", 0.0, None),
+        (6, _ts(2), 2, "click", 0.0, None),
+        # user 3: never viewed -> excluded entirely
+        (7, _ts(0), 3, "click", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    steps = {r["user_id"]: r for r in funnel_steps(df).collect()}
+    assert set(steps) == {1, 2}
+    assert steps[1]["n_steps"] == 3
+    assert steps[2]["n_steps"] == 2 and steps[2]["step_3_ts"] is None
+    counts = {r["step"]: r["n_users"] for r in funnel_counts(df).collect()}
+    assert counts == {1: 2, 2: 2, 3: 1}
+
+
+def test_retention_epoch_aligned_offsets(spark):
+    from eventbridge_etl_spark.operators.funnel import retention_cohorts
+
+    week = 7 * 24 * 3600
+    ev = _events(
+        spark,
+        [
+            (1, dt.datetime(2024, 1, 4), 1.0),   # cohort week W
+            (1, dt.datetime(2024, 1, 16), 1.0),  # W+2 (Jan 4 -> Jan 16 crosses 2 boundaries)
+            (2, dt.datetime(2024, 1, 4), 1.0),   # same cohort, only offset 0
+        ],
+    )
+    out = {(r["cohort_start"], r["period_offset"]): r["n_active"]
+           for r in retention_cohorts(ev, period_seconds=week).collect()}
+    starts = {k[0] for k in out}
+    assert len(starts) == 1  # one cohort
+    # 2024-01-04 sits exactly on an epoch-aligned 7-day boundary, so
+    # the cohort starts there and Jan 16 lands at offset 1
+    assert starts == {dt.datetime(2024, 1, 4)}
+    offs = {k[1]: v for k, v in out.items()}
+    assert offs == {0: 2, 1: 1}
