@@ -70,6 +70,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sample_temperature",
     "join_full_outer_coalesce",
     "agg_mode_deterministic",
+    "set_intersect_all",
+    "set_except_all",
+    "window_nth_value",
+    "join_salted_skew",
+    "fuzzy_match_part_names",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

@@ -974,3 +974,146 @@ def agg_mode_deterministic(spark, sf_dir):
             F.col("n").alias("mode_count"),
         )
     )
+
+
+_CUST_1996_ALL = """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+_CUST_1997_ALL = """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def _year_customers_all(od, year):
+    return od.filter(
+        (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    ).select("o_custkey")
+
+
+@query(
+    "set_intersect_all",
+    oracle=f"SELECT o_custkey FROM ({_CUST_1996_ALL}) INTERSECT ALL "
+    f"SELECT o_custkey FROM ({_CUST_1997_ALL})",
+)
+def set_intersect_all(spark, sf_dir):
+    """Multiset INTERSECT ALL: each customer key appears
+    min(count_1996, count_1997) times — bag semantics the DISTINCT
+    variants can't express.  Catalyst plans both ALL set-ops as a
+    partial-count aggregate per side + one shuffle, never a join of raw
+    rows."""
+    (od,) = _t(spark, sf_dir, "orders")
+    return _year_customers_all(od, 1996).intersectAll(_year_customers_all(od, 1997))
+
+
+@query(
+    "set_except_all",
+    oracle=f"SELECT o_custkey FROM ({_CUST_1996_ALL}) EXCEPT ALL "
+    f"SELECT o_custkey FROM ({_CUST_1997_ALL})",
+)
+def set_except_all(spark, sf_dir):
+    """Multiset EXCEPT ALL: 1996 order-count minus 1997 order-count
+    occurrences per customer."""
+    (od,) = _t(spark, sf_dir, "orders")
+    return _year_customers_all(od, 1996).exceptAll(_year_customers_all(od, 1997))
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey,
+             ROW_NUMBER() OVER ord AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+             first_value(o_totalprice) OVER ord AS first_price,
+             nth_value(o_totalprice, 2) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_price
+      FROM orders
+      WINDOW ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, n_orders, first_price, second_price
+    FROM w WHERE rn = 1
+    """,
+)
+def window_nth_value(spark, sf_dir):
+    """first_value / nth_value with an explicit unbounded frame —
+    nth_value(2) must see rows AFTER the current one, so the frame spec
+    is load-bearing (the default frame would return null)."""
+    (od,) = _t(spark, sf_dir, "orders")
+    ord_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = ord_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        od.select(
+            "o_custkey",
+            F.row_number().over(ord_w).alias("_rn"),
+            F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
+            F.first("o_totalprice").over(ord_w).alias("first_price"),
+            F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT p_name, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_name
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """The salted-join operator (operators/skew.py) gated against the
+    plain-join oracle: results must be identical — salting changes the
+    partitioning, never the semantics.  Broadcast is disabled for the
+    dimension via the salt replication itself (each replica carries a
+    distinct salt id)."""
+    from eventbridge_etl_spark.operators.skew import salted_join
+
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    joined = salted_join(
+        li.select(F.col("l_partkey").alias("k"), "l_quantity"),
+        part.select(F.col("p_partkey").alias("k"), "p_name"),
+        on=["k"],
+        n_salts=8,
+    )
+    return joined.groupBy("p_name").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@query(
+    "fuzzy_match_part_names",
+    oracle="""
+    WITH n AS (
+      SELECT p_name, COUNT(*) AS n_rows, MIN(p_partkey) AS rep_id
+      FROM part GROUP BY p_name
+    ),
+    b AS (
+      SELECT p_name, n_rows, rep_id,
+             regexp_split_to_array(p_name, '\\s+')[-1] AS blk
+      FROM n
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+           a.rep_id AS rep_id_a, b.rep_id AS rep_id_b
+    FROM b a JOIN b b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    """,
+)
+def fuzzy_match_part_names(spark, sf_dir):
+    """Blocked fuzzy linkage over part names: near-match pairs of
+    DISTINCT names (exact dups collapsed first) within last-token
+    blocks, levenshtein <= 2 (operators/linkage.fuzzy_match_blocked)."""
+    from eventbridge_etl_spark.operators.linkage import fuzzy_match_blocked
+
+    (part,) = _t(spark, sf_dir, "part")
+    return fuzzy_match_blocked(part, "p_partkey", "p_name", max_dist=2)

@@ -69,6 +69,10 @@ def test_chunk_dedup_plan_no_cartesian(spark):
     df = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
     plan = chunk_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+    # skew-safety: winner-per-chunk must be a map-side-combined agg,
+    # never a sort-the-whole-hot-chunk window
+    assert "Window" not in plan
+    assert "partial_min" in plan
 
 
 def test_temperature_resample_quota_shape(spark):
