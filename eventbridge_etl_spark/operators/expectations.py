@@ -1,0 +1,72 @@
+"""Declarative data-quality expectations: a contract checked in ONE
+pass over the table.
+
+The engine-side generalization of the reference's validity filter
+(reference lambda-fns/extract/s3SqsEventConsumer.ts:144-148 — drop
+records missing key/bucket/arn): instead of silently dropping, a loader
+declares the contract and gets a violations report to gate publishing
+on (the write-audit-publish pattern).
+
+Rules (all expressible as aggregate expressions, so the whole contract
+is a single hash aggregate with map-side partials — one scan, one
+1-row shuffle, regardless of rule count):
+
+- ``("not_null", col)``           — count of null values
+- ``("unique", col)``             — count of rows beyond the first per
+                                    duplicated non-null value
+- ``("in_range", col, lo, hi)``   — count outside [lo, hi] (nulls pass)
+- ``("accepted", col, values)``   — count outside the value list
+                                    (nulls pass; pair with not_null)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _violations(rule: tuple) -> tuple[str, Column]:
+    kind, col = rule[0], rule[1]
+    c = F.col(col)
+    if kind == "not_null":
+        return f"not_null({col})", F.count(F.when(c.isNull(), 1))
+    if kind == "unique":
+        # duplicate rows beyond the first occurrence of each value;
+        # count() ignores nulls on both terms, so null keys are exempt
+        return f"unique({col})", F.count(c) - F.count_distinct(c)
+    if kind == "in_range":
+        lo, hi = rule[2], rule[3]
+        return (
+            f"in_range({col}, {lo}, {hi})",
+            F.count(F.when(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))), 1)),
+        )
+    if kind == "accepted":
+        values = list(rule[2])
+        return (
+            f"accepted({col})",
+            F.count(F.when(c.isNotNull() & ~c.isin(values), 1)),
+        )
+    raise ValueError(f"unknown expectation rule: {kind!r}")
+
+
+def check_expectations(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` in one aggregate pass.
+
+    Returns one row per rule: ``(rule, n_violations, passed)`` in a
+    stable schema — the publish gate is ``passed`` being all-true."""
+    named = [_violations(r) for r in rules]
+    one = df.agg(*[expr.alias(f"_v{i}") for i, (_, expr) in enumerate(named)])
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"_v{i}").alias("n_violations"),
+                (F.col(f"_v{i}") == 0).alias("passed"),
+            )
+            for i, (name, _) in enumerate(named)
+        ]
+    )
+    return one.select(F.explode(rows).alias("_r")).select(
+        "_r.rule", "_r.n_violations", "_r.passed"
+    )

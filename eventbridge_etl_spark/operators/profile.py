@@ -1,0 +1,56 @@
+"""Table profiling: per-column statistics in ONE pass over the data.
+
+The engine-side analog of ``DataFrame.summary`` with deterministic,
+oracle-checkable output: row count, null count, exact distinct count,
+and string-imaged min/max per column.
+
+Scale shape: a single aggregate over the table computes every metric —
+Catalyst expands the multi-column ``count_distinct`` set via Expand
+(one shuffle, partials combined map-side), and the one-row result is
+reshaped to long form with an ``explode`` of a literal struct array
+(driver never sees the data, only the final k-row profile).  Cost is
+one scan + one shuffle regardless of column count; at 100 TB this is
+the cheapest complete profile possible without sketches (the sketch
+variants — approx_count_distinct — are gated separately).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Profile ``cols`` (default: all columns): returns one row per
+    column — ``(column, n_rows, n_nulls, n_distinct, min_value,
+    max_value)`` with min/max cast to string so heterogeneous column
+    types share one schema.  ``n_distinct`` is exact and excludes
+    nulls (SQL COUNT(DISTINCT) semantics in both engines)."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_value"),
+                F.col(f"_mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("_r")).select(
+        "_r.column", "_r.n_rows", "_r.n_nulls", "_r.n_distinct",
+        "_r.min_value", "_r.max_value",
+    )

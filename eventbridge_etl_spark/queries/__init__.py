@@ -75,6 +75,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "window_nth_value",
     "join_salted_skew",
     "fuzzy_match_part_names",
+    "scd2_user_state",
+    "profile_orders",
+    "events_path_trigrams",
+    "expect_orders_contract",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

@@ -276,3 +276,140 @@ def join_asof_attribution(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "ts", "value", "ts_matched", "event_id_matched"
     )
+
+
+# ---------------------------------------------------- round-4 additions
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS nr
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    r AS (
+      SELECT user_id, ts, event_type,
+             SUM(nr) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM o
+    ),
+    p AS (
+      SELECT user_id, run, min(ts) AS valid_from, min(event_type) AS event_type
+      FROM r GROUP BY user_id, run
+    )
+    SELECT user_id, valid_from, event_type,
+           lead(valid_from) OVER wr AS valid_to,
+           CAST(ROW_NUMBER() OVER wr AS BIGINT) AS version,
+           lead(valid_from) OVER wr IS NULL AS is_current
+    FROM p
+    WINDOW wr AS (PARTITION BY user_id ORDER BY run)
+    """,
+)
+def scd2_user_state(spark, sf_dir):
+    """SCD2 history from the event stream treated as a per-user state
+    change log (state = event_type): consecutive same-state rows
+    collapse into runs with [valid_from, valid_to) intervals
+    (operators/scd.scd2_from_changelog).  The versioned-history layer
+    over the reference's last-writer-wins load stage."""
+    from eventbridge_etl_spark.operators.scd import scd2_from_changelog
+
+    ev = _events(spark, sf_dir)
+    out = scd2_from_changelog(
+        ev, key_cols=["user_id"], ts_col="ts", attr_cols=["event_type"]
+    )
+    return out.withColumn("version", F.col("version").cast("long"))
+
+
+@query(
+    "profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders(spark, sf_dir):
+    """One-pass table profile (operators/profile.profile_columns) over
+    four orders columns: row/null/exact-distinct counts + string-imaged
+    min/max — the data-quality gate a loader runs before publishing."""
+    from eventbridge_etl_spark.operators.profile import profile_columns
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return profile_columns(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+
+
+@query(
+    "expect_orders_contract",
+    oracle="""
+    SELECT 'not_null(o_orderkey)' AS rule,
+           COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_violations,
+           COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey),
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice, 0.0, 10000000.0)',
+           COUNT(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0.0 OR o_totalprice > 10000000.0)
+                      THEN 1 END),
+           COUNT(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0.0 OR o_totalprice > 10000000.0)
+                      THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted(o_orderstatus)',
+           COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END),
+           COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END) = 0
+    FROM orders
+    """,
+)
+def expect_orders_contract(spark, sf_dir):
+    """Write-audit-publish contract over orders: key not-null + unique,
+    price range, status domain — all four rules in one aggregate pass
+    (operators/expectations.check_expectations)."""
+    from eventbridge_etl_spark.operators.expectations import check_expectations
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return check_expectations(
+        orders,
+        [
+            ("not_null", "o_orderkey"),
+            ("unique", "o_orderkey"),
+            ("in_range", "o_totalprice", 0.0, 10000000.0),
+            ("accepted", "o_orderstatus", ("F", "O", "P")),
+        ],
+    )

@@ -8,6 +8,8 @@ operators/timeseries.py for the scale rationale.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from eventbridge_etl_spark.operators.funnel import funnel_counts, retention_cohorts
 from eventbridge_etl_spark.operators.timeseries import (
     counter_increase,
@@ -195,3 +197,43 @@ def events_retention_cohorts(spark, sf_dir):
     """Weekly cohort retention matrix, epoch-aligned period arithmetic
     (operators/funnel.retention_cohorts)."""
     return retention_cohorts(_events(spark, sf_dir))
+
+
+@query(
+    "events_path_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path, COUNT(*) AS n
+    FROM s WHERE p2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 25
+    """,
+)
+def events_path_trigrams(spark, sf_dir):
+    """Most common 3-step event sequences (path analysis): one lag
+    window per user (single shuffle on the key), map-side-combined
+    count, TakeOrderedAndProject top-k with a deterministic
+    (count desc, path asc) tie-break."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        s.select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(25)
+    )

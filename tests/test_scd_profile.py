@@ -1,0 +1,121 @@
+"""SCD2 changelog compaction and one-pass table profiling, pinned on
+hand-built frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from eventbridge_etl_spark.operators.profile import profile_columns
+from eventbridge_etl_spark.operators.scd import scd2_as_of, scd2_from_changelog
+
+
+def _ts(d):
+    return dt.datetime(2024, 1, d)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, "k long, ts timestamp, seg string")
+
+
+def test_scd2_runs_and_intervals(spark):
+    log = _log(
+        spark,
+        [
+            (1, _ts(1), "bronze"),
+            (1, _ts(2), "bronze"),  # no change: collapses into run 1
+            (1, _ts(5), "gold"),
+            (1, _ts(9), "bronze"),  # back to bronze = NEW run, not merged
+            (2, _ts(3), "silver"),
+        ],
+    )
+    out = scd2_from_changelog(log, ["k"], "ts", ["seg"])
+    rows = {(r["k"], r["version"]): r for r in out.collect()}
+    assert len(rows) == 4  # 3 runs for k=1, 1 for k=2
+    r11, r12, r13 = rows[(1, 1)], rows[(1, 2)], rows[(1, 3)]
+    assert (r11["seg"], r11["valid_from"], r11["valid_to"]) == ("bronze", _ts(1), _ts(5))
+    assert (r12["seg"], r12["valid_from"], r12["valid_to"]) == ("gold", _ts(5), _ts(9))
+    assert r13["seg"] == "bronze" and r13["valid_to"] is None and r13["is_current"]
+    assert not r11["is_current"] and not r12["is_current"]
+    assert rows[(2, 1)]["is_current"]
+
+
+def test_scd2_null_attrs_handled(spark):
+    log = _log(spark, [(1, _ts(1), None), (1, _ts(2), None), (1, _ts(3), "a")])
+    out = scd2_from_changelog(log, ["k"], "ts", ["seg"]).collect()
+    # null==null must collapse (eqNullSafe), null->a must open a run
+    assert len(out) == 2
+    by_v = {r["version"]: r for r in out}
+    assert by_v[1]["seg"] is None and by_v[1]["valid_to"] == _ts(3)
+    assert by_v[2]["seg"] == "a" and by_v[2]["is_current"]
+
+
+def test_scd2_as_of_lookup(spark):
+    log = _log(spark, [(1, _ts(1), "bronze"), (1, _ts(5), "gold")])
+    dim = scd2_from_changelog(log, ["k"], "ts", ["seg"])
+    assert scd2_as_of(dim, _ts(3)).collect()[0]["seg"] == "bronze"
+    assert scd2_as_of(dim, _ts(5)).collect()[0]["seg"] == "gold"  # boundary: new run
+    assert scd2_as_of(dim, _ts(9)).collect()[0]["seg"] == "gold"  # open-ended
+
+
+def test_profile_columns_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (4, "a")], "x long, s string"
+    )
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    assert prof["x"]["n_rows"] == 4 and prof["x"]["n_nulls"] == 0
+    assert prof["x"]["n_distinct"] == 3
+    assert (prof["x"]["min_value"], prof["x"]["max_value"]) == ("1", "4")
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert (prof["s"]["min_value"], prof["s"]["max_value"]) == ("a", "b")
+
+
+def test_profile_single_aggregate_plan(spark):
+    df = spark.createDataFrame([(1, "a")], "x long, s string")
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "CartesianProduct" not in plan
+    # one aggregate over the input: Expand for the distinct set is fine,
+    # a join between per-column subplans is not
+    assert "Join" not in plan
+
+
+def test_expectations_violation_counts(spark):
+    from eventbridge_etl_spark.operators.expectations import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, -2.0, "b"), (None, 50.0, "a"), (3, None, "zz")],
+        "k long, v double, s string",
+    )
+    out = {r["rule"]: r for r in check_expectations(
+        df,
+        [
+            ("not_null", "k"),
+            ("unique", "k"),
+            ("in_range", "v", 0.0, 10.0),
+            ("accepted", "s", ("a", "b")),
+        ],
+    ).collect()}
+    assert out["not_null(k)"]["n_violations"] == 1
+    assert out["unique(k)"]["n_violations"] == 1  # two k=1 rows; null exempt
+    assert out["in_range(v, 0.0, 10.0)"]["n_violations"] == 2  # -2 and 50; null passes
+    assert out["accepted(s)"]["n_violations"] == 1  # "zz"
+    assert not any(r["passed"] for r in out.values())
+
+
+def test_expectations_single_pass_plan(spark):
+    from eventbridge_etl_spark.operators.expectations import check_expectations
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    plan = check_expectations(
+        df, [("not_null", "k"), ("unique", "k"), ("accepted", "s", ("a",))]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "PythonUDF" not in plan
+
+
+def test_expectations_unknown_rule_raises(spark):
+    import pytest
+
+    from eventbridge_etl_spark.operators.expectations import check_expectations
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        check_expectations(df, [("nope", "k")])

@@ -148,7 +148,7 @@ def test_retention_epoch_aligned_offsets(spark):
         spark,
         [
             (1, dt.datetime(2024, 1, 4), 1.0),   # cohort week W
-            (1, dt.datetime(2024, 1, 16), 1.0),  # W+2 (Jan 4 -> Jan 16 crosses 2 boundaries)
+            (1, dt.datetime(2024, 1, 16), 1.0),  # 12 days later -> offset 1
             (2, dt.datetime(2024, 1, 4), 1.0),   # same cohort, only offset 0
         ],
     )
@@ -161,3 +161,23 @@ def test_retention_epoch_aligned_offsets(spark):
     assert starts == {dt.datetime(2024, 1, 4)}
     offs = {k[1]: v for k, v in out.items()}
     assert offs == {0: 2, 1: 1}
+
+
+def test_funnel_single_fact_shuffle(spark):
+    """The whole step chain must plan as windows over ONE user
+    partitioning: one hash exchange on the key (plus the final
+    single-partition summary), never a shuffle per step."""
+    from eventbridge_etl_spark.operators.funnel import funnel_steps
+
+    rows = [(i, _ts(0, i % 60), i % 5, t, 0.0, None)
+            for i, t in enumerate(["view", "click", "purchase", "view", "click"] * 8)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    plan = funnel_steps(df)._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert len(hash_exchanges) == 1, plan
