@@ -79,6 +79,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "profile_orders",
     "events_path_trigrams",
     "expect_orders_contract",
+    "text_compression_ratio",
+    "multimodal_cdc_dedup",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

@@ -203,3 +203,33 @@ def sample_temperature(spark, sf_dir):
     (operators/sampling.temperature_resample)."""
     doc = _doc(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
     return temperature_resample(doc, alpha=0.5, total=300)
+
+
+@query("text_compression_ratio")  # rows-only: no zlib in the SQL oracle engine
+def text_compression_ratio(spark, sf_dir):
+    """Per-document zlib compression-ratio quality signal
+    (operators/compress.compression_ratio) — deterministic Arrow
+    mapInPandas; value behavior pinned in tests/test_cdc_compress.py
+    against the same zlib."""
+    from eventbridge_etl_spark.operators.compress import compression_ratio
+
+    doc = _doc(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return compression_ratio(doc)
+
+
+@query("multimodal_cdc_dedup")  # rows-only: stateful rolling hash, no SQL analog
+def multimodal_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking over binary payloads (text bytes via
+    the multimodal payload convention), then the storage-dedup top-20:
+    most-referenced chunk hashes with logical bytes
+    (operators/cdc_chunk).  Deterministic: version-pinned gear table,
+    (n_refs desc, chunk_hash) tie-break."""
+    from eventbridge_etl_spark.operators.cdc_chunk import cdc_chunks, cdc_dedup_stats
+
+    doc = _doc(spark, sf_dir).filter(F.col("doc_id") < 500)
+    chunks = cdc_chunks(doc.withColumn("_b", F.encode("text", "utf-8")), "doc_id", "_b")
+    return (
+        cdc_dedup_stats(chunks)
+        .orderBy(F.desc("n_refs"), "chunk_hash")
+        .limit(20)
+    )
