@@ -66,7 +66,7 @@ def scd2_from_changelog(
     )
 
 
-def scd2_as_of(dim: DataFrame, ts, keys_prefix: str = "") -> DataFrame:
+def scd2_as_of(dim: DataFrame, ts) -> DataFrame:
     """Point-in-time lookup on an SCD2 dimension: rows valid at ``ts``
     (``valid_from <= ts < valid_to``, open-ended current rows match).
     A plain filter — partition pruning applies when the dimension is

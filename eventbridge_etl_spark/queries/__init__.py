@@ -6,10 +6,18 @@ runs both and hash-compares (see ``/root/repo/__spark_entry__.py``).
 
 Submodules group the inventory:
 
-- ``pipeline_q``   — reference-operator analogs over the events table
-- ``relational``   — E5 relational core (joins/aggs/windows/sorts/setops)
-- ``functions_q``  — scalar function surface (string/date/math/array/json)
-- ``llm``          — E1-E4 dedup / similarity / text analysis
+- ``pipeline_q``    — reference-operator analogs over the events table,
+                      plus SCD2 / profiling / expectations warehouse ops
+- ``relational``    — E5 relational core (joins/aggs/windows/sorts/setops,
+                      fuzzy linkage, salted-join gate)
+- ``tpch_more``     — the full TPC-H q1-q22 shape set
+- ``functions_q``   — scalar function surface (string/date/math/array/json)
+- ``llm``           — E1-E4 dedup / similarity / multimodal / text analysis
+- ``corpus_q``      — corpus hygiene (Gopher gates, chunk dedup,
+                      temperature resampling, compression ratio, CDC)
+- ``timeseries_q``  — gap-fill / anomaly / OHLC / funnel / retention /
+                      path analysis over events
+- ``streaming_q``   — watermarked windows, sessions, dedup, interval join
 """
 
 from __future__ import annotations

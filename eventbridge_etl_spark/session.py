@@ -37,6 +37,16 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MiB
     "spark.sql.session.timeZone": "UTC",
+    # Runtime filters: a semi-join bloom filter built from the small side
+    # of a large shuffle join is pushed into the probe side's SCAN — at
+    # 100 TB this prunes fact rows before they ever reach the exchange.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Partition-pruning a fact scan from a joined dimension predicate
+    # (explicit: load-bearing for partitioned lakehouse layouts).
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+    # MIN/MAX/COUNT over plain parquet answer from footer statistics
+    # without reading data pages (off by default; no-filter scans only).
+    "spark.sql.parquet.aggregatePushdown": "true",
     # Streaming: bound state stores and enable RocksDB-style eviction when
     # available; harmless in batch.
     "spark.sql.streaming.stateStore.compression.codec": "lz4",
