@@ -89,6 +89,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "expect_orders_contract",
     "text_compression_ratio",
     "multimodal_cdc_dedup",
+    "rollup_incremental_merge",
+    "zorder_events_cluster",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

@@ -237,3 +237,82 @@ def events_path_trigrams(spark, sf_dir):
         .orderBy(F.desc("n"), "path")
         .limit(25)
     )
+
+
+@query(
+    "rollup_incremental_merge",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) / COUNT(*) AS DOUBLE), 4)
+             AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_incremental_merge(spark, sf_dir):
+    """Incremental-maintenance correctness gate: the rollup built from
+    the first 20 days MERGED with the last 10 days' raw delta must
+    equal the full recompute bitwise (decimal-state sums make merge
+    order irrelevant) — the oracle IS the full recompute
+    (operators/incremental)."""
+    from eventbridge_etl_spark.operators.incremental import (
+        hourly_rollup_state,
+        merge_rollup_state,
+        publish_rollup,
+    )
+
+    ev = _events(spark, sf_dir)
+    split = F.lit("2024-01-21").cast("timestamp")
+    prev = hourly_rollup_state(ev.filter(F.col("ts") < split))
+    merged = merge_rollup_state(prev, ev.filter(F.col("ts") >= split))
+    return publish_rollup(merged)
+
+
+def _morton_sql(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_events_cluster",
+    oracle=f"""
+    WITH k AS (
+      SELECT event_id,
+             user_id AS a,
+             CAST(least(greatest(floor(value), 0), 255) AS BIGINT) AS b
+      FROM events
+    )
+    SELECT event_id, a, b, {_morton_sql('a', 'b')} AS zv
+    FROM k
+    ORDER BY zv, event_id
+    LIMIT 200
+    """,
+)
+def zorder_events_cluster(spark, sf_dir):
+    """Morton (Z-order) clustering key over (user_id, value-bucket) —
+    the bit-interleave is pure JVM bitwise expressions
+    (operators/zorder.interleave_bits); the write-side payoff (footer
+    min/max pruning on BOTH dimensions) is measured from real parquet
+    statistics in tests/test_zorder.py."""
+    from eventbridge_etl_spark.operators.zorder import interleave_bits
+
+    ev = _events(spark, sf_dir)
+    a = F.col("user_id")
+    b = F.least(
+        F.greatest(F.floor("value").cast("long"), F.lit(0)), F.lit(255)
+    )
+    return (
+        ev.select(
+            "event_id", a.alias("a"), b.alias("b"),
+            interleave_bits(a, b, 8).alias("zv"),
+        )
+        .orderBy("zv", "event_id")
+        .limit(200)
+    )

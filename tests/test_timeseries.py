@@ -181,3 +181,60 @@ def test_funnel_single_fact_shuffle(spark):
         if "Exchange hashpartitioning" in l and "Reused" not in l
     ]
     assert len(hash_exchanges) == 1, plan
+
+
+def test_incremental_merge_equals_recompute(spark):
+    """merge(state(A), B) must equal state(A ∪ B) exactly, for any
+    split — including a bucket straddling the split."""
+    from eventbridge_etl_spark.operators.incremental import (
+        hourly_rollup_state,
+        merge_rollup_state,
+        publish_rollup,
+    )
+
+    rows = [
+        (1, _ts(0, 10), 1, "a", 1.5, None),
+        (2, _ts(0, 40), 1, "a", 2.25, None),  # same hour, after split
+        (3, _ts(1, 0), 2, "b", -3.0, None),
+        (4, _ts(1, 30), 2, "a", 0.125, None),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    all_ev = spark.createDataFrame(rows, schema)
+    a = spark.createDataFrame(rows[:2], schema)
+    b = spark.createDataFrame(rows[2:], schema)
+    # split straddles hour 0? rows[0:2] are both hour 0 — use uneven split
+    a2 = spark.createDataFrame(rows[:1], schema)
+    b2 = spark.createDataFrame(rows[1:], schema)
+    full = {tuple(r) for r in publish_rollup(hourly_rollup_state(all_ev)).collect()}
+    for prev_df, delta_df in ((a, b), (a2, b2)):
+        merged = publish_rollup(
+            merge_rollup_state(hourly_rollup_state(prev_df), delta_df)
+        )
+        assert {tuple(r) for r in merged.collect()} == full
+
+
+def test_incremental_merge_is_associative_chain(spark):
+    """Three-way day-by-day folding equals one-shot recompute."""
+    from eventbridge_etl_spark.operators.incremental import (
+        hourly_rollup_state,
+        merge_rollup_state,
+        publish_rollup,
+    )
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 3, i % 24), i % 4, "t", i * 0.1, None)
+            for i in range(60)]
+    all_ev = spark.createDataFrame(rows, schema)
+    state = hourly_rollup_state(
+        all_ev.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    )
+    for day in (2, 3):
+        lo = dt.datetime(2024, 1, day)
+        hi = dt.datetime(2024, 1, day + 1)
+        delta = all_ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        state = merge_rollup_state(state, delta)
+    got = {tuple(r) for r in publish_rollup(state).collect()}
+    want = {tuple(r) for r in publish_rollup(hourly_rollup_state(all_ev)).collect()}
+    assert got == want
