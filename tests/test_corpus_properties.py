@@ -93,3 +93,57 @@ def test_fuzzy_match_matches_bruteforce(spark, name_list):
                 x, y = sorted((a, b))
                 expect.add((x, y, d))
     assert got == expect
+
+
+# ------------------------------------------------- SCD2 vs brute force
+
+from eventbridge_etl_spark.operators.scd import scd2_from_changelog  # noqa: E402
+
+_scd_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # key
+        st.integers(min_value=0, max_value=9),            # ts offset (days)
+        st.sampled_from(["a", "b", None]),                # state (nullable)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _scd2_oracle(rows):
+    """Brute-force SCD2: per key, order by (ts, state with None first —
+    matching Spark/DuckDB NULLS FIRST asc), collapse equal-adjacent,
+    emit intervals."""
+    import datetime as dt
+
+    by_key = {}
+    for k, off, seg in rows:
+        by_key.setdefault(k, []).append((dt.datetime(2024, 1, 1 + off), seg))
+    out = []
+    for k, evs in by_key.items():
+        evs.sort(key=lambda e: (e[0], e[1] is not None, e[1] or ""))
+        runs = []
+        for ts, seg in evs:
+            if not runs or runs[-1][1] != seg:
+                runs.append([ts, seg])
+        for i, (ts, seg) in enumerate(runs):
+            valid_to = runs[i + 1][0] if i + 1 < len(runs) else None
+            out.append((k, seg, ts, valid_to, i + 1, valid_to is None))
+    return set(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_scd_logs)
+def test_scd2_matches_bruteforce(spark, rows):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1 + off), seg) for k, off, seg in rows],
+        "k long, ts timestamp, seg string",
+    )
+    got = {
+        (r["k"], r["seg"], r["valid_from"], r["valid_to"], r["version"],
+         r["is_current"])
+        for r in scd2_from_changelog(df, ["k"], "ts", ["seg"]).collect()
+    }
+    assert got == _scd2_oracle(rows)

@@ -318,3 +318,81 @@ def test_stream_stream_interval_join(spark, tmp_path):
         interval_join_streams(
             ps, ps, ["user_id"], "purchase_ts", "purchase_ts", "1 hour", "1 hour", "1 hour"
         )
+
+
+def test_streaming_continuous_rollup_merge(spark, tmp_path):
+    """The streaming continuous aggregate: per-epoch merge must equal a
+    batch recompute over everything ingested, survive restarts with the
+    same checkpoint, and stay idempotent when an epoch directory is
+    replayed."""
+    import json as _json
+
+    from eventbridge_etl_spark.operators.incremental import (
+        hourly_rollup_state,
+        publish_rollup,
+    )
+    from eventbridge_etl_spark.streaming.rollup import (
+        make_rollup_sink,
+        read_rollup_state,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    state_dir = str(tmp_path / "rollup_state")
+    os.makedirs(landing, exist_ok=True)
+
+    def write_events(name, rows):
+        with open(os.path.join(landing, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    schema = "ts timestamp, event_type string, value double"
+    rows1 = [{"ts": "2024-01-01 00:10:00", "event_type": "a", "value": 1.5},
+             {"ts": "2024-01-01 00:40:00", "event_type": "a", "value": 2.0},
+             {"ts": "2024-01-01 01:00:00", "event_type": "b", "value": -1.0}]
+    rows2 = [{"ts": "2024-01-01 00:50:00", "event_type": "a", "value": 4.0},
+             {"ts": "2024-01-01 02:00:00", "event_type": "c", "value": 7.0}]
+    write_events("f1.jsonl", rows1)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .json(landing)
+            .writeStream.foreachBatch(make_rollup_sink(state_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    write_events("f2.jsonl", rows2)
+    run()  # restart with the same checkpoint: only f2 is new
+
+    all_rows = spark.createDataFrame(
+        [(r["ts"], r["event_type"], r["value"]) for r in rows1 + rows2],
+        "ts string, event_type string, value double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type", "value")
+    want = {tuple(r) for r in publish_rollup(hourly_rollup_state(all_rows)).collect()}
+    state = read_rollup_state(spark, state_dir)
+    got = {tuple(r) for r in publish_rollup(state).collect()}
+    assert got == want
+
+    # replaying the LAST epoch (crash-after-write, pre-commit) is
+    # idempotent: rebuild it from the prior state and identical input
+    from eventbridge_etl_spark.streaming.rollup import _committed_epochs
+
+    epochs = _committed_epochs(state_dir)
+    last = epochs[-1]
+    batch2 = spark.createDataFrame(
+        [(r["ts"], r["event_type"], r["value"]) for r in rows2],
+        "ts string, event_type string, value double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type", "value")
+    make_rollup_sink(state_dir)(batch2, last)
+    got2 = {tuple(r) for r in publish_rollup(read_rollup_state(spark, state_dir)).collect()}
+    assert got2 == want
+
+    # a third run with nothing new changes nothing
+    run()
+    got3 = {tuple(r) for r in publish_rollup(read_rollup_state(spark, state_dir)).collect()}
+    assert got3 == want
