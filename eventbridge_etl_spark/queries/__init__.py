@@ -91,6 +91,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_cdc_dedup",
     "rollup_incremental_merge",
     "zorder_events_cluster",
+    "fn_bitwise_surface",
+    "events_outlier_iqr",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

@@ -395,3 +395,29 @@ def fn_generator_surface(spark, sf_dir):
         )
         .select("n_nationkey", "seq_val", "word", F.col("word_idx").cast("long").alias("word_idx"))
     )
+
+
+@query(
+    "fn_bitwise_surface",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_orderkey & 255) AS key_bit_and,
+           bit_or(o_orderkey & 255)  AS key_bit_or,
+           bit_xor(o_orderkey & 255) AS key_bit_xor,
+           COUNT(*)                  AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def fn_bitwise_surface(spark, sf_dir):
+    """Bitwise aggregate surface (bit_and/bit_or/bit_xor) over a masked
+    key — the aggregate layer of the same scalar bitwise family the
+    Z-order Morton encoding uses (operators/zorder.py)."""
+    od = _t(spark, sf_dir, "orders")
+    masked = F.col("o_orderkey").bitwiseAND(F.lit(255))
+    return od.groupBy("o_orderstatus").agg(
+        F.bit_and(masked).alias("key_bit_and"),
+        F.bit_or(masked).alias("key_bit_or"),
+        F.bit_xor(masked).alias("key_bit_xor"),
+        F.count("*").alias("n"),
+    )

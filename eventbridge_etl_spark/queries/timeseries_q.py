@@ -316,3 +316,69 @@ def zorder_events_cluster(spark, sf_dir):
         .orderBy("zv", "event_id")
         .limit(200)
     )
+
+
+@query(
+    "events_outlier_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT e.event_type,
+           ROUND(f.q1, 4) AS q1,
+           ROUND(f.q3, 4) AS q3,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 END)
+             AS n_outliers,
+           MIN(CASE WHEN e.value < f.lo OR e.value > f.hi THEN e.value END)
+             AS min_outlier,
+           MAX(CASE WHEN e.value < f.lo OR e.value > f.hi THEN e.value END)
+             AS max_outlier
+    FROM events e JOIN f USING (event_type)
+    GROUP BY e.event_type, f.q1, f.q3
+    """,
+)
+def events_outlier_iqr(spark, sf_dir):
+    """Tukey-fence outlier screen per event type: exact interpolated
+    quartiles (type-cardinality agg, broadcast back), fences at
+    1.5×IQR, outlier counts + extremes in one second pass.  The fence
+    arithmetic is pure double ops on identical quartile values, so
+    both engines agree bitwise; at 100 TB swap the exact percentile
+    for approx_percentile (mergeable t-digest) per the agg_percentiles
+    note."""
+    ev = _events(spark, sf_dir)
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    f = q.select(
+        "event_type", "q1", "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    is_out = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(is_out, 1)).alias("n_outliers"),
+            F.min(F.when(is_out, F.col("value"))).alias("min_outlier"),
+            F.max(F.when(is_out, F.col("value"))).alias("max_outlier"),
+        )
+        .select(
+            "event_type",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            "n_events", "n_outliers", "min_outlier", "max_outlier",
+        )
+    )
