@@ -134,8 +134,6 @@ def counter_increase(
     order-independent across engines.  One partition-local lag window
     + one hash aggregate on the same key — a single shuffle.
     """
-    from pyspark.sql import Window
-
     v = F.col(value_col)
     w = Window.partitionBy(key_col).orderBy(ts_col, "event_id" if "event_id" in events.columns else ts_col)
     delta = v - F.lag(v).over(w)

@@ -238,3 +238,30 @@ def test_incremental_merge_is_associative_chain(spark):
     got = {tuple(r) for r in publish_rollup(state).collect()}
     want = {tuple(r) for r in publish_rollup(hourly_rollup_state(all_ev)).collect()}
     assert got == want
+
+
+def test_round4_event_query_shuffle_budgets(spark):
+    """Pin the exchange budget of the round-4 event operators: the
+    window families must share ONE key partitioning; aggregates must
+    be single-shuffle."""
+    from eventbridge_etl_spark.queries import QUERIES, load_all
+
+    load_all()
+    budgets = {
+        "scd2_user_state": 1,          # 3 windows, one key exchange
+        "events_ohlc_hourly": 1,       # single combined agg
+        "events_counter_increase": 1,  # lag window + agg, same key
+        "events_path_trigrams": 2,     # user window + bigram agg
+        "events_retention_cohorts": 3, # first-seen agg, join, matrix agg
+    }
+    for name, budget in budgets.items():
+        plan = (
+            QUERIES[name](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        hx = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "Reused" not in l
+        ]
+        assert len(hx) <= budget, (name, len(hx), budget)
+        assert "CartesianProduct" not in plan and "PythonUDF" not in plan, name
