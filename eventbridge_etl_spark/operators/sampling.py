@@ -161,3 +161,49 @@ def temperature_resample(
         .filter(F.col("_rn") <= F.col("_k"))
         .drop("_rn", "_k")
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted (probability-proportional-to-size) systematic sampling:
+    lay k evenly-spaced points over the cumulative INTEGER weight line
+    (rows ordered by key hash) and keep every row an arrival point
+    lands in — inclusion probability ∝ weight, exactly k points per
+    group, deterministic.
+
+    Selection is pure integer arithmetic — ``points_below(x) =
+    (x*k + total - 1) div total`` — so any engine reproduces the same
+    sample bitwise (no float division anywhere).  Weights must be
+    positive integers; with 64-bit intermediates this holds to
+    ``total * k < 2^63`` — beyond that, widen to decimal.
+
+    Scale shape: two window passes over ONE group partitioning (running
+    and total weight), then a map-side filter.  Grouped (the normal
+    corpus case: per-source budgets) there is no global sort; ungrouped
+    falls back to a single-partition ordering — use groups at scale.
+    """
+    key, w = F.col(key_col), F.col(weight_col).cast("long")
+    order = [F.md5(key.cast("string")), key]
+    part = [group_col] if group_col else []
+    run = Window.partitionBy(*part).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    whole = Window.partitionBy(*part).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_i = F.sum(w).over(run)
+    total = F.sum(w).over(whole)
+    # points_below(x) = ceil(x*k/total) via integer arithmetic only
+    n_hi = F.expr(f"(_wi * {k} + _tot - 1) div _tot")
+    n_lo = F.expr(f"((_wi - {weight_col}) * {k} + _tot - 1) div _tot")
+    return (
+        df.withColumn("_wi", w_i)
+        .withColumn("_tot", total)
+        .filter(n_hi > n_lo)
+        .drop("_wi", "_tot")
+    )

@@ -93,6 +93,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "zorder_events_cluster",
     "fn_bitwise_surface",
     "events_outlier_iqr",
+    "sample_weighted_pps",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 
 from eventbridge_etl_spark.operators import text as X
 from eventbridge_etl_spark.operators.dedup import chunk_dedup
-from eventbridge_etl_spark.operators.sampling import temperature_resample
+from eventbridge_etl_spark.operators.sampling import (
+    temperature_resample,
+    weighted_systematic_sample,
+)
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
 
@@ -232,4 +235,32 @@ def multimodal_cdc_dedup(spark, sf_dir):
         cdc_dedup_stats(chunks)
         .orderBy(F.desc("n_refs"), "chunk_hash")
         .limit(20)
+    )
+
+
+@query(
+    "sample_weighted_pps",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS wi,
+             SUM(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM s
+    WHERE (wi * 40 + tot - 1) // tot > ((wi - n_chars) * 40 + tot - 1) // tot
+    """,
+)
+def sample_weighted_pps(spark, sf_dir):
+    """Weighted systematic (PPS) sampling, 40 points per source with
+    inclusion probability proportional to document length — selection is
+    pure integer arithmetic, so the oracle reproduces it bitwise
+    (operators/sampling.weighted_systematic_sample)."""
+    doc = _doc(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return weighted_systematic_sample(
+        doc, key_col="doc_id", weight_col="n_chars", k=40, group_col="source"
     )

@@ -97,3 +97,23 @@ def test_temperature_resample_deterministic(spark):
     # per-source floor(share*total+0.5) rounding can drift from the exact
     # budget by up to n_sources/2 rows; determinism is the contract
     assert a == b and 18 <= len(a) <= 22
+
+
+def test_weighted_pps_sample_properties(spark):
+    from eventbridge_etl_spark.operators.sampling import weighted_systematic_sample
+
+    # one giant doc (weight > step) MUST be sampled; k points per group
+    rows = [(i, "s", 10) for i in range(50)] + [(999, "s", 5000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = weighted_systematic_sample(df, "doc_id", "n_chars", k=10, group_col="source")
+    got = {r["doc_id"] for r in out.collect()}
+    assert 999 in got          # weight 5000 of 5500 total: always hit
+    assert len(got) <= 10      # at most k distinct rows selected
+    # deterministic under repartitioning
+    got2 = {
+        r["doc_id"]
+        for r in weighted_systematic_sample(
+            df.repartition(7), "doc_id", "n_chars", k=10, group_col="source"
+        ).collect()
+    }
+    assert got == got2
