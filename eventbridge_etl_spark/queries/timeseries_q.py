@@ -1,9 +1,14 @@
-"""Time-series queries over the events table: hourly gap-fill
-resampling and rolling z-score anomaly flags.
+"""Time-series and product-analytics queries over the events table:
+hourly gap-fill resampling, rolling z-score anomalies, OHLC bars,
+counter increase, ordered funnel, cohort retention, path trigrams,
+incremental rollup merging, Z-order clustering keys, and IQR outlier
+screening.
 
-Oracles replicate the exact algorithm (decimal running sums, max_by
-last-observation semantics) so both engines hash-match; see
-operators/timeseries.py for the scale rationale.
+Oracles replicate the exact algorithms (decimal running sums, max_by
+last-observation semantics, integer period arithmetic, generated
+bitwise SQL) so both engines hash-match; see operators/timeseries.py,
+operators/funnel.py, operators/incremental.py, and operators/zorder.py
+for the scale rationale.
 """
 
 from __future__ import annotations
