@@ -94,6 +94,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "fn_bitwise_surface",
     "events_outlier_iqr",
     "sample_weighted_pps",
+    "agg_correlation",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

@@ -387,3 +387,47 @@ def events_outlier_iqr(spark, sf_dir):
             "n_events", "n_outliers", "min_outlier", "max_outlier",
         )
     )
+
+
+@query(
+    "agg_correlation",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             rank() OVER (PARTITION BY event_type ORDER BY value) AS rv,
+             rank() OVER (PARTITION BY event_type
+                          ORDER BY CAST(json_extract_string(props, '$.k')
+                                        AS INTEGER)) AS rk
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(corr(value, k), 6) AS pearson,
+           ROUND(corr(rv, rk), 6) AS spearman_minrank
+    FROM t GROUP BY event_type
+    """,
+)
+def agg_correlation(spark, sf_dir):
+    """Correlation surface per event type: Pearson on the raw pair
+    (rounded — float summation order differs across engines) and a
+    rank correlation on min-ranks (Spearman's formula with rank() tie
+    handling — rank sums are integer-valued doubles below 2^53, so the
+    rank statistic is EXACT cross-engine).  One window family + one
+    aggregate, both on the same type partitioning."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wk = Window.partitionBy("event_type").orderBy(k)
+    t = ev.select(
+        "event_type", "value", k.alias("k"),
+        F.rank().over(wv).alias("rv"),
+        F.rank().over(wk).alias("rk"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("value", "k"), 6).alias("pearson"),
+        F.round(F.corr("rv", "rk"), 6).alias("spearman_minrank"),
+    )
