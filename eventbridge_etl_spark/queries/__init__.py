@@ -95,6 +95,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_outlier_iqr",
     "sample_weighted_pps",
     "agg_correlation",
+    "join_lateral_top2",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

@@ -1117,3 +1117,33 @@ def fuzzy_match_part_names(spark, sf_dir):
 
     (part,) = _t(spark, sf_dir, "part")
     return fuzzy_match_blocked(part, "p_partkey", "p_name", max_dist=2)
+
+
+@query(
+    "join_lateral_top2",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+)
+def join_lateral_top2(spark, sf_dir):
+    """Correlated LATERAL subquery (each customer's two priciest
+    orders) — the SQL-surface twin of window_topk_per_group.  Catalyst
+    de-correlates it into a join + per-group limit; the deterministic
+    (price desc, orderkey) tie-break keeps the 2-boundary stable across
+    engines."""
+    cust, od = _t(spark, sf_dir, "customer", "orders")
+    cust.createOrReplaceTempView("_lat_customer")
+    od.createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )
