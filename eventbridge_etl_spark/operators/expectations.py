@@ -70,3 +70,34 @@ def check_expectations(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
     return one.select(F.explode(rows).alias("_r")).select(
         "_r.rule", "_r.n_violations", "_r.passed"
     )
+
+
+def check_referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Cross-table contract: every non-null ``child_key`` value must
+    exist in ``parent.parent_key``.  Returns the same one-row-per-rule
+    shape as ``check_expectations``.
+
+    Implemented as a LEFT ANTI join count — at scale this is a shuffle
+    (or broadcast, when the parent's distinct keys fit) semi-join with
+    runtime bloom-filter pruning on the child scan (session.py), never
+    a full materialization of the orphan rows."""
+    orphans = (
+        child.select(F.col(child_key).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias("_k")).distinct(),
+            "_k",
+            "left_anti",
+        )
+    )
+    n = orphans.agg(F.count("*").alias("_n"))
+    return n.select(
+        F.lit(f"fk({child_key} -> {parent_key})").alias("rule"),
+        F.col("_n").alias("n_violations"),
+        (F.col("_n") == 0).alias("passed"),
+    )

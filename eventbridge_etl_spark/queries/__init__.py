@@ -96,6 +96,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sample_weighted_pps",
     "agg_correlation",
     "join_lateral_top2",
+    "expect_referential_integrity",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

@@ -413,3 +413,32 @@ def expect_orders_contract(spark, sf_dir):
             ("accepted", "o_orderstatus", ("F", "O", "P")),
         ],
     )
+
+
+@query(
+    "expect_referential_integrity",
+    oracle="""
+    SELECT 'fk(l_orderkey -> o_orderkey)' AS rule,
+           COUNT(*) FILTER (WHERE o IS NULL) AS n_violations,
+           COUNT(*) FILTER (WHERE o IS NULL) = 0 AS passed
+    FROM (
+      SELECT l.l_orderkey,
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey LIMIT 1) AS o
+      FROM lineitem l
+      WHERE l.l_orderkey IS NOT NULL
+    )
+    """,
+)
+def expect_referential_integrity(spark, sf_dir):
+    """Foreign-key contract lineitem.l_orderkey -> orders.o_orderkey as
+    a LEFT ANTI join count (operators/expectations
+    .check_referential_integrity)."""
+    from eventbridge_etl_spark.operators.expectations import (
+        check_referential_integrity,
+    )
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    return check_referential_integrity(
+        t["lineitem"], t["orders"], "l_orderkey", "o_orderkey"
+    )

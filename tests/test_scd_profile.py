@@ -119,3 +119,18 @@ def test_expectations_unknown_rule_raises(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         check_expectations(df, [("nope", "k")])
+
+
+def test_referential_integrity_counts_orphans(spark):
+    from eventbridge_etl_spark.operators.expectations import (
+        check_referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = check_referential_integrity(child, parent, "fk", "pk").collect()[0]
+    assert row["rule"] == "fk(fk -> pk)"
+    assert row["n_violations"] == 1  # only 9 is an orphan; null exempt
+    assert not row["passed"]
