@@ -147,3 +147,104 @@ def test_scd2_matches_bruteforce(spark, rows):
         for r in scd2_from_changelog(df, ["k"], "ts", ["seg"]).collect()
     }
     assert got == _scd2_oracle(rows)
+
+
+# ------------------------------------------- OHLC bars vs brute force
+
+from eventbridge_etl_spark.operators.timeseries import ohlc_bars  # noqa: E402
+
+_ev_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),     # hour
+        st.integers(min_value=0, max_value=59),    # minute
+        st.sampled_from(["a", "b"]),               # type
+        st.integers(min_value=-5, max_value=50),   # value (int-valued double)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_ev_rows)
+def test_ohlc_matches_bruteforce(spark, rows):
+    import datetime as dt
+
+    data = [
+        (i, dt.datetime(2024, 1, 1, h, m), 1, t, float(v), None)
+        for i, (h, m, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    got = {
+        (r["event_type"], r["bucket"].hour): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"], r["volume"]
+        )
+        for r in ohlc_bars(df).collect()
+    }
+    expect = {}
+    for t in {r[2] for r in rows}:
+        for h in {r[0] for r in rows if r[2] == t}:
+            grp = sorted(
+                (i, v) for i, (hh, m, tt, v) in enumerate(rows)
+                if tt == t and hh == h
+            )
+            ordered = sorted(
+                grp,
+                key=lambda iv: (data[iv[0]][1], iv[0]),  # (ts, event_id)
+            )
+            vals = [float(v) for _, v in grp]
+            expect[(t, h)] = (
+                float(ordered[0][1]), max(vals), min(vals),
+                float(ordered[-1][1]), len(vals), round(sum(vals), 2),
+            )
+    assert got == expect
+
+
+# ----------------------------------------- gap-fill grid vs brute force
+
+from eventbridge_etl_spark.operators.timeseries import gap_fill_hourly  # noqa: E402
+
+_gap_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),     # user
+        st.integers(min_value=0, max_value=8),     # hour
+        st.integers(min_value=0, max_value=59),    # minute
+        st.integers(min_value=0, max_value=9),     # value
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_gap_rows)
+def test_gap_fill_matches_bruteforce(spark, rows):
+    import datetime as dt
+
+    # one observation per (user, timestamp): max_by on a tied timestamp
+    # is arbitrary in any engine, so ties are out of the contract
+    uniq = {(u, h, m): v for u, h, m, v in rows}
+    data = [
+        (u, dt.datetime(2024, 1, 1, h, m), float(v))
+        for (u, h, m), v in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["hour"].hour): (r["n_events"], r["last_value"], r["filled_value"])
+        for r in gap_fill_hourly(df).collect()
+    }
+    expect = {}
+    for u in {r[0] for r in rows}:
+        obs = sorted((ts, v) for uu, ts, v in data if uu == u)
+        h0, h1 = obs[0][0].hour, obs[-1][0].hour
+        carry = None
+        for h in range(h0, h1 + 1):
+            in_hour = [(ts, v) for ts, v in obs if ts.hour == h]
+            last = max(in_hour)[1] if in_hour else None
+            if last is not None:
+                carry = last
+            expect[(u, h)] = (len(in_hour), last, carry)
+    assert got == expect
