@@ -97,6 +97,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "agg_correlation",
     "join_lateral_top2",
     "expect_referential_integrity",
+    "events_hopping_windows",
+    "events_time_hierarchy_rollup",
+    "events_value_histogram",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

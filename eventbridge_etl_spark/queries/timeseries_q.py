@@ -431,3 +431,93 @@ def agg_correlation(spark, sf_dir):
         F.round(F.corr("value", "k"), 6).alias("pearson"),
         F.round(F.corr("rv", "rk"), 6).alias("spearman_minrank"),
     )
+
+
+@query(
+    "events_hopping_windows",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+      FROM events
+    )
+    SELECT event_type, win_start,
+           win_start + INTERVAL 2 HOUR AS win_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM w GROUP BY event_type, win_start
+    """,
+)
+def events_hopping_windows(spark, sf_dir):
+    """Hopping (sliding) event-time windows — 2-hour duration, 1-hour
+    slide, so every event lands in exactly two overlapping windows.
+    Spark's native `window()` generator expands the assignment
+    JVM-side; the oracle unnests the same two window starts.  Batch
+    twin of the streaming tumbling-window gate, covering the
+    overlapping case."""
+    ev = _events(spark, sf_dir)
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy("event_type", win.alias("_w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("_w.start").alias("win_start"),
+            F.col("_w.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_time_hierarchy_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def events_time_hierarchy_rollup(spark, sf_dir):
+    """Time-hierarchy rollup (grand total -> day -> hour) in one
+    aggregate: subtotal rows carry NULL at the finer grain in both
+    engines.  The time twin of agg_rollup's dimension hierarchy."""
+    ev = _events(spark, sf_dir)
+    return ev.rollup(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(least(greatest(floor(value / 10), -2), 12) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type (width-bucket
+    semantics: floor(v/width) clamped to edge bins) — one map-side
+    combined aggregate; bin cardinality is constant, so the exchange
+    moves ~nothing at any scale."""
+    ev = _events(spark, sf_dir)
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 10), F.lit(-2)), F.lit(12)
+    ).cast("long")
+    return ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count("*").alias("n")
+    )
