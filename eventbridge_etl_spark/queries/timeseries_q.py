@@ -521,3 +521,30 @@ def events_value_histogram(spark, sf_dir):
     return ev.groupBy("event_type", bin_.alias("bin")).agg(
         F.count("*").alias("n")
     )
+
+
+@query(
+    "events_dow_seasonality",
+    oracle="""
+    SELECT isodow(ts) AS dow,
+           EXTRACT(hour FROM ts) AS hour,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_dow_seasonality(spark, sf_dir):
+    """Day-of-week x hour-of-day seasonality heatmap.  Weekday
+    numbering differs across engines (Spark dayofweek is
+    Sunday-first), so the query standardizes on ISO (Monday=1) —
+    Spark's Monday-0 `weekday()+1` equals DuckDB's `isodow`.
+    Constant output cardinality (7x24): the exchange moves nothing."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
