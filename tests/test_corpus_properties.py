@@ -248,3 +248,66 @@ def test_gap_fill_matches_bruteforce(spark, rows):
                 carry = last
             expect[(u, h)] = (len(in_hour), last, carry)
     assert got == expect
+
+
+# --------------------------------------------- funnel vs brute force
+
+from eventbridge_etl_spark.operators.funnel import funnel_steps  # noqa: E402
+
+_funnel_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),                  # user
+        st.integers(min_value=0, max_value=30),                 # minute
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _funnel_oracle(data, steps=("view", "click", "purchase")):
+    """First qualifying ts per step, step i strictly after step i-1."""
+    out = {}
+    by_user = {}
+    for eid, (u, ts, tp) in enumerate(data):
+        by_user.setdefault(u, []).append((ts, tp))
+    for u, evs in by_user.items():
+        prev, times = None, []
+        for step in steps:
+            cands = [ts for ts, tp in evs
+                     if tp == step and (prev is None or ts > prev)]
+            cur = min(cands) if cands else None
+            times.append(cur)
+            if cur is None:
+                break
+            prev = cur
+        if times[0] is None:
+            continue
+        times += [None] * (len(steps) - len(times))
+        out[u] = (tuple(times), sum(1 for t in times if t is not None))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(_funnel_rows)
+def test_funnel_matches_bruteforce(spark, rows):
+    import datetime as dt
+
+    # unique (user, ts): ties between different step types at the same
+    # instant make "strictly after" order-dependent — out of contract
+    uniq = {(u, m): tp for u, m, tp in rows}
+    data = [
+        (u, dt.datetime(2024, 1, 1, 0, m), tp)
+        for (u, m), tp in sorted(uniq.items())
+    ]
+    df = spark.createDataFrame(
+        [(i, u, ts, tp, 0.0) for i, (u, ts, tp) in enumerate(data)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {
+        r["user_id"]: (
+            (r["step_1_ts"], r["step_2_ts"], r["step_3_ts"]), r["n_steps"]
+        )
+        for r in funnel_steps(df).collect()
+    }
+    assert got == _funnel_oracle(data)
