@@ -101,6 +101,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_time_hierarchy_rollup",
     "events_value_histogram",
     "events_dow_seasonality",
+    "streaming_rollup_merge",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

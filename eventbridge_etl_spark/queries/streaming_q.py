@@ -251,3 +251,60 @@ def streaming_running_totals(spark, sf_dir):
         "max_ts_us",
         (F.abs(F.col("_state_sum") - F.col("_batch_sum")) <= tol).alias("state_sum_ok"),
     )
+
+
+@query(
+    "streaming_rollup_merge",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) / COUNT(*) AS DOUBLE), 4)
+             AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_rollup_merge(spark, sf_dir):
+    """The continuous aggregate (streaming/rollup.py) driver-gated: the
+    events table lands as TWO files, each processed in its own
+    micro-batch (maxFilesPerTrigger=1), so the second epoch genuinely
+    MERGES into the first's state — and the terminal state must equal
+    the batch full recompute, which is exactly the oracle.  The
+    decimal-state design makes the result independent of how the input
+    was split into epochs."""
+    import os
+
+    from eventbridge_etl_spark.operators.incremental import publish_rollup
+    from eventbridge_etl_spark.streaming.rollup import (
+        make_rollup_sink,
+        read_rollup_state,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "ts", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="roll_")
+    landing = os.path.join(work, "landing")
+    # split on a stable expression of the projected columns so the two
+    # halves are deterministic regardless of row order
+    half = F.crc32(F.col("event_type").cast("string")) + F.unix_micros("ts")
+    ev.filter(half % 2 == 0).coalesce(1).write.parquet(os.path.join(landing, "a"))
+    ev.filter(half % 2 == 1).coalesce(1).write.parquet(os.path.join(landing, "b"))
+    state_dir = os.path.join(work, "state")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(make_rollup_sink(state_dir))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return publish_rollup(read_rollup_state(spark, state_dir))
