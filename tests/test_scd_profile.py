@@ -134,3 +134,54 @@ def test_referential_integrity_counts_orphans(spark):
     assert row["rule"] == "fk(fk -> pk)"
     assert row["n_violations"] == 1  # only 9 is an orphan; null exempt
     assert not row["passed"]
+
+
+def test_round4_operators_empty_input(spark):
+    """Every round-4 operator must return an EMPTY frame (not crash)
+    on an empty input — the behavior a scheduled pipeline hits on a
+    quiet partition."""
+    import datetime as dt  # noqa: F401
+
+    from eventbridge_etl_spark.operators.funnel import funnel_steps, retention_cohorts
+    from eventbridge_etl_spark.operators.incremental import (
+        hourly_rollup_state,
+        publish_rollup,
+    )
+    from eventbridge_etl_spark.operators.linkage import fuzzy_match_blocked
+    from eventbridge_etl_spark.operators.timeseries import (
+        counter_increase,
+        gap_fill_hourly,
+        ohlc_bars,
+        rolling_zscore,
+    )
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    for df in (
+        gap_fill_hourly(ev),
+        rolling_zscore(ev),
+        ohlc_bars(ev),
+        counter_increase(ev),
+        funnel_steps(ev),
+        retention_cohorts(ev),
+        publish_rollup(hourly_rollup_state(ev)),
+    ):
+        assert df.count() == 0
+    names = spark.createDataFrame([], "pid long, name string")
+    assert fuzzy_match_blocked(names, "pid", "name").count() == 0
+
+
+def test_profile_and_expectations_empty_table(spark):
+    """Profiling an empty table reports zero rows per column; the
+    expectations contract passes vacuously."""
+    from eventbridge_etl_spark.operators.expectations import check_expectations
+    from eventbridge_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([], "k long, s string")
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    assert prof["k"]["n_rows"] == 0 and prof["k"]["n_distinct"] == 0
+    assert prof["k"]["min_value"] is None
+    out = check_expectations(df, [("not_null", "k"), ("unique", "k")]).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in out)
