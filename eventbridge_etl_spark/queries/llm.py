@@ -1401,3 +1401,44 @@ def text_unigram_logprob(spark, sf_dir):
     (operators/text.py:unigram_logprob)."""
     doc = _doc(spark, sf_dir)
     return X.unigram_logprob(doc)
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_VERIFY}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.lbl < e.dst
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM comp GROUP BY cluster_id)
+    SELECT n_members, COUNT(*) AS n_clusters
+    FROM sizes GROUP BY n_members
+    """,
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Cluster-size distribution of the near-dup graph — the corpus
+    duplication profile (how much boilerplate, how big the biggest
+    template family).  Two tiny aggregates on top of the
+    connected-components output; the oracle extends the dedup_clusters
+    recursive CTE with the same rollup."""
+    doc = _doc(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        doc, "doc_id", "text", MINHASH_TAU, num_hashes=16, bands=2
+    )
+    clusters = D.near_dup_clusters(doc, pairs, "doc_id")
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .groupBy("n_members")
+        .agg(F.count("*").alias("n_clusters"))
+    )
