@@ -103,6 +103,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_dow_seasonality",
     "streaming_rollup_merge",
     "dedup_cluster_sizes",
+    "window_share_of_total",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

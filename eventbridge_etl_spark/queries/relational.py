@@ -1147,3 +1147,42 @@ def join_lateral_top2(spark, sf_dir):
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    WITH j AS (
+      SELECT r_name, n_name, c_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    ),
+    a AS (
+      SELECT r_name, n_name, ROUND(SUM(c_acctbal), 2) AS nation_bal
+      FROM j GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, nation_bal,
+           ROUND(nation_bal / SUM(nation_bal) OVER (PARTITION BY r_name), 6)
+             AS share_in_region
+    FROM a
+    """,
+)
+def window_share_of_total(spark, sf_dir):
+    """Ratio-to-report: each nation's share of its region's account
+    balance — a windowed aggregate over an ALREADY-aggregated frame, so
+    the window sees region-cardinality rows (the share division runs on
+    the pre-rounded sums, keeping both engines on identical operands)."""
+    cu, na, re = _t(spark, sf_dir, "customer", "nation", "region")
+    j = cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey).join(
+        F.broadcast(re), na.n_regionkey == re.r_regionkey
+    )
+    a = j.groupBy("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("nation_bal")
+    )
+    w = Window.partitionBy("r_name")
+    return a.select(
+        "r_name", "n_name", "nation_bal",
+        F.round(F.col("nation_bal") / F.sum("nation_bal").over(w), 6)
+        .alias("share_in_region"),
+    )
