@@ -104,6 +104,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_rollup_merge",
     "dedup_cluster_sizes",
     "window_share_of_total",
+    "events_rfm_segments",
     # --- re-check quota: last green in r1, evidence now three rounds old
     "multimodal_byte_histogram",
     "sample_deterministic",

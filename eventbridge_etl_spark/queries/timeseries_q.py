@@ -548,3 +548,63 @@ def events_dow_seasonality(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS t FROM events),
+    base AS (
+      SELECT e.user_id,
+             CAST((epoch_us(a.t) - epoch_us(max(e.ts))) // 86400000000 AS BIGINT)
+               AS recency_days,
+             COUNT(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS frequency,
+             ROUND(CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                                 THEN CAST(e.value AS DECIMAL(18,6))
+                                 ELSE 0 END) AS DOUBLE), 2) AS monetary
+      FROM events e CROSS JOIN anchor a
+      GROUP BY e.user_id, a.t
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CASE WHEN frequency = 0 THEN 'prospect'
+                WHEN recency_days <= 3 AND frequency >= 15 THEN 'champion'
+                WHEN recency_days <= 7 THEN 'active'
+                ELSE 'at_risk' END AS segment
+    FROM base
+    """,
+)
+def events_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) segmentation anchored to the
+    corpus max timestamp (no wall clock — deterministic).  Whole-day
+    recency via integer microsecond arithmetic; monetary decimal-summed;
+    one aggregate plus a broadcast scalar anchor."""
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(F.max("ts").alias("_t"))
+    purch = F.col("event_type") == "purchase"
+    base = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "_t")
+        .agg(
+            F.expr("CAST((unix_micros(_t) - unix_micros(max(ts))) div 86400000000 AS BIGINT)")
+            .alias("recency_days"),
+            F.count(F.when(purch, 1)).alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(purch, F.col("value").cast("decimal(18,6)")).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("monetary"),
+        )
+        .drop("_t")
+    )
+    seg = (
+        F.when(F.col("frequency") == 0, "prospect")
+        .when((F.col("recency_days") <= 3) & (F.col("frequency") >= 15), "champion")
+        .when(F.col("recency_days") <= 7, "active")
+        .otherwise("at_risk")
+    )
+    return base.select(
+        "user_id", "recency_days", "frequency", "monetary", seg.alias("segment")
+    )

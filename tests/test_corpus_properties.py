@@ -311,3 +311,54 @@ def test_funnel_matches_bruteforce(spark, rows):
         for r in funnel_steps(df).collect()
     }
     assert got == _funnel_oracle(data)
+
+
+# ------------------------------- weighted PPS sampling vs brute force
+
+from eventbridge_etl_spark.operators.sampling import (  # noqa: E402
+    weighted_systematic_sample,
+)
+
+_pps_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=40),   # doc id (dedup below)
+        st.sampled_from(["s1", "s2"]),            # source
+        st.integers(min_value=1, max_value=500),  # weight
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _pps_oracle(rows, k):
+    import hashlib
+
+    out = set()
+    for src in {r[1] for r in rows}:
+        grp = [(i, w) for i, s, w in rows if s == src]
+        grp.sort(key=lambda iw: (hashlib.md5(str(iw[0]).encode()).hexdigest(), iw[0]))
+        total = sum(w for _, w in grp)
+        wi = 0
+        for i, w in grp:
+            lo, hi = wi, wi + w
+            n_hi = (hi * k + total - 1) // total
+            n_lo = (lo * k + total - 1) // total
+            if n_hi > n_lo:
+                out.add(i)
+            wi = hi
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(_pps_rows)
+def test_weighted_pps_matches_bruteforce(spark, rows):
+    uniq = {r[0]: r for r in rows}.values()  # unique ids
+    rows = sorted(uniq)
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    got = {
+        r["doc_id"]
+        for r in weighted_systematic_sample(
+            df, "doc_id", "w", k=4, group_col="source"
+        ).collect()
+    }
+    assert got == _pps_oracle(rows, 4)
