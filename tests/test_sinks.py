@@ -225,3 +225,27 @@ def test_lakehouse_merge_requires_v2_source(spark, tmp_path):
         assert spark.catalog.listTables()  # session still healthy
     finally:
         spark.sql("DROP TABLE IF EXISTS merge_target_v1")
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively: a
+    written table must round-trip exactly and still push filters and
+    projection into the scan (the same guarantees the parquet path
+    gets)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}", float(i) / 4) for i in range(1000)],
+        "id long, grp string, v double",
+    )
+    path = str(tmp_path / "orc_tbl")
+    df.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == 1000
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    plan = (
+        back.filter(F.col("id") > 900).select("id", "grp")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,900)]" in plan
+    assert "ReadSchema: struct<id:bigint,grp:string>" in plan
