@@ -178,15 +178,24 @@ def weighted_systematic_sample(
 
     Selection is pure integer arithmetic — ``points_below(x) =
     (x*k + total - 1) div total`` — so any engine reproduces the same
-    sample bitwise (no float division anywhere).  Weights must be
-    positive integers; with 64-bit intermediates this holds to
-    ``total * k < 2^63`` — beyond that, widen to decimal.
+    sample bitwise (no float division anywhere).  Weights must be an
+    INTEGRAL column (byte/short/int/long) — a fractional weight would
+    silently mix truncated (running-sum) and untruncated (row-weight)
+    arithmetic, so it raises instead.  With 64-bit intermediates the
+    math is exact to ``total * k < 2^63`` — beyond that, widen to
+    decimal.
 
     Scale shape: two window passes over ONE group partitioning (running
     and total weight), then a map-side filter.  Grouped (the normal
     corpus case: per-source budgets) there is no global sort; ungrouped
     falls back to a single-partition ordering — use groups at scale.
     """
+    dtype = df.schema[weight_col].dataType.simpleString()
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weight column {weight_col!r} must be integral, got {dtype}; "
+            "round or rescale weights to integers first"
+        )
     key, w = F.col(key_col), F.col(weight_col).cast("long")
     order = [F.md5(key.cast("string")), key]
     part = [group_col] if group_col else []
@@ -198,12 +207,15 @@ def weighted_systematic_sample(
     )
     w_i = F.sum(w).over(run)
     total = F.sum(w).over(whole)
-    # points_below(x) = ceil(x*k/total) via integer arithmetic only
+    # points_below(x) = ceil(x*k/total) via integer arithmetic only;
+    # _w is the SAME long image used in the running sum, so the lower
+    # bound subtracts exactly what the running sum added
     n_hi = F.expr(f"(_wi * {k} + _tot - 1) div _tot")
-    n_lo = F.expr(f"((_wi - {weight_col}) * {k} + _tot - 1) div _tot")
+    n_lo = F.expr(f"((_wi - _w) * {k} + _tot - 1) div _tot")
     return (
-        df.withColumn("_wi", w_i)
+        df.withColumn("_w", w)
+        .withColumn("_wi", w_i)
         .withColumn("_tot", total)
         .filter(n_hi > n_lo)
-        .drop("_wi", "_tot")
+        .drop("_w", "_wi", "_tot")
     )

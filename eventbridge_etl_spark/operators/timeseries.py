@@ -33,18 +33,27 @@ def gap_fill_hourly(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Resample each key's series onto an hourly grid and forward-fill.
 
     Returns one row per (key, hour) in the key's [min, max] hour span:
     ``n_events`` in that hour (0 for gaps), ``last_value`` = the most
-    recent observation in the hour (``max_by`` on the event timestamp),
-    and ``filled_value`` = carry-forward of ``last_value`` across gaps
-    (null until the key's first observation — leading edges are not
-    back-filled).
+    recent observation in the hour, and ``filled_value`` =
+    carry-forward of ``last_value`` across gaps (null until the key's
+    first observation — leading edges are not back-filled).
+
+    ``last_value`` is picked by ``max_by`` on the same fixed-width
+    ``(epoch_micros, id)`` string key as ``ohlc_bars`` — two events on
+    the same timestamp would otherwise make the pick (and the oracle
+    hash-compare) nondeterministic.
     """
     k, ts, v = F.col(key_col), F.col(ts_col), F.col(value_col)
     hour = F.date_trunc("hour", ts)
+    order_key = F.concat(
+        F.lpad(F.unix_micros(ts).cast("string"), 20, "0"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    )
 
     bounds = events.groupBy(k.alias(key_col)).agg(
         F.date_trunc("hour", F.min(ts)).alias("h0"),
@@ -54,9 +63,13 @@ def gap_fill_hourly(
         key_col,
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
     )
-    observed = events.groupBy(k.alias(key_col), hour.alias("hour")).agg(
-        F.count("*").alias("n_events"),
-        F.expr(f"max_by({value_col}, {ts_col})").alias("last_value"),
+    observed = (
+        events.withColumn("_ok", order_key)
+        .groupBy(k.alias(key_col), hour.alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(f"max_by({value_col}, _ok)").alias("last_value"),
+        )
     )
     joined = grid.join(observed, [key_col, "hour"], "left").withColumn(
         "n_events", F.coalesce("n_events", F.lit(0))
@@ -121,6 +134,7 @@ def counter_increase(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Counter-delta aggregation with reset handling (the PromQL
     ``increase()`` rule): per key, sum the positive deltas between
@@ -129,13 +143,26 @@ def counter_increase(
 
     Returns ``(key, n_obs, total_increase, n_resets)``.
 
+    ``tiebreak_col`` must be a unique column that totals the order when
+    timestamps tie; it is an error for it to be absent (a silent
+    ts-only order would make the lag deltas nondeterministic on tied
+    timestamps, breaking the determinism this operator promises).
+
     Deltas of IEEE doubles are deterministic; each per-step delta is
-    cast to DECIMAL before summation so the per-key total is
-    order-independent across engines.  One partition-local lag window
-    + one hash aggregate on the same key — a single shuffle.
+    cast to DECIMAL(28,6) before summation so the per-key total is
+    order-independent across engines (exact for |delta| < 1e22; larger
+    magnitudes overflow the decimal image to NULL under non-ANSI
+    semantics).  One partition-local lag window + one hash aggregate on
+    the same key — a single shuffle.
     """
+    if tiebreak_col not in events.columns:
+        raise ValueError(
+            f"tiebreak column {tiebreak_col!r} not in input; pass a unique "
+            "column that breaks timestamp ties (determinism requires a "
+            "total order)"
+        )
     v = F.col(value_col)
-    w = Window.partitionBy(key_col).orderBy(ts_col, "event_id" if "event_id" in events.columns else ts_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     delta = v - F.lag(v).over(w)
     stepped = events.select(
         F.col(key_col),
@@ -147,7 +174,7 @@ def counter_increase(
             F.count("*").alias("n_obs"),
             F.round(
                 F.sum(
-                    F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+                    F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0.0)).cast("decimal(28,6)")
                 ).cast("double"),
                 4,
             ).alias("total_increase"),
@@ -157,8 +184,13 @@ def counter_increase(
 
 
 def _dec(col: Column) -> Column:
-    """Exact decimal image of a double for order-independent summation."""
-    return col.cast("decimal(18,6)")
+    """Exact decimal image of a double for order-independent summation.
+
+    DECIMAL(28,6) holds |x| < 1e22 exactly at 6 fractional digits;
+    beyond that the non-ANSI cast yields NULL (the sum silently drops
+    the row) — callers' docstrings carry the bound.
+    """
+    return col.cast("decimal(28,6)")
 
 
 def rolling_zscore(
@@ -176,8 +208,12 @@ def rolling_zscore(
     Mean/variance come from exact decimal sums over the frame
     (sum x, sum x²), converted to double only for the final
     sqrt/divide, so Spark and any replicating engine agree bitwise.
-    Rows with fewer than ``min_obs`` trailing observations or zero
-    variance get ``zscore`` null / ``is_anomaly`` false.
+    The squared term multiplies in IEEE double (deterministic) and
+    casts the product to DECIMAL(38,6) for order-independent summation
+    — exact for |value| <= 1e16, which already exceeds the range where
+    a double holds integers exactly (2^53).  Rows with fewer than
+    ``min_obs`` trailing observations or zero variance get ``zscore``
+    null / ``is_anomaly`` false.
     """
     v = F.col(value_col)
     frame = (
@@ -187,7 +223,7 @@ def rolling_zscore(
     )
     n = F.count(value_col).over(frame)
     s1 = F.sum(_dec(v)).over(frame).cast("double")
-    s2 = F.sum(_dec(v) * _dec(v)).over(frame).cast("double")
+    s2 = F.sum((v * v).cast("decimal(38,6)")).over(frame).cast("double")
     nn = n.cast("double")
     mean = s1 / nn
     # sample variance; guard the n=1 divide and negative rounding noise

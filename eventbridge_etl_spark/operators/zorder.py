@@ -27,7 +27,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 def interleave_bits(a: Column, b: Column, bits: int = 16) -> Column:
     """Morton code of two non-negative ints, ``bits`` bits each:
     bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1.
-    Pure bitwise JVM expressions — no UDF."""
+    Pure bitwise JVM expressions — no UDF.
+
+    Inputs are widened to LONG first: shiftleft on a 32-bit column
+    wraps at bit 31, so an int column with bits=16 would overflow into
+    the sign bit (z-values for bit positions >= 31 went negative and
+    broke the Morton order).
+    """
+    a, b = a.cast("long"), b.cast("long")
     terms = []
     for i in range(bits):
         terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))

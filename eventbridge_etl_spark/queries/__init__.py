@@ -61,96 +61,77 @@ def query(name: str, oracle: str | None = None):
 #: order.  Anything importing the registries directly without calling
 #: ``load_all()`` sees plain module-import registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # --- round-4 additions, never driver-checked: time-series ops over
-    # events, corpus-hygiene (Gopher gates / run collapse / chunk dedup /
-    # bigram stats / temperature resampling), and two relational-surface
-    # fills (full-outer daily reconciliation, deterministic mode)
-    "events_gap_fill",
-    "events_anomaly_zscore",
-    "events_ohlc_hourly",
-    "events_counter_increase",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "text_gopher_quality",
-    "text_collapse_runs",
-    "text_bigram_topk",
-    "dedup_chunk_level",
-    "sample_temperature",
-    "join_full_outer_coalesce",
-    "agg_mode_deterministic",
-    "set_intersect_all",
-    "set_except_all",
-    "window_nth_value",
-    "join_salted_skew",
-    "fuzzy_match_part_names",
-    "scd2_user_state",
-    "profile_orders",
-    "events_path_trigrams",
-    "expect_orders_contract",
+    # --- round-5: code or oracle CHANGED this round, must re-verify —
+    # pinned-parquet oracles for the two formerly rows-only gates, the
+    # gap-fill/counter/zscore determinism+decimal fixes, the PPS weight
+    # contract, and the zorder long-cast
     "text_compression_ratio",
     "multimodal_cdc_dedup",
-    "rollup_incremental_merge",
-    "zorder_events_cluster",
-    "fn_bitwise_surface",
-    "events_outlier_iqr",
+    "events_counter_increase",
+    "events_gap_fill",
+    "events_anomaly_zscore",
     "sample_weighted_pps",
-    "agg_correlation",
-    "join_lateral_top2",
-    "expect_referential_integrity",
-    "events_hopping_windows",
-    "events_time_hierarchy_rollup",
-    "events_value_histogram",
-    "events_dow_seasonality",
-    "streaming_rollup_merge",
-    "dedup_cluster_sizes",
-    "window_share_of_total",
-    "events_rfm_segments",
-    # --- re-check quota: last green in r1, evidence now three rounds old
-    "multimodal_byte_histogram",
-    "sample_deterministic",
-    "pipeline_corpus_admission",
-    "fn_string_surface",
-    "fn_date_surface",
-    "fn_math_surface",
-    "fn_array_surface",
-    "fn_conditional_surface",
-    "fn_hash_surface",
-    "fn_regex_surface",
-    "fn_generator_surface",
-    "window_distribution",
+    "zorder_events_cluster",
+    # --- stale debt, oldest first: last green in r1 (four rounds ago)
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
     "agg_having",
     "agg_distinct_count",
-    # --- re-check quota: last green in r2, scale-load-bearing first
+    "window_distribution",
+    "fn_generator_surface",
+    # --- last green in r2: the window family ...
+    "window_topk_per_group",
+    "window_rank_dense",
+    "window_running_total",
+    "window_lag_gap",
+    "window_moving_avg",
+    "window_range_frame_30d",
+    # --- ... the function-surface tail ...
+    "fn_json_surface",
+    "fn_map_surface",
+    "fn_higher_order_surface",
+    # --- ... the r2 events/join gates ...
+    "events_json_projection",
+    "events_validity_filter",
+    "events_reconciliation",
+    "events_hourly_rollup",
+    "pipeline_header_zip_rename",
+    "join_asof_attribution",
+    "join_semi",
+    "join_anti",
+    "join_left_outer_agg",
+    "join_range_nonequi",
+    # --- ... and the TPC-H tail
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
+    "q21_waiting_orders",
+    "q22_dormant_customers",
+    # ---------------- overflow (positions 51+): checked only if the
+    # driver window widens; r6 must lead with whatever is left here
+    "q13_customer_distribution",
+    "q20_dominant_suppliers",
     "dedup_clusters",
     "dedup_embedding_lsh",
     "sample_train_test_split",
     "sample_stratified",
     "multimodal_frame_sample",
     "similarity_label_centroids",
-    "events_json_projection",
-    "events_validity_filter",
-    "events_reconciliation",
-    "events_hourly_rollup",
-    "events_keyed_upsert",
-    "pipeline_header_zip_rename",
-    "join_asof_attribution",
-    "fn_json_surface",
-    "fn_map_surface",
-    "fn_higher_order_surface",
-    "join_semi",
-    "join_anti",
-    "join_left_outer_agg",
-    "join_range_nonequi",
-    "window_topk_per_group",
-    "window_rank_dense",
-    "window_running_total",
     "agg_approx_distinct",
     "agg_approx_percentile",
-    # (remaining r2 greens — window_lag_gap/moving_avg/range_frame and
-    # the TPC-H q-series tail — rotate through the r5 window)
 )
 
 

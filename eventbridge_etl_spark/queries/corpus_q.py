@@ -208,7 +208,21 @@ def sample_temperature(spark, sf_dir):
     return temperature_resample(doc, alpha=0.5, total=300)
 
 
-@query("text_compression_ratio")  # rows-only: no zlib in the SQL oracle engine
+@query(
+    "text_compression_ratio",
+    # no zlib in the SQL engine — the oracle reads the PINNED expected
+    # output (tests/data/gen_pinned_oracles.py; invariant-checked there,
+    # value-pinned independently in tests/test_cdc_compress.py).  The
+    # corpus digest self-selects the slice for the running corpus and
+    # returns ZERO rows (loud fail) on an unseen one.
+    oracle="""
+    SELECT doc_id, n_bytes, n_compressed, ratio
+    FROM read_parquet('/root/repo/tests/data/text_compression_ratio_pinned.parquet')
+    WHERE corpus_digest = (
+      SELECT md5(string_agg(md5(text), '' ORDER BY doc_id)) FROM documents
+    )
+    """,
+)
 def text_compression_ratio(spark, sf_dir):
     """Per-document zlib compression-ratio quality signal
     (operators/compress.compression_ratio) — deterministic Arrow
@@ -220,7 +234,18 @@ def text_compression_ratio(spark, sf_dir):
     return compression_ratio(doc)
 
 
-@query("multimodal_cdc_dedup")  # rows-only: stateful rolling hash, no SQL analog
+@query(
+    "multimodal_cdc_dedup",
+    # stateful Gear rolling hash has no SQL analog — pinned expected
+    # output, same scheme as text_compression_ratio above
+    oracle="""
+    SELECT chunk_hash, n_refs, size, logical_bytes
+    FROM read_parquet('/root/repo/tests/data/multimodal_cdc_dedup_pinned.parquet')
+    WHERE corpus_digest = (
+      SELECT md5(string_agg(md5(text), '' ORDER BY doc_id)) FROM documents
+    )
+    """,
+)
 def multimodal_cdc_dedup(spark, sf_dir):
     """Content-defined chunking over binary payloads (text bytes via
     the multimodal payload convention), then the storage-dedup top-20:

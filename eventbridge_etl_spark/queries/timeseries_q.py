@@ -47,7 +47,9 @@ def _events(spark, sf_dir):
     obs AS (
       SELECT user_id, date_trunc('hour', ts) AS hour,
              COUNT(*) AS n_events,
-             arg_max(value, ts) AS last_value
+             arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS last_value
       FROM events GROUP BY 1, 2
     )
     SELECT g.user_id, g.hour,
@@ -72,9 +74,9 @@ def events_gap_fill(spark, sf_dir):
     WITH s AS (
       SELECT user_id, ts, value,
              COUNT(value) OVER w AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))
-                      * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               AS s2
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
@@ -139,7 +141,7 @@ def events_ohlc_hourly(spark, sf_dir):
     SELECT user_id,
            COUNT(*) AS n_obs,
            ROUND(CAST(SUM(CAST(CASE WHEN d > 0 THEN d ELSE 0.0 END
-                               AS DECIMAL(18,6))) AS DOUBLE), 4)
+                               AS DECIMAL(28,6))) AS DOUBLE), 4)
              AS total_increase,
            COUNT(CASE WHEN d < 0 THEN 1 END) AS n_resets
     FROM d GROUP BY user_id

@@ -117,3 +117,17 @@ def test_weighted_pps_sample_properties(spark):
         ).collect()
     }
     assert got == got2
+
+
+def test_weighted_pps_rejects_fractional_weights(spark):
+    """A double weight column would mix truncated running sums with raw
+    row weights — the integer-exactness contract demands a hard error."""
+    import pytest
+
+    from eventbridge_etl_spark.operators.sampling import weighted_systematic_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], "doc_id long, w double"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        weighted_systematic_sample(df, "doc_id", "w", k=1)

@@ -224,14 +224,17 @@ _gap_rows = st.lists(
 def test_gap_fill_matches_bruteforce(spark, rows):
     import datetime as dt
 
-    # one observation per (user, timestamp): max_by on a tied timestamp
-    # is arbitrary in any engine, so ties are out of the contract
+    # one observation per (user, timestamp); the enumerated event_id is
+    # the tiebreak key gap_fill_hourly requires for deterministic picks
     uniq = {(u, h, m): v for u, h, m, v in rows}
     data = [
-        (u, dt.datetime(2024, 1, 1, h, m), float(v))
-        for (u, h, m), v in sorted(uniq.items())
+        (i, u, dt.datetime(2024, 1, 1, h, m), float(v))
+        for i, ((u, h, m), v) in enumerate(sorted(uniq.items()))
     ]
-    df = spark.createDataFrame(data, "user_id long, ts timestamp, value double")
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+    data = [(u, ts, v) for _, u, ts, v in data]
     got = {
         (r["user_id"], r["hour"].hour): (r["n_events"], r["last_value"], r["filled_value"])
         for r in gap_fill_hourly(df).collect()

@@ -15,7 +15,12 @@ def _ts(h, m=0):
 
 
 def _events(spark, rows):
-    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    # enumerate an event_id: gap_fill_hourly / counter_increase require a
+    # unique tiebreak column for deterministic ts-tie ordering
+    rows = [(i,) + tuple(r) for i, r in enumerate(rows)]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
 
 
 def test_gap_fill_grid_and_carry(spark):
@@ -111,6 +116,39 @@ def test_counter_increase_resets(spark):
     assert row["n_obs"] == 5
     assert row["total_increase"] == 10.0
     assert row["n_resets"] == 1
+
+
+def test_counter_increase_tied_timestamps_deterministic(spark):
+    """Equal timestamps: the tiebreak column totals the order, so the
+    delta sequence (and the reset count) is pinned, not partition-luck."""
+    import pytest
+
+    from eventbridge_etl_spark.operators.timeseries import counter_increase
+
+    # event_id enumeration: values at the SAME ts in id order 5,1,9
+    ev = _events(
+        spark,
+        [(1, _ts(0, 0), 5.0), (1, _ts(0, 0), 1.0), (1, _ts(0, 0), 9.0)],
+    )
+    for _ in range(3):
+        row = counter_increase(ev).collect()[0]
+        # order by (ts, event_id): 5 -> 1 (reset) -> 9 (+8)
+        assert row["total_increase"] == 8.0
+        assert row["n_resets"] == 1
+
+    # absent tiebreak column is a hard error, not a silent ts-only order
+    with pytest.raises(ValueError, match="tiebreak"):
+        counter_increase(ev.drop("event_id"))
+
+
+def test_gap_fill_tied_timestamps_deterministic(spark):
+    """Two events on the same timestamp in one hour: last_value is the
+    higher (epoch, event_id) key — pinned, same rule as ohlc_bars."""
+    ev = _events(spark, [(1, _ts(0, 30), 7.0), (1, _ts(0, 30), 3.0)])
+    rows = gap_fill_hourly(ev).collect()
+    assert len(rows) == 1
+    # event_id 1 (value 3.0) beats event_id 0 at the tied timestamp
+    assert rows[0]["last_value"] == 3.0 and rows[0]["filled_value"] == 3.0
 
 
 def test_funnel_ordered_semantics(spark):

@@ -29,6 +29,18 @@ def test_interleave_matches_python(spark):
         assert r["z"] == _py_morton(r["a"], r["b"], 8)
 
 
+def test_interleave_int_columns_bits16_nonnegative(spark):
+    """32-bit input columns at bits=16: shiftleft by up to 31 would wrap
+    into the int sign bit without the internal long cast — z-values must
+    stay non-negative and match the Python Morton code."""
+    rows = [(0, 0), (1, 65535), (65535, 1), (65535, 65535), (40000, 12345)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    out = df.select("a", "b", interleave_bits(F.col("a"), F.col("b"), 16).alias("z"))
+    for r in out.collect():
+        assert r["z"] >= 0
+        assert r["z"] == _py_morton(r["a"], r["b"], 16)
+
+
 def _file_ranges(path: str, col: str) -> list[tuple[int, int]]:
     ranges = []
     for f in glob.glob(os.path.join(path, "*.parquet")):
