@@ -2,14 +2,18 @@
 ``binary`` payloads with a typed metadata struct; decode / feature
 extraction runs as Arrow-batched pandas transforms (``mapInPandas``).
 
-Container note: no image/audio codecs ship in this environment, so the
-actual decode step is STUBBED — ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic byte-level "decode" (header parse + byte histogram
-features).  Everything around the stub — schema contract, Arrow batch
-shape, partition parallelism, metadata propagation — is real and tested;
-swapping in PIL/librosa/pyav is a one-function change inside
-``_decode_batch``.
+Codecs: formats parseable with the stdlib decode FOR REAL —
+netpbm images (P6 PPM / P5 PGM, the uncompressed interchange format)
+and 16-bit PCM WAV (stdlib ``wave``) — including a real
+nearest-neighbor resize for netpbm.  Compressed formats (JPEG/PNG/
+MP3/H.264) have no codec in this container: ``decode_media`` raises
+``NotImplementedError`` for those mimes unless ``fake=True``, which
+substitutes a deterministic byte-level "decode" (byte histogram
+features).  Swapping in PIL/librosa/pyav extends the same dispatch
+inside ``_decode_batch`` — the schema contract, Arrow batch shape,
+partition parallelism, and metadata propagation are identical for real
+and fake paths and tested on committed fixtures
+(tests/data/fixture_*.ppm/pgm/wav).
 
 Scale: mapInPandas streams Arrow batches executor-side; payload bytes
 never hit the driver.  Partition sizing (maxPartitionBytes) bounds
@@ -66,6 +70,15 @@ def _byte_histogram(data: bytes, n_buckets: int) -> list[int]:
     return counts
 
 
+#: Mimes the real (non-fake) decode path handles with stdlib parsers.
+REAL_DECODE_MIMES = (
+    "image/x-portable-pixmap",   # P6 binary PPM
+    "image/x-portable-graymap",  # P5 binary PGM
+    "audio/wav",
+    "audio/x-wav",
+)
+
+
 def decode_media(
     df: DataFrame,
     id_col: str,
@@ -76,8 +89,14 @@ def decode_media(
     """Decode payloads into fixed-size feature vectors via mapInPandas.
 
     Output schema: (id, mime, n_bytes, features array<double>[n_buckets]).
-    With ``fake=False`` this raises NotImplementedError at execution time
-    — the honest marker that no codec is installed here.
+
+    Real path (``fake=False``): netpbm images (P6/P5) decode to a
+    normalized pixel-intensity histogram over [0, maxval]; 16-bit PCM
+    WAV decodes to a normalized amplitude histogram over the int16
+    range.  Mimes outside ``REAL_DECODE_MIMES`` raise
+    ``NotImplementedError`` at execution time — the honest marker that
+    no compressed-format codec is installed here.  ``fake=True``
+    bypasses parsing entirely with the byte-level histogram (any mime).
     """
     out_schema = T.StructType(
         [
@@ -90,27 +109,66 @@ def decode_media(
 
     # NB: the closure must stay self-contained (no references to this
     # module's globals) so cloudpickle ships it by value — executors then
-    # need only pandas, not this package on their PYTHONPATH.
+    # need only pandas/numpy, not this package on their PYTHONPATH.
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import re as _re
+        import wave as _wave
+
+        import numpy as _np
         import pandas as _pd
 
+        header_re = _re.compile(
+            rb"(P[56])\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)"
+            rb"\s+(?:#[^\n]*\s+)*(\d+)\s"
+        )
+
+        def _netpbm_hist(data):
+            m = header_re.match(data)
+            if not m:
+                raise ValueError("malformed netpbm header")
+            maxval = int(m.group(4))
+            if not 0 < maxval < 256:
+                raise ValueError(f"unsupported netpbm maxval {maxval}")
+            px = _np.frombuffer(data, dtype=_np.uint8, offset=m.end())
+            idx = px.astype(_np.int64) * n_buckets // (maxval + 1)
+            counts = _np.bincount(idx, minlength=n_buckets)[:n_buckets]
+            return counts / max(float(px.size), 1.0)
+
+        def _wav_hist(data):
+            with _wave.open(_io.BytesIO(data)) as w:
+                if w.getsampwidth() != 2:
+                    raise ValueError("only 16-bit PCM WAV supported")
+                frames = w.readframes(w.getnframes())
+            samples = _np.frombuffer(frames, dtype="<i2")
+            idx = (samples.astype(_np.int64) + 32768) * n_buckets // 65536
+            counts = _np.bincount(idx, minlength=n_buckets)[:n_buckets]
+            return counts / max(float(samples.size), 1.0)
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "no media codecs in this environment; pass fake=True for "
-                    "the deterministic byte-level decode"
-                )
             rows = {"id": [], "mime": [], "n_bytes": [], "features": []}
             for rid, payload in zip(pdf["_id"], pdf["_payload"]):
                 data = bytes(payload["data"] or b"")
-                counts = [0] * n_buckets
-                for b in data:
-                    counts[b % n_buckets] += 1
-                total = float(sum(counts)) or 1.0
+                mime = payload["meta"]["mime"]
+                if fake:
+                    counts = [0] * n_buckets
+                    for b in data:
+                        counts[b % n_buckets] += 1
+                    total = float(sum(counts)) or 1.0
+                    feats = [c / total for c in counts]
+                elif mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+                    feats = [float(x) for x in _netpbm_hist(data)]
+                elif mime in ("audio/wav", "audio/x-wav"):
+                    feats = [float(x) for x in _wav_hist(data)]
+                else:
+                    raise NotImplementedError(
+                        f"no codec for mime {mime!r} in this environment; "
+                        "pass fake=True for the byte-level decode"
+                    )
                 rows["id"].append(int(rid))
-                rows["mime"].append(payload["meta"]["mime"])
+                rows["mime"].append(mime)
                 rows["n_bytes"].append(len(data))
-                rows["features"].append([c / total for c in counts])
+                rows["features"].append(feats)
             yield _pd.DataFrame(rows)
 
     narrowed = df.select(
@@ -130,12 +188,14 @@ def resize_media(
     """Resize image payloads via mapInPandas, emitting a new payload
     bundle with updated meta (width/height set to the target).
 
-    With ``fake=True`` the "resample" is a deterministic byte stride
+    Real path (``fake=False``): netpbm payloads (P6 PPM / P5 PGM)
+    decode, nearest-neighbor resample (vectorized numpy row/column
+    gather), and re-encode as valid netpbm bytes of the same format.
+    Other mimes raise NotImplementedError (no compressed-format codec
+    in this container); a PIL-backed build extends the same dispatch.
+    ``fake=True`` keeps the deterministic byte-stride "resample"
     (keep every ceil(len/target_area)-th byte) — schema-correct and
-    size-bounded like a real thumbnail pass; with ``fake=False`` it
-    raises NotImplementedError (no codecs in this container).  A real
-    implementation replaces only the body of ``_resize_batch`` with
-    PIL's ``Image.resize``.
+    size-bounded like a real thumbnail pass, for any mime.
     """
     out_schema = T.StructType(
         [
@@ -150,22 +210,53 @@ def resize_media(
 
     def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math as _math
+        import re as _re
 
+        import numpy as _np
         import pandas as _pd
 
+        header_re = _re.compile(
+            rb"(P[56])\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)"
+            rb"\s+(?:#[^\n]*\s+)*(\d+)\s"
+        )
+
+        def _netpbm_resize(data):
+            m = header_re.match(data)
+            if not m:
+                raise ValueError("malformed netpbm header")
+            magic, w, h, maxval = (
+                m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+            )
+            if not 0 < maxval < 256:
+                raise ValueError(f"unsupported netpbm maxval {maxval}")
+            ch = 3 if magic == b"P6" else 1
+            px = _np.frombuffer(
+                data, dtype=_np.uint8, offset=m.end(), count=w * h * ch
+            ).reshape(h, w, ch)
+            ys = _np.arange(target_height) * h // target_height
+            xs = _np.arange(target_width) * w // target_width
+            out = px[ys][:, xs]
+            header = b"%s\n%d %d\n%d\n" % (magic, target_width, target_height, maxval)
+            return header + out.tobytes()
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "no media codecs in this environment; pass fake=True for "
-                    "the deterministic byte-stride resize"
-                )
             rows = {"id": [], "data": [], "mime": [], "width": [], "height": []}
             for rid, payload in zip(pdf["_id"], pdf["_payload"]):
                 data = bytes(payload["data"] or b"")
-                stride = max(1, _math.ceil(len(data) / target_area))
+                mime = payload["meta"]["mime"]
+                if fake:
+                    stride = max(1, _math.ceil(len(data) / target_area))
+                    out = data[::stride]
+                elif mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+                    out = _netpbm_resize(data)
+                else:
+                    raise NotImplementedError(
+                        f"no codec for mime {mime!r} in this environment; "
+                        "pass fake=True for the byte-stride resample"
+                    )
                 rows["id"].append(int(rid))
-                rows["data"].append(data[::stride])
-                rows["mime"].append(payload["meta"]["mime"])
+                rows["data"].append(out)
+                rows["mime"].append(mime)
                 rows["width"].append(target_width)
                 rows["height"].append(target_height)
             yield _pd.DataFrame(rows)

@@ -74,6 +74,90 @@ def test_decode_media_real_path_is_honest_stub(spark):
     )
 
 
+FIXTURE_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "data"
+)
+
+
+def _payload_df(spark, path, mime):
+    import os
+
+    with open(os.path.join(FIXTURE_DIR, path), "rb") as f:
+        data = f.read()
+    df = spark.createDataFrame([(1, bytearray(data))], "doc_id long, raw binary")
+    return attach_payload(df, "raw", mime=mime), data
+
+
+def test_decode_media_real_ppm(spark):
+    """The non-fake path REALLY decodes the committed P6 fixture: the
+    intensity histogram must equal one computed straight from the
+    generator's (x, y) pattern — no shared parser with the operator."""
+    wrapped, _ = _payload_df(
+        spark, "fixture_gradient.ppm", "image/x-portable-pixmap"
+    )
+    row = decode_media(wrapped, "doc_id", fake=False, n_buckets=8).collect()[0]
+    vals = [
+        c
+        for y in range(12)
+        for x in range(16)
+        for c in ((x * 16) % 256, (y * 21) % 256, (x * y) % 256)
+    ]
+    counts = [0] * 8
+    for v in vals:
+        counts[v * 8 // 256] += 1
+    expect = [c / len(vals) for c in counts]
+    assert row["mime"] == "image/x-portable-pixmap"
+    assert [round(f, 12) for f in row["features"]] == [round(e, 12) for e in expect]
+
+
+def test_decode_media_real_pgm_and_wav(spark):
+    import math
+    import struct
+
+    wrapped, _ = _payload_df(spark, "fixture_gray.pgm", "image/x-portable-graymap")
+    row = decode_media(wrapped, "doc_id", fake=False, n_buckets=4).collect()[0]
+    vals = [(x * 5 + y * 11) % 256 for y in range(6) for x in range(8)]
+    counts = [0] * 4
+    for v in vals:
+        counts[v * 4 // 256] += 1
+    assert row["features"] == [c / 48 for c in counts]
+
+    wrapped, _ = _payload_df(spark, "fixture_tone.wav", "audio/wav")
+    row = decode_media(wrapped, "doc_id", fake=False, n_buckets=4).collect()[0]
+    samples = [
+        int(20000 * math.sin(2 * math.pi * 440 * i / 8000)) for i in range(400)
+    ]
+    counts = [0] * 4
+    for s in samples:
+        counts[(s + 32768) * 4 // 65536] += 1
+    assert row["features"] == [c / 400 for c in counts]
+
+
+def test_resize_media_real_ppm_nearest_neighbor(spark):
+    """Real netpbm resize: output is a VALID smaller PPM whose pixels
+    are the nearest-neighbor gather of the source pattern, and it
+    round-trips through the real decoder."""
+    from eventbridge_etl_spark.operators.multimodal import resize_media
+
+    wrapped, _ = _payload_df(
+        spark, "fixture_gradient.ppm", "image/x-portable-pixmap"
+    )
+    out = resize_media(wrapped, "doc_id", target_width=4, target_height=3, fake=False)
+    row = out.collect()[0]
+    data = bytes(row["payload"]["data"])
+    assert data.startswith(b"P6\n4 3\n255\n")
+    body = data[len(b"P6\n4 3\n255\n"):]
+    expect = bytearray()
+    for y in (0 * 12 // 3, 1 * 12 // 3, 2 * 12 // 3):
+        for x in (0 * 16 // 4, 1 * 16 // 4, 2 * 16 // 4, 3 * 16 // 4):
+            expect += bytes(((x * 16) % 256, (y * 21) % 256, (x * y) % 256))
+    assert body == bytes(expect)
+    assert row["payload"]["meta"]["width"] == 4
+    # resized payload parses through the real decoder (valid netpbm out)
+    decoded = decode_media(out, "id", fake=False, n_buckets=4).collect()[0]
+    assert decoded["n_bytes"] == len(data) and len(decoded["features"]) == 4
+
+
 def test_frame_sample(spark):
     df = spark.createDataFrame([(1, 10), (2, 1)], ["vid_id", "n_frames"])
     out = frame_sample(df, "vid_id", "n_frames", every_n=4)
