@@ -185,10 +185,20 @@ def weighted_systematic_sample(
     math is exact to ``total * k < 2^63`` — beyond that, widen to
     decimal.
 
-    Scale shape: two window passes over ONE group partitioning (running
-    and total weight), then a map-side filter.  Grouped (the normal
-    corpus case: per-source budgets) there is no global sort; ungrouped
-    falls back to a single-partition ordering — use groups at scale.
+    Scale shape — grouped (the normal corpus case: per-source budgets):
+    two window passes over ONE group partitioning (running and total
+    weight), then a map-side filter; no global sort.  Ungrouped: a
+    distributed two-pass prefix sum over LOGICAL buckets — the first
+    two hex chars of the md5 order key (256 buckets, uniform by
+    construction, and a PREFIX of the sort key, so bucket order equals
+    global order).  Pass 1: local running sums per bucket (one hash
+    shuffle).  Pass 2: the 256 bucket subtotals broadcast back as
+    offsets; the only single-partition window runs over those 256
+    rows.  Buckets are content-derived — never ``spark_partition_id``,
+    which AQE coalescing can evaluate differently in the window branch
+    vs the subtotal branch of the same plan.  Verified by property test
+    against the naive single-machine cumsum at 1e6 rows under multiple
+    input partitionings.
     """
     dtype = df.schema[weight_col].dataType.simpleString()
     if dtype not in ("tinyint", "smallint", "int", "bigint"):
@@ -197,25 +207,53 @@ def weighted_systematic_sample(
             "round or rescale weights to integers first"
         )
     key, w = F.col(key_col), F.col(weight_col).cast("long")
-    order = [F.md5(key.cast("string")), key]
-    part = [group_col] if group_col else []
-    run = Window.partitionBy(*part).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    whole = Window.partitionBy(*part).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    w_i = F.sum(w).over(run)
-    total = F.sum(w).over(whole)
     # points_below(x) = ceil(x*k/total) via integer arithmetic only;
     # _w is the SAME long image used in the running sum, so the lower
     # bound subtracts exactly what the running sum added
     n_hi = F.expr(f"(_wi * {k} + _tot - 1) div _tot")
     n_lo = F.expr(f"((_wi - _w) * {k} + _tot - 1) div _tot")
-    return (
+
+    if group_col is not None:
+        order = [F.md5(key.cast("string")), key]
+        run = Window.partitionBy(group_col).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        whole = Window.partitionBy(group_col).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return (
+            df.withColumn("_w", w)
+            .withColumn("_wi", F.sum("_w").over(run))
+            .withColumn("_tot", F.sum("_w").over(whole))
+            .filter(n_hi > n_lo)
+            .drop("_w", "_wi", "_tot")
+        )
+
+    # ungrouped: two-pass global prefix sum over md5-prefix buckets.
+    # bucket asc + (_ord, key) asc within bucket == global (_ord, key)
+    # order, because the bucket IS the first two chars of _ord.
+    bucketed = (
         df.withColumn("_w", w)
-        .withColumn("_wi", w_i)
-        .withColumn("_tot", total)
+        .withColumn("_ord", F.md5(key.cast("string")))
+        .withColumn("_bkt", F.substring("_ord", 1, 2))
+    )
+    local = Window.partitionBy("_bkt").orderBy("_ord", key_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bucketed = bucketed.withColumn("_lwi", F.sum("_w").over(local))
+    subtotals = bucketed.groupBy("_bkt").agg(F.sum("_w").alias("_ps"))
+    prior = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    everything = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = subtotals.select(
+        "_bkt",
+        F.coalesce(F.sum("_ps").over(prior), F.lit(0)).alias("_off"),
+        F.sum("_ps").over(everything).alias("_tot"),
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_wi", F.col("_off") + F.col("_lwi"))
         .filter(n_hi > n_lo)
-        .drop("_w", "_wi", "_tot")
+        .drop("_w", "_ord", "_bkt", "_lwi", "_off", "_wi", "_tot")
     )

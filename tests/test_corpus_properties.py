@@ -365,3 +365,59 @@ def test_weighted_pps_matches_bruteforce(spark, rows):
         ).collect()
     }
     assert got == _pps_oracle(rows, 4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_pps_rows)
+def test_weighted_pps_ungrouped_matches_bruteforce(spark, rows):
+    """The two-pass global path must equal the naive global cumsum."""
+    rows = sorted({r[0]: (r[0], "g", r[2]) for r in rows}.values())
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    got = {
+        r["doc_id"]
+        for r in weighted_systematic_sample(df, "doc_id", "w", k=3).collect()
+    }
+    assert got == _pps_oracle(rows, 3)
+
+
+def test_weighted_pps_ungrouped_scales_without_global_sort(spark):
+    """1e6 rows through the ungrouped two-pass path: the selection must
+    equal the single-machine reference cumsum AND be identical under a
+    different input partitioning (range boundaries are internal detail).
+    The full-data windows partition by _pid — the only single-partition
+    window runs over the P subtotal rows."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    n, k = 1_000_000, 1000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100 + 1).cast("long").alias("w"),
+    )
+    out = weighted_systematic_sample(df, "doc_id", "w", k=k)
+    # plan shape: the data-sized window partitions by the md5-prefix
+    # bucket (256-way hash exchange); no global sort of the fact
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_bkt" in plan
+    got = {r["doc_id"] for r in out.collect()}
+
+    # reference: global order by (md5(key), key), integer selection
+    order = sorted(range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    total = sum(i % 100 + 1 for i in range(n))
+    expect, wi = set(), 0
+    for i in order:
+        w = i % 100 + 1
+        if ((wi + w) * k + total - 1) // total > (wi * k + total - 1) // total:
+            expect.add(i)
+        wi += w
+    assert got == expect
+    assert len(got) <= k
+
+    got2 = {
+        r["doc_id"]
+        for r in weighted_systematic_sample(
+            df.repartition(7), "doc_id", "w", k=k
+        ).collect()
+    }
+    assert got2 == expect
