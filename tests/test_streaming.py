@@ -396,3 +396,213 @@ def test_streaming_continuous_rollup_merge(spark, tmp_path):
     run()
     got3 = {tuple(r) for r in publish_rollup(read_rollup_state(spark, state_dir)).collect()}
     assert got3 == want
+
+
+def test_interval_join_three_epoch_carry_and_eviction(spark, tmp_path):
+    """Interval join state across SEPARATE drain runs on one checkpoint:
+
+    - epoch 2's purchase must match a click ingested in epoch 1 (the
+      click survived the restart in the state store);
+    - after epoch 3 advances both watermarks ~13 hours, epoch 4 replays
+      the same user/lookback shape as epoch 2 with a LATE purchase —
+      the old click is evicted and the late row dropped, so nothing is
+      emitted.  Same data shape, opposite outcome: that asymmetry is
+      the eviction timeline, not a join bug.
+    """
+    from eventbridge_etl_spark.streaming.join import interval_join_streams
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    ckpt = str(tmp_path / "ckpt_j3")
+    os.makedirs(cdir, exist_ok=True)
+    os.makedirs(pdir, exist_ok=True)
+    cschema = "user_id long, click_ts timestamp, click_id long"
+    pschema = "user_id long, purchase_ts timestamp, purchase_id long"
+
+    def land(dirname, schema, name, rows, raw):
+        spark.createDataFrame(rows, raw).selectExpr(
+            *[
+                f"CAST({c.split()[0]} AS {c.split()[1]}) AS {c.split()[0]}"
+                for c in schema.split(", ")
+            ]
+        ).coalesce(1).write.mode("append").parquet(os.path.join(dirname, name))
+
+    out = str(tmp_path / "j3_out")
+    seen: set = set()
+
+    def drain(epoch):
+        # memory sink cannot recover a checkpoint, so epochs append to
+        # parquet via foreachBatch; each epoch's emissions = the delta
+        cs = (
+            spark.readStream.schema(cschema)
+            .option("recursiveFileLookup", "true").parquet(cdir)
+        )
+        ps = (
+            spark.readStream.schema(pschema)
+            .option("recursiveFileLookup", "true").parquet(pdir)
+        )
+        joined = interval_join_streams(
+            ps, cs, ["user_id"],
+            left_ts="purchase_ts", right_ts="click_ts",
+            lookback="1 hour", left_watermark="2 hours",
+            right_watermark="2 hours",
+        )
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        try:
+            rows = {
+                (r["purchase_id"], r["click_id"])
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:
+            rows = set()
+        new = sorted(rows - seen)
+        seen.update(rows)
+        return new
+
+    craw = "user_id long, click_ts string, click_id long"
+    praw = "user_id long, purchase_ts string, purchase_id long"
+    # epoch 1: a click for user 1; an unmatched purchase for user 2
+    land(cdir, cschema, "e1", [(1, "2024-01-01 10:00:00", 100)], craw)
+    land(pdir, pschema, "e1", [(2, "2024-01-01 09:00:00", 900)], praw)
+    assert drain(1) == []
+
+    # epoch 2: user 1 purchases 30 min after the epoch-1 click
+    land(pdir, pschema, "e2", [(1, "2024-01-01 10:30:00", 901)], praw)
+    assert drain(2) == [(901, 100)]
+
+    # epoch 3: both sides jump to 23:00 -> watermark ~21:00 after drain
+    land(cdir, cschema, "e3", [(9, "2024-01-01 23:00:00", 101)], craw)
+    land(pdir, pschema, "e3", [(9, "2024-01-01 23:00:00", 902)], praw)
+    assert drain(3) == [(902, 101)]
+
+    # epoch 4: same shape as epoch 2, but now 10:40 is far behind the
+    # watermark: late purchase dropped, epoch-1 click state evicted
+    land(pdir, pschema, "e4", [(1, "2024-01-01 10:40:00", 903)], praw)
+    assert drain(4) == []
+
+
+def test_running_totals_three_epoch_carry(spark, tmp_path):
+    """Custom stateful totals across THREE separate drain runs on one
+    checkpoint: each epoch's final row per user equals the cumulative
+    aggregate over everything ingested so far — state survives restarts,
+    not just micro-batches within a run."""
+    from eventbridge_etl_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "ev3")
+    ckpt = str(tmp_path / "ckpt_s3")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, value double, ts_us long"
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, name)
+        )
+
+    out = str(tmp_path / "rt3_out")
+
+    def drain(epoch):
+        # memory sink cannot recover a checkpoint; append update rows
+        # to parquet tagged with the epoch, read back this epoch's only
+        from pyspark.sql import functions as SF
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            running_totals(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.withColumn("_epoch", SF.lit(epoch))
+                .write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        rows = [
+            (r["user_id"], r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(out).collect()
+            if not r["expired"] and r["_epoch"] == epoch
+        ]
+        # per-user final emission this epoch = the max running count
+        final: dict = {}
+        for uid, n, s in sorted(rows, key=lambda t: t[1]):
+            final[uid] = (n, s)
+        return final
+
+    land("f1", [(1, 10.0, 1_000), (2, 1.0, 1_100)])
+    assert drain(1) == {1: (1, 10.0), 2: (1, 1.0)}
+
+    land("f2", [(1, 2.5, 2_000), (3, 7.0, 2_100)])
+    # user 1 folds onto epoch-1 state; user 2 has no new rows (update
+    # mode: no re-emit), user 3 is fresh
+    assert drain(2) == {1: (2, 12.5), 3: (1, 7.0)}
+
+    land("f3", [(1, 0.5, 3_000), (2, 4.0, 3_100), (3, 1.0, 3_200)])
+    assert drain(3) == {1: (3, 13.0), 2: (2, 5.0), 3: (2, 8.0)}
+
+
+def test_running_totals_timeout_eviction_timeline(spark, tmp_path):
+    """ProcessingTimeTimeout eviction on a CONTINUOUS query (the mode
+    the operator documents for timeouts): a user idle past timeout_ms
+    emits a final expired=True row and its state is removed — a later
+    event for the same user then starts from zero."""
+    import time as _time
+
+    from eventbridge_etl_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "ev_to")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, value double, ts_us long"
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, name)
+        )
+
+    land("f1", [(1, 5.0, 1_000)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        running_totals(stream, timeout_ms=1_500)
+        .writeStream.format("memory").queryName("rt_to")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_to"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def wait_for(predicate, timeout_s=90):
+            deadline = _time.time() + timeout_s
+            while _time.time() < deadline:
+                if predicate():
+                    return True
+                _time.sleep(1.0)
+            return False
+
+        def rows():
+            return [
+                (r["user_id"], r["n_events"], r["sum_value"], r["expired"])
+                for r in spark.sql("SELECT * FROM rt_to").collect()
+            ]
+
+        assert wait_for(lambda: (1, 1, 5.0, False) in rows())
+        # idle past the 1.5 s timeout -> expired row with final totals
+        assert wait_for(lambda: (1, 1, 5.0, True) in rows())
+        # a fresh event for user 1 starts a NEW state from zero
+        land("f2", [(1, 2.0, 9_000)])
+        assert wait_for(lambda: (1, 1, 2.0, False) in rows())
+    finally:
+        q.stop()
