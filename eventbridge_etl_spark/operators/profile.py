@@ -37,6 +37,41 @@ def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFra
             F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
         ]
     one = df.agg(*aggs)
+    return _to_long_form(one, cols)
+
+
+def profile_columns_approx(
+    df: DataFrame, cols: Sequence[str] | None = None, rsd: float = 0.05
+) -> DataFrame:
+    """Sketch-based profile for WIDE tables: same long-form output as
+    :func:`profile_columns` but ``n_distinct`` is HyperLogLog++
+    (``approx_count_distinct``, relative standard deviation ``rsd``).
+
+    Why it exists: exact multi-column ``count_distinct`` plans through
+    an Expand that replicates every input row once per profiled column
+    — a 100-column profile scans once but SHUFFLES 100x the table.
+    HLL partials are mergeable fixed-size sketches, so this variant is
+    one scan, one ordinary partial-agg shuffle (bytes ~ columns x
+    sketch size, independent of row count), no Expand — asserted in
+    tests/test_plans.py.  Trade: ~rsd relative error on n_distinct;
+    n_rows/n_nulls/min/max remain exact.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{c}"),
+            F.approx_count_distinct(F.col(c), rsd).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    return _to_long_form(one, cols)
+
+
+def _to_long_form(one: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Reshape the 1-row wide aggregate to one row per profiled column
+    via an explode of a literal struct array (no data movement)."""
     rows = F.array(
         *[
             F.struct(

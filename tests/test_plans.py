@@ -237,3 +237,58 @@ def test_unigram_lm_broadcasts_totals_and_model(spark):
     plan = _plan(spark, "text_unigram_logprob")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """The engine ships spark.sql.parquet.aggregatePushdown=true; it
+    only engages on the DSv2 read path (V1, the default file source,
+    ignores it — which is also why the conf cannot have caused the r4
+    bench regression).  Under a V2 read, a no-filter COUNT/MIN/MAX
+    must show PushedAggregation on the scan and still agree with the
+    V1 answer."""
+    from pyspark.sql import functions as F
+
+    path = f"{SF_DIR}/orders.parquet"
+
+    def agg(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mx"),
+        )
+
+    v1 = agg(spark.read.parquet(path))
+    assert "PushedAggregation" not in v1._jdf.queryExecution().executedPlan().toString()
+    expect = v1.collect()[0]
+
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        v2 = agg(spark.read.parquet(path))
+        plan = v2._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*), MIN(o_orderkey), MAX(o_orderkey)]" in plan
+        assert v2.collect()[0] == expect
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
+
+
+def test_profile_approx_avoids_expand(spark):
+    """Exact multi-column distinct profiles plan through Expand (rows
+    replicated once per profiled column before the shuffle); the HLL
+    variant must profile the same columns with NO Expand and a single
+    ordinary partial-agg shuffle."""
+    from eventbridge_etl_spark.operators.profile import (
+        profile_columns,
+        profile_columns_approx,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    exact_plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan
+    approx_plan = (
+        profile_columns_approx(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in approx_plan
+    assert _shuffles(approx_plan) == 1

@@ -185,3 +185,24 @@ def test_profile_and_expectations_empty_table(spark):
     assert prof["k"]["min_value"] is None
     out = check_expectations(df, [("not_null", "k"), ("unique", "k")]).collect()
     assert all(r["passed"] and r["n_violations"] == 0 for r in out)
+
+
+def test_profile_approx_matches_exact_within_rsd(spark):
+    """HLL profile: n_rows/n_nulls/min/max exactly equal the exact
+    profile; n_distinct within 3x the configured relative error."""
+    from eventbridge_etl_spark.operators.profile import (
+        profile_columns,
+        profile_columns_approx,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    exact = {r["column"]: r for r in profile_columns(df, cols).collect()}
+    approx = {r["column"]: r for r in profile_columns_approx(df, cols, rsd=0.05).collect()}
+    assert set(exact) == set(approx)
+    for c in cols:
+        e, a = exact[c], approx[c]
+        assert (a["n_rows"], a["n_nulls"], a["min_value"], a["max_value"]) == (
+            e["n_rows"], e["n_nulls"], e["min_value"], e["max_value"]
+        )
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(3, 0.15 * e["n_distinct"])
