@@ -238,3 +238,63 @@ def rolling_zscore(
         F.when(ok, F.round(z, 4)).alias("zscore"),
         F.when(ok, F.abs(z) > threshold).otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch gap-based sessionization (the batch analog of Structured
+    Streaming's ``session_window``): consecutive events of one key
+    belong to one session while the gap between them stays <=
+    ``gap_seconds``; a larger gap starts the next session.
+
+    Returns one row per (key, session): ``session_seq`` (1-based, in
+    time order), ``session_start``/``session_end``, ``n_events``,
+    ``duration_secs`` (integer epoch diff), and ``sum_value`` (decimal
+    summed, rounded to 4 — order-independent across engines).
+
+    Deterministic: ordering is (ts, tiebreak) with the same
+    explicit-tiebreak contract as :func:`counter_increase`; the gap
+    compares integer epoch seconds, so engines cannot disagree on
+    boundary rows.
+
+    Scale shape: a lag window and a running-sum window over ONE key
+    partitioning, then a hash aggregate on (key, session_seq) — the
+    aggregate's clustering keys start with the window partition key, so
+    Catalyst reuses the exchange: the whole operator is a single
+    shuffle (asserted in tests).  Session state is never materialized
+    driver-side; output cardinality is the session count.
+    """
+    if tiebreak_col not in events.columns:
+        raise ValueError(
+            f"tiebreak column {tiebreak_col!r} not in input; pass a unique "
+            "column that breaks timestamp ties (determinism requires a "
+            "total order)"
+        )
+    epoch = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    tagged = events.withColumn("_new", is_new).withColumn(
+        "_sess", F.sum("_new").over(run)
+    )
+    return (
+        tagged.groupBy(F.col(key_col), F.col("_sess").alias("session_seq"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            (
+                F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+            ).alias("duration_secs"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )

@@ -21,6 +21,7 @@ from eventbridge_etl_spark.operators.timeseries import (
     gap_fill_hourly,
     ohlc_bars,
     rolling_zscore,
+    sessionize,
 )
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
@@ -151,6 +152,45 @@ def events_counter_increase(spark, sf_dir):
     """PromQL-style increase(): per-user positive-delta sum with reset
     handling (operators/timeseries.counter_increase)."""
     return counter_increase(_events(spark, sf_dir))
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, value, event_id,
+             epoch_us(ts) // 1000000 AS ep
+      FROM events
+    ),
+    g AS (
+      SELECT *, CASE WHEN ep - lag(ep) OVER w IS NULL
+                       OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(max(ep) - min(ep) AS BIGINT) AS duration_secs,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4)
+             AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Batch gap-based sessionization, 30-minute inactivity gap —
+    single-shuffle lag/cumsum/aggregate chain
+    (operators/timeseries.sessionize); whole-second epoch arithmetic on
+    both engines (Spark unix_timestamp truncation == epoch_us div 1e6)."""
+    return sessionize(_events(spark, sf_dir), gap_seconds=1800)
 
 
 @query(

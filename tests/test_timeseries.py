@@ -151,6 +151,53 @@ def test_gap_fill_tied_timestamps_deterministic(spark):
     assert rows[0]["last_value"] == 3.0 and rows[0]["filled_value"] == 3.0
 
 
+def test_sessionize_gap_semantics(spark):
+    """Sessions split strictly when the gap EXCEEDS the threshold; a
+    gap of exactly gap_seconds stays in-session; ties order by id."""
+    from eventbridge_etl_spark.operators.timeseries import sessionize
+
+    ev = _events(
+        spark,
+        [
+            (1, _ts(10, 0), 1.0),
+            (1, _ts(10, 20), 2.0),   # 1200 s gap: same session
+            (1, _ts(10, 50), 3.0),   # exactly 1800 s: still same
+            (1, _ts(12, 0), 4.0),    # 4200 s: new session
+            (2, _ts(10, 0), 9.0),    # other key: own session
+        ],
+    )
+    out = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11 = out[(1, 1)]
+    assert s11["n_events"] == 3 and s11["sum_value"] == 6.0
+    assert s11["duration_secs"] == 3000
+    assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["duration_secs"] == 0
+    assert out[(2, 1)]["sum_value"] == 9.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="tiebreak"):
+        sessionize(ev.drop("event_id"))
+
+
+def test_sessionize_single_shuffle(spark):
+    """Lag window, running sum, and the (key, session) aggregate must
+    share ONE hash exchange on the key."""
+    from eventbridge_etl_spark.operators.timeseries import sessionize
+
+    ev = _events(spark, [(1, _ts(0), 1.0), (2, _ts(1), 2.0)])
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    hx = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert len(hx) == 1, plan
+    assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+
+
 def test_funnel_ordered_semantics(spark):
     from eventbridge_etl_spark.operators.funnel import funnel_counts, funnel_steps
 
