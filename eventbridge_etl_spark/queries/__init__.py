@@ -72,8 +72,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_anomaly_zscore",
     "sample_weighted_pps",
     "zorder_events_cluster",
-    # --- round-5 addition, never driver-checked
+    # --- round-5 additions, never driver-checked
     "events_sessionize",
+    "fn_url_surface",
     # --- stale debt, oldest first: last green in r1 (four rounds ago)
     "agg_rollup",
     "agg_cube",
@@ -120,9 +121,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicates",
-    "q21_waiting_orders",
     # ---------------- overflow (positions 51+): checked only if the
     # driver window widens; r6 must lead with whatever is left here
+    "q21_waiting_orders",
     "q22_dormant_customers",
     "q13_customer_distribution",
     "q20_dominant_suppliers",

@@ -421,3 +421,54 @@ def fn_bitwise_surface(spark, sf_dir):
         F.bit_xor(masked).alias("key_bit_xor"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "fn_url_surface",
+    # independent regex replica of Java-style URL decomposition — the
+    # synthetic URLs are built from the same columns on both sides, so
+    # any parse_url/regex semantic drift fails the hash compare
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://shop-' || (o_custkey % 10) || '.example.com/p/'
+               || (o_orderkey % 7) || '?o=' || o_orderkey
+               || '&c=' || o_custkey || '#f' || (o_orderkey % 3) AS url
+      FROM orders WHERE o_orderkey < 1200
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^([a-z]+)://', 1)            AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)     AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1)              AS query,
+           regexp_extract(url, '[?&]c=([^&#]*)', 1)          AS c_param,
+           regexp_extract(url, '#(.*)$', 1)                  AS fragment
+    FROM u
+    """,
+)
+def fn_url_surface(spark, sf_dir):
+    """URL decomposition surface: ``parse_url`` PROTOCOL/HOST/PATH/
+    QUERY/QUERY-key/REF over deterministic synthetic URLs — the
+    log-analytics primitive (host rollups, UTM extraction).  Map-only
+    JVM expressions; the oracle decomposes the same strings with plain
+    regex, so the two engines cross-check each other's URL grammar."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1200)
+    url = F.concat(
+        F.lit("https://shop-"), (F.col("o_custkey") % 10).cast("string"),
+        F.lit(".example.com/p/"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("?o="), F.col("o_orderkey").cast("string"),
+        F.lit("&c="), F.col("o_custkey").cast("string"),
+        F.lit("#f"), (F.col("o_orderkey") % 3).cast("string"),
+    )
+    return od.select(
+        "o_orderkey",
+        url.alias("url"),
+    ).select(
+        "o_orderkey",
+        F.expr("parse_url(url, 'PROTOCOL')").alias("protocol"),
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY')").alias("query"),
+        F.expr("parse_url(url, 'QUERY', 'c')").alias("c_param"),
+        F.expr("parse_url(url, 'REF')").alias("fragment"),
+    )
