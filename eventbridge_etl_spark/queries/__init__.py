@@ -75,6 +75,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # --- round-5 additions, never driver-checked
     "events_sessionize",
     "fn_url_surface",
+    "graph_pagerank_transitions",
     # --- stale debt, oldest first: last green in r1 (four rounds ago)
     "agg_rollup",
     "agg_cube",
@@ -120,9 +121,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
-    "q19_disjunctive_predicates",
     # ---------------- overflow (positions 51+): checked only if the
     # driver window widens; r6 must lead with whatever is left here
+    "q19_disjunctive_predicates",
     "q21_waiting_orders",
     "q22_dormant_customers",
     "q13_customer_distribution",
@@ -144,6 +145,7 @@ def load_all() -> None:
     from eventbridge_etl_spark.queries import (  # noqa: F401
         corpus_q,
         functions_q,
+        graph_q,
         llm,
         pipeline_q,
         relational,

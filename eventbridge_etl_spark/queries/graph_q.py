@@ -1,0 +1,86 @@
+"""Graph queries over the event stream: weighted PageRank on the
+event-type transition (Markov-chain) graph.
+
+The oracle unrolls the SAME fixed iteration count as the Spark plan,
+with the same decimal-summed contribution images and the same IEEE
+double constants (interpolated via ``repr`` so ``1.0 - 0.85`` carries
+its exact binary value into the SQL), so the two engines agree
+bit-for-bit before the final rounding.  See operators/graph.py for the
+scale rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.operators.graph import pagerank, transition_edges
+from eventbridge_etl_spark.queries import query
+from eventbridge_etl_spark.sources.tables import load_tables
+
+_DAMPING = 0.85
+_ITERATIONS = 4
+
+
+def _pagerank_oracle(damping: float, iterations: int) -> str:
+    d = repr(damping)
+    base = repr(1.0 - damping)  # exact IEEE value of the Python double
+    sql = f"""
+    WITH lagged AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events
+    ),
+    e AS (
+      SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lagged WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    frac AS (
+      SELECT e.src, e.dst, e.w / o.ow AS frac
+      FROM e JOIN (SELECT src, SUM(w) AS ow FROM e GROUP BY src) o
+        ON o.src = e.src
+    ),
+    r0 AS (
+      SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn
+    )"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT nd.node,
+             CAST({base} AS DOUBLE) / nn.n
+               + COALESCE(CAST(s.acc AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT f.dst AS node,
+               SUM(CAST((r.rank * CAST({d} AS DOUBLE)) * f.frac
+                        AS DECIMAL(38,18))) AS acc
+        FROM frac f JOIN {prev} r ON r.node = f.src
+        GROUP BY f.dst
+      ) s ON s.node = nd.node
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT node, ROUND(rank, 8) AS rank FROM {prev}
+    """
+    return sql
+
+
+@query("graph_pagerank_transitions", oracle=_pagerank_oracle(_DAMPING, _ITERATIONS))
+def graph_pagerank_transitions(spark, sf_dir):
+    """Weighted PageRank over the event-type transition graph, 4
+    iterations unrolled into one declarative plan (operators/graph.py).
+    The importance ranking of states in the user-journey Markov chain —
+    iterative joins with node-cardinality state, no driver loop."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    edges = transition_edges(events)
+    return pagerank(
+        edges, "src", "dst", weight_col="n",
+        damping=_DAMPING, iterations=_ITERATIONS,
+    )

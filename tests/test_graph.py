@@ -1,0 +1,87 @@
+"""PageRank and transition-edge extraction: hand-computed ranks on a
+tiny graph, the documented dangling-mass behavior, and plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from eventbridge_etl_spark.operators.graph import pagerank, transition_edges
+
+
+def _py_pagerank(edges, damping=0.85, iterations=4):
+    """Independent reference: same simplified variant (no dangling
+    redistribution), plain float arithmetic."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        acc = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            acc[d] += (rank[s] * damping) * (w / out_w[s])
+        rank = {v: (1.0 - damping) / n + acc[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference(spark):
+    edges = [("a", "b", 2), ("b", "a", 1), ("a", "c", 1), ("c", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, n long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", weight_col="n").collect()
+    }
+    want = _py_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-7)
+    # ranks are a probability-ish distribution here (no dangling nodes)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_dangling_mass_leaks_as_documented(spark):
+    # c has no out-edges: its rank is never redistributed (simplified
+    # variant) so total mass drops below 1 — the documented behavior
+    edges = [("a", "b", 1), ("b", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, n long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst").collect()}
+    want = _py_pagerank([(s, d, float(w)) for s, d, w in edges])
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-7)
+    assert sum(got.values()) < 1.0
+
+
+def test_transition_edges_counts_and_tiebreak(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "view", 0.0, None),
+        (2, dt.datetime(2024, 1, 1, 0, 1), 1, "click", 0.0, None),
+        (3, dt.datetime(2024, 1, 1, 0, 2), 1, "view", 0.0, None),
+        (4, dt.datetime(2024, 1, 1, 0, 3), 1, "click", 0.0, None),
+        (5, dt.datetime(2024, 1, 1, 0, 0), 2, "view", 0.0, None),
+        (6, dt.datetime(2024, 1, 1, 0, 5), 2, "click", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    got = {(r["src"], r["dst"]): r["n"] for r in transition_edges(df).collect()}
+    assert got == {("view", "click"): 3, ("click", "view"): 1}
+
+    with pytest.raises(ValueError, match="tiebreak"):
+        transition_edges(df.drop("event_id"))
+
+
+def test_pagerank_no_driver_loop_plan(spark):
+    """The unrolled plan must stay declarative: no cartesian products
+    beyond the broadcast count scalars, no Python UDFs."""
+    edges = [("a", "b", 1), ("b", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, n long")
+    plan = (
+        pagerank(df, "src", "dst", weight_col="n")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
