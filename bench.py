@@ -70,12 +70,16 @@ def main() -> None:
     # steady-state number is the one that predicts 100 TB throughput.
     # Caches are cleared between runs — run 2 re-executes the full
     # pipeline (scan -> shuffle -> agg/join), it only skips the compile.
+    # min of THREE runs: with two, one GC pause or compile hiccup on the
+    # second run leaves the min contaminated by the cold first run —
+    # exactly the false "+71%" regression r4's gate recorded and r5 had
+    # to A/B away.  The third run costs ~8 s total at sf0.1.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))
