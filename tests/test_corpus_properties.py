@@ -421,3 +421,60 @@ def test_weighted_pps_ungrouped_scales_without_global_sort(spark):
         ).collect()
     }
     assert got2 == expect
+
+
+# ------------------------------------ sessionize vs brute force
+
+from eventbridge_etl_spark.operators.timeseries import sessionize  # noqa: E402
+
+_sess_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),      # user
+        st.integers(min_value=0, max_value=7200),   # second offset
+        st.integers(min_value=0, max_value=9),      # value
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_sess_rows)
+def test_sessionize_matches_bruteforce(spark, rows):
+    import datetime as dt
+
+    gap = 600
+    uniq = sorted({(u, s): v for u, s, v in rows}.items())
+    data = [
+        (i, u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), float(v))
+        for i, ((u, s), v) in enumerate(uniq)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"], r["session_end"], r["n_events"],
+            r["duration_secs"], r["sum_value"],
+        )
+        for r in sessionize(df, gap_seconds=gap).collect()
+    }
+    expect = {}
+    for u in {d[1] for d in data}:
+        obs = sorted((ts, v) for _, uu, ts, v in data if uu == u)
+        seq, cur = 0, []
+        sessions = []
+        for ts, v in obs:
+            if cur and (ts - cur[-1][0]).total_seconds() > gap:
+                sessions.append(cur)
+                cur = []
+            cur.append((ts, v))
+        sessions.append(cur)
+        for k, sess in enumerate(sessions, start=1):
+            tss = [t for t, _ in sess]
+            expect[(u, k)] = (
+                min(tss), max(tss), len(sess),
+                int((max(tss) - min(tss)).total_seconds()),
+                round(sum(v for _, v in sess), 4),
+            )
+    assert got == expect

@@ -292,3 +292,11 @@ def test_profile_approx_avoids_expand(spark):
     )
     assert "Expand" not in approx_plan
     assert _shuffles(approx_plan) == 1
+
+
+def test_fn_url_surface_pushes_the_key_filter(spark):
+    """The URL surface is map-only over a pruned scan: the o_orderkey
+    filter reaches the parquet reader and nothing shuffles."""
+    plan = _plan(spark, "fn_url_surface")
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
+    assert _shuffles(plan) == 0

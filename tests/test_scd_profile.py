@@ -206,3 +206,25 @@ def test_profile_approx_matches_exact_within_rsd(spark):
             e["n_rows"], e["n_nulls"], e["min_value"], e["max_value"]
         )
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(3, 0.15 * e["n_distinct"])
+
+
+def test_round5_operators_empty_input(spark):
+    """The round-5 operators must return EMPTY (not crash) on empty
+    input: sessionize, transition edges, PageRank, approx profile."""
+    from eventbridge_etl_spark.operators.graph import pagerank, transition_edges
+    from eventbridge_etl_spark.operators.profile import profile_columns_approx
+    from eventbridge_etl_spark.operators.timeseries import sessionize
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    assert sessionize(ev).count() == 0
+    edges = transition_edges(ev)
+    assert edges.count() == 0
+    assert pagerank(edges, "src", "dst", weight_col="n").count() == 0
+    prof = profile_columns_approx(
+        spark.createDataFrame([], "a long, b string"), ["a", "b"]
+    )
+    rows = {r["column"]: r for r in prof.collect()}
+    assert rows["a"]["n_rows"] == 0 and rows["a"]["n_distinct"] == 0
