@@ -61,17 +61,17 @@ def main() -> None:
     # Warm-up: trigger JVM classloading + codegen once, untimed.
     QUERIES["scan_projection_filter"](spark, sf_dir).count()
 
-    # Each query runs twice; the headline number is the min (steady
-    # state), with the first-run times reported alongside as
+    # Each query runs THREE times; the headline number is the min
+    # (steady state), with the first-run times reported alongside as
     # cold_queries/cold_value.  Rationale: at sf0.1 a complex plan's
     # first execution is dominated by per-plan codegen + JIT compile
     # (measured ~5 s on the dedup LSH plan vs ~3 s of actual work); at
     # the engine's design scale that one-time compile is noise, so the
     # steady-state number is the one that predicts 100 TB throughput.
-    # Caches are cleared between runs — run 2 re-executes the full
+    # Caches are cleared between runs — each rerun re-executes the full
     # pipeline (scan -> shuffle -> agg/join), it only skips the compile.
-    # min of THREE runs: with two, one GC pause or compile hiccup on the
-    # second run leaves the min contaminated by the cold first run —
+    # Three runs, not two: with two, one GC pause or compile hiccup on
+    # the second run leaves the min contaminated by the cold first run —
     # exactly the false "+71%" regression r4's gate recorded and r5 had
     # to A/B away.  The third run costs ~8 s total at sf0.1.
     timings: dict[str, float] = {}

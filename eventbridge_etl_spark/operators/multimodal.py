@@ -70,13 +70,13 @@ def _byte_histogram(data: bytes, n_buckets: int) -> list[int]:
     return counts
 
 
-#: Mimes the real (non-fake) decode path handles with stdlib parsers.
-REAL_DECODE_MIMES = (
-    "image/x-portable-pixmap",   # P6 binary PPM
-    "image/x-portable-graymap",  # P5 binary PGM
-    "audio/wav",
-    "audio/x-wav",
-)
+#: Mimes the real (non-fake) paths handle with stdlib parsers.  The
+#: mapInPandas closures capture these by value (they stay
+#: self-contained for cloudpickle), so this is the single source of
+#: truth for dispatch in decode AND resize.
+NETPBM_MIMES = ("image/x-portable-pixmap", "image/x-portable-graymap")
+WAV_MIMES = ("audio/wav", "audio/x-wav")
+REAL_DECODE_MIMES = NETPBM_MIMES + WAV_MIMES
 
 
 def decode_media(
@@ -110,6 +110,9 @@ def decode_media(
     # NB: the closure must stay self-contained (no references to this
     # module's globals) so cloudpickle ships it by value — executors then
     # need only pandas/numpy, not this package on their PYTHONPATH.
+    # Mime dispatch tuples are captured as plain locals for that reason.
+    netpbm_mimes, wav_mimes = NETPBM_MIMES, WAV_MIMES
+
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
         import re as _re
@@ -127,10 +130,16 @@ def decode_media(
             m = header_re.match(data)
             if not m:
                 raise ValueError("malformed netpbm header")
-            maxval = int(m.group(4))
+            w, h, maxval = int(m.group(2)), int(m.group(3)), int(m.group(4))
             if not 0 < maxval < 256:
                 raise ValueError(f"unsupported netpbm maxval {maxval}")
-            px = _np.frombuffer(data, dtype=_np.uint8, offset=m.end())
+            ch = 3 if m.group(1) == b"P6" else 1
+            # bound to the declared raster: trailing bytes (editor
+            # newline, a second image in the stream) must not skew the
+            # histogram, and truncated rasters must error, not pass
+            px = _np.frombuffer(
+                data, dtype=_np.uint8, offset=m.end(), count=w * h * ch
+            )
             idx = px.astype(_np.int64) * n_buckets // (maxval + 1)
             counts = _np.bincount(idx, minlength=n_buckets)[:n_buckets]
             return counts / max(float(px.size), 1.0)
@@ -156,9 +165,9 @@ def decode_media(
                         counts[b % n_buckets] += 1
                     total = float(sum(counts)) or 1.0
                     feats = [c / total for c in counts]
-                elif mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+                elif mime in netpbm_mimes:
                     feats = [float(x) for x in _netpbm_hist(data)]
-                elif mime in ("audio/wav", "audio/x-wav"):
+                elif mime in wav_mimes:
                     feats = [float(x) for x in _wav_hist(data)]
                 else:
                     raise NotImplementedError(
@@ -207,6 +216,7 @@ def resize_media(
         ]
     )
     target_area = max(target_width * target_height, 1)
+    netpbm_mimes = NETPBM_MIMES  # captured by value (see decode_media)
 
     def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math as _math
@@ -247,7 +257,7 @@ def resize_media(
                 if fake:
                     stride = max(1, _math.ceil(len(data) / target_area))
                     out = data[::stride]
-                elif mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+                elif mime in netpbm_mimes:
                     out = _netpbm_resize(data)
                 else:
                     raise NotImplementedError(

@@ -46,13 +46,24 @@ def gap_fill_hourly(
     ``last_value`` is picked by ``max_by`` on the same fixed-width
     ``(epoch_micros, id)`` string key as ``ohlc_bars`` — two events on
     the same timestamp would otherwise make the pick (and the oracle
-    hash-compare) nondeterministic.
+    hash-compare) nondeterministic.  The id field is 20 chars wide
+    (every non-negative int64 fits — ``lpad`` TRUNCATES overlong
+    strings, which would silently re-break determinism); timestamps
+    must be epoch >= 0 (a '-' sign inside the zero-padded field breaks
+    string order), which ``events`` fixtures and any modern event
+    stream satisfy.
     """
+    if id_col not in events.columns:
+        raise ValueError(
+            f"tiebreak column {id_col!r} not in input; pass a unique "
+            "column that breaks timestamp ties (determinism requires a "
+            "total order)"
+        )
     k, ts, v = F.col(key_col), F.col(ts_col), F.col(value_col)
     hour = F.date_trunc("hour", ts)
     order_key = F.concat(
         F.lpad(F.unix_micros(ts).cast("string"), 20, "0"),
-        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
     )
 
     bounds = events.groupBy(k.alias(key_col)).agg(
@@ -100,7 +111,9 @@ def ohlc_bars(
     ``(epoch_micros, id)`` string — string order equals numeric order,
     so ties on the timestamp break deterministically by id in any
     engine (struct-ordered arg_min is not portable; a (ts*K + id)
-    bigint encoding overflows).
+    bigint encoding overflows).  Both fields are 20 chars wide so every
+    non-negative int64 fits without ``lpad`` truncation; epoch must be
+    >= 0 (see ``gap_fill_hourly``).
 
     One hash aggregate with map-side partial combine — min_by/max_by
     partials carry one (value, key) pair per group per partition.
@@ -109,7 +122,7 @@ def ohlc_bars(
     """
     order_key = F.concat(
         F.lpad((F.unix_micros(F.col(ts_col))).cast("string"), 20, "0"),
-        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
     )
     v = F.col(value_col)
     return (

@@ -16,8 +16,10 @@ Submodules group the inventory:
 - ``corpus_q``      — corpus hygiene (Gopher gates, chunk dedup,
                       temperature resampling, compression ratio, CDC)
 - ``timeseries_q``  — gap-fill / anomaly / OHLC / funnel / retention /
-                      path analysis over events
+                      path analysis / sessionization over events
 - ``streaming_q``   — watermarked windows, sessions, dedup, interval join
+- ``graph_q``       — iterative graph algorithms (PageRank over the
+                      event-transition Markov chain)
 """
 
 from __future__ import annotations

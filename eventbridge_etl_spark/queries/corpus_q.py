@@ -10,6 +10,8 @@ hash-matches.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from eventbridge_etl_spark.operators import text as X
@@ -22,6 +24,15 @@ from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
 
 _STOPS = "['the','and','of','to','a','in','is','that']"
+
+#: Pinned expected-output parquet directory, derived from this module's
+#: location so the oracles work from any checkout path (this file lives
+#: at <repo>/eventbridge_etl_spark/queries/).
+_PINNED_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "data",
+)
 
 
 def _doc(spark, sf_dir):
@@ -215,9 +226,9 @@ def sample_temperature(spark, sf_dir):
     # value-pinned independently in tests/test_cdc_compress.py).  The
     # corpus digest self-selects the slice for the running corpus and
     # returns ZERO rows (loud fail) on an unseen one.
-    oracle="""
+    oracle=f"""
     SELECT doc_id, n_bytes, n_compressed, ratio
-    FROM read_parquet('/root/repo/tests/data/text_compression_ratio_pinned.parquet')
+    FROM read_parquet('{_PINNED_DIR}/text_compression_ratio_pinned.parquet')
     WHERE corpus_digest = (
       SELECT md5(string_agg(md5(text), '' ORDER BY doc_id)) FROM documents
     )
@@ -238,9 +249,9 @@ def text_compression_ratio(spark, sf_dir):
     "multimodal_cdc_dedup",
     # stateful Gear rolling hash has no SQL analog — pinned expected
     # output, same scheme as text_compression_ratio above
-    oracle="""
+    oracle=f"""
     SELECT chunk_hash, n_refs, size, logical_bytes
-    FROM read_parquet('/root/repo/tests/data/multimodal_cdc_dedup_pinned.parquet')
+    FROM read_parquet('{_PINNED_DIR}/multimodal_cdc_dedup_pinned.parquet')
     WHERE corpus_digest = (
       SELECT md5(string_agg(md5(text), '' ORDER BY doc_id)) FROM documents
     )

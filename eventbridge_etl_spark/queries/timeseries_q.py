@@ -49,7 +49,7 @@ def _events(spark, sf_dir):
       SELECT user_id, date_trunc('hour', ts) AS hour,
              COUNT(*) AS n_events,
              arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                            || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                            || lpad(CAST(event_id AS VARCHAR), 20, '0'))
                AS last_value
       FROM events GROUP BY 1, 2
     )
@@ -110,7 +110,7 @@ def events_anomaly_zscore(spark, sf_dir):
     WITH k AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket, value,
              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+               || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
       FROM events
     )
     SELECT event_type, bucket,

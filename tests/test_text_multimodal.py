@@ -112,6 +112,32 @@ def test_decode_media_real_ppm(spark):
     assert [round(f, 12) for f in row["features"]] == [round(e, 12) for e in expect]
 
 
+def test_decode_media_real_ppm_ignores_trailing_bytes(spark):
+    """The raster read is bounded to width*height*channels: a trailing
+    newline (editors append one) must not skew the histogram, and a
+    truncated raster must error instead of silently passing."""
+    import os as _os
+
+    with open(_os.path.join(FIXTURE_DIR, "fixture_gradient.ppm"), "rb") as f:
+        data = f.read()
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(data + b"\n\n"))],
+        "doc_id long, raw binary",
+    )
+    wrapped = attach_payload(df, "raw", mime="image/x-portable-pixmap")
+    out = {r["id"]: r for r in decode_media(wrapped, "doc_id", fake=False).collect()}
+    assert out[1]["features"] == out[2]["features"]
+
+    truncated = spark.createDataFrame(
+        [(3, bytearray(data[:-10]))], "doc_id long, raw binary"
+    )
+    with pytest.raises(Exception):
+        decode_media(
+            attach_payload(truncated, "raw", mime="image/x-portable-pixmap"),
+            "doc_id", fake=False,
+        ).collect()
+
+
 def test_decode_media_real_pgm_and_wav(spark):
     import math
     import struct

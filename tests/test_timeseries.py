@@ -150,6 +150,31 @@ def test_gap_fill_tied_timestamps_deterministic(spark):
     # event_id 1 (value 3.0) beats event_id 0 at the tied timestamp
     assert rows[0]["last_value"] == 3.0 and rows[0]["filled_value"] == 3.0
 
+    import pytest
+
+    with pytest.raises(ValueError, match="tiebreak"):
+        gap_fill_hourly(ev.drop("event_id"))
+
+
+def test_gap_fill_snowflake_scale_ids_order_correctly(spark):
+    """Ids longer than 12 digits: the 20-char pad must keep numeric
+    order (lpad TRUNCATES overlong strings — the old 12-char field
+    collapsed 19-digit snowflake ids to a shared prefix)."""
+    import datetime as dt
+
+    rows = [
+        (1234567890123456785, 1, dt.datetime(2024, 1, 1, 0, 30), 7.0),
+        (1234567890123456790, 1, dt.datetime(2024, 1, 1, 0, 30), 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = gap_fill_hourly(ev).collect()
+    assert len(out) == 1
+    # ...790 > ...785 numerically; both share the first 12 digits, so
+    # a truncating key could not distinguish them
+    assert out[0]["last_value"] == 3.0
+
 
 def test_sessionize_gap_semantics(spark):
     """Sessions split strictly when the gap EXCEEDS the threshold; a
