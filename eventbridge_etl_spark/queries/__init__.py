@@ -78,6 +78,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",
+    "events_robust_scale",
+    "doc_equidepth_bins",
     # --- stale debt, oldest first: last green in r1 (four rounds ago)
     "agg_rollup",
     "agg_cube",
@@ -121,10 +123,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q14_promo_effect",
     "q15_top_supplier",
     "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
     # ---------------- overflow (positions 51+): checked only if the
     # driver window widens; r6 must lead with whatever is left here
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
     "q19_disjunctive_predicates",
     "q21_waiting_orders",
     "q22_dormant_customers",
@@ -146,6 +148,7 @@ def load_all() -> None:
     so gate-priority names (see ``_GATE_PRIORITY``) come first."""
     from eventbridge_etl_spark.queries import (  # noqa: F401
         corpus_q,
+        features_q,
         functions_q,
         graph_q,
         llm,

@@ -1,0 +1,54 @@
+"""Feature-engineering operators: robust scaling and equi-depth
+binning, pinned on hand-computed frames plus plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from eventbridge_etl_spark.operators.features import equidepth_bins, robust_scale
+
+
+def test_robust_scale_values_and_zero_iqr(spark):
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [("b", 7.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_scale(df, "g", "v").collect()
+    got = sorted((r["g"], r["v"], r["scaled"]) for r in out)
+    # group a: median 3, q1 2, q3 4 -> iqr 2; (v-3)/2
+    assert [(g, v, s) for g, v, s in got if g == "a"] == [
+        ("a", 1.0, -1.0), ("a", 2.0, -0.5), ("a", 3.0, 0.0),
+        ("a", 4.0, 0.5), ("a", 5.0, 1.0),
+    ]
+    # group b: constant -> IQR 0 -> null, never infinity
+    assert [(g, s) for g, v, s in got if g == "b"] == [("b", None), ("b", None)]
+
+
+def test_equidepth_bins_quartile_assignment(spark):
+    rows = [("a", float(v)) for v in range(1, 9)]  # 1..8, one group
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["v"]: r["bin"] for r in equidepth_bins(df, "g", "v", n_bins=4).collect()}
+    # quartiles of 1..8 interpolate to 2.75 / 4.5 / 6.25: two values/bin
+    assert out == {1.0: 1, 2.0: 1, 3.0: 2, 4.0: 2, 5.0: 3, 6.0: 3, 7.0: 4, 8.0: 4}
+
+    with pytest.raises(ValueError, match="n_bins"):
+        equidepth_bins(df, "g", "v", n_bins=1)
+
+
+def test_features_plan_broadcast_stats(spark):
+    """Stats join must broadcast (group-cardinality build side) and the
+    whole transform must cost ONE shuffle (the stats aggregate)."""
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)], "g string, v double"
+    )
+    for op in (
+        lambda: robust_scale(df, "g", "v"),
+        lambda: equidepth_bins(df, "g", "v"),
+    ):
+        plan = op()._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+        import re
+
+        hx = re.findall(
+            r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
+        )
+        assert len(hx) <= 1, plan
