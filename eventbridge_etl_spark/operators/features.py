@@ -87,3 +87,47 @@ def equidepth_bins(
         .withColumn(out_col, bin_expr.cast("int"))
         .drop(*[f"_q{i}" for i in range(1, n_bins)])
     )
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    out_col: str = "encoded",
+    scale: int = 6,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical feature:
+
+        encoded(c) = (sum_target(c) + prior_mean * m) / (n(c) + m)
+
+    with ``m = smoothing`` — rare categories shrink toward the global
+    prior instead of memorizing a handful of labels (the standard
+    leakage mitigation short of a full leave-one-out/CV split, which a
+    caller gets by fitting on the train fold via
+    ``sampling.train_test_split`` and joining onto the rest).
+
+    Determinism: per-category and global target sums accumulate as
+    DECIMAL(28,6) images (order-free); the smoothing blend is plain
+    IEEE double on those exact sums.  Scale shape: one category
+    aggregate + a 1-row global aggregate, both broadcast back; the
+    encoding itself is map-only.
+    """
+    t = F.col(target_col).cast("decimal(28,6)")
+    per_cat = df.groupBy(category_col).agg(
+        F.sum(t).alias("_s"), F.count(target_col).alias("_n")
+    )
+    overall = df.agg(
+        (F.sum(t).cast("double") / F.count(target_col)).alias("_prior")
+    )
+    enc = F.round(
+        (F.col("_s").cast("double") + F.col("_prior") * F.lit(smoothing))
+        / (F.col("_n") + F.lit(smoothing)),
+        scale,
+    )
+    return (
+        df.join(F.broadcast(per_cat), category_col)
+        .crossJoin(F.broadcast(overall))
+        .withColumn(out_col, enc)
+        .drop("_s", "_n", "_prior")
+    )

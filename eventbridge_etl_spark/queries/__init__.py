@@ -80,6 +80,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "graph_pagerank_transitions",
     "events_robust_scale",
     "doc_equidepth_bins",
+    "events_target_encode",
     # --- stale debt, oldest first: last green in r1 (four rounds ago)
     "agg_rollup",
     "agg_cube",
@@ -122,9 +123,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q12_priority_shipping",
     "q14_promo_effect",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
     # ---------------- overflow (positions 51+): checked only if the
     # driver window widens; r6 must lead with whatever is left here
+    "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicates",

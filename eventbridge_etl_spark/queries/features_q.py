@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from eventbridge_etl_spark.operators.features import equidepth_bins, robust_scale
+from eventbridge_etl_spark.operators.features import (
+    equidepth_bins,
+    robust_scale,
+    target_encode,
+)
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
 
@@ -65,4 +69,34 @@ def doc_equidepth_bins(spark, sf_dir):
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return equidepth_bins(docs, "source", "n_chars", n_bins=4).select(
         "doc_id", "source", "n_chars", "bin"
+    )
+
+
+@query(
+    "events_target_encode",
+    oracle="""
+    WITH cat AS (
+      SELECT event_type,
+             SUM(CAST(value AS DECIMAL(28,6))) AS s,
+             COUNT(value) AS n
+      FROM events GROUP BY event_type
+    ),
+    prior AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(value) AS p
+      FROM events
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((CAST(c.s AS DOUBLE) + prior.p * 20.0) / (c.n + 20.0), 6)
+             AS encoded
+    FROM events e JOIN cat c USING (event_type) CROSS JOIN prior
+    """,
+)
+def events_target_encode(spark, sf_dir):
+    """Smoothed mean encoding of event_type by value — category sums as
+    exact decimals, the blend in IEEE double, map-only application
+    (operators/features.target_encode)."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    return target_encode(events, "event_type", "value", smoothing=20.0).select(
+        "event_id", "event_type", "encoded"
     )

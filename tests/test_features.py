@@ -52,3 +52,18 @@ def test_features_plan_broadcast_stats(spark):
             r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan
         )
         assert len(hx) <= 1, plan
+
+
+def test_target_encode_smoothing_blend(spark):
+    from eventbridge_etl_spark.operators.features import target_encode
+
+    rows = [("a", 10.0), ("a", 20.0), ("b", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r["encoded"] for r in target_encode(df, "g", "v", smoothing=2.0).collect()}
+    prior = (10 + 20 + 100) / 3  # 43.333...
+    # a: (30 + prior*2) / (2+2); b: (100 + prior*2) / (1+2)
+    assert out["a"] == round((30 + prior * 2) / 4, 6)
+    assert out["b"] == round((100 + prior * 2) / 3, 6)
+    # rare category shrinks toward the prior: b sits between its raw
+    # mean (100) and the prior
+    assert prior < out["b"] < 100.0
