@@ -1,13 +1,21 @@
 """Feature-engineering transforms for ML data prep: per-group robust
-scaling and equi-depth binning.
+scaling, equi-depth binning, and smoothed target encoding.
 
-Both follow the same scale shape: the per-group statistics are a tiny
+All follow the same scale shape: the per-group statistics are a tiny
 aggregate (group-cardinality rows), broadcast back onto the fact, and
 the transform itself is a map-only expression — one shuffle for the
 stats, zero for the application.  At 100 TB swap the exact
 ``percentile`` for ``approx_percentile`` (mergeable t-digest, no
 per-group sort) exactly as the agg family documents; the join/apply
 plumbing is unchanged.
+
+Row contract: every transform APPENDS its output column and never
+drops rows — the stats join is a LEFT join, so rows with a null group
+key (which an inner equi-join would silently discard) survive with a
+null output.  Null inputs yield null outputs, never a phantom bin or
+scale.  Internal temp columns are validated against the input schema
+up front (a caller's same-named column would otherwise be silently
+dropped or raise AMBIGUOUS_REFERENCE mid-plan).
 
 Determinism: exact percentiles interpolate identically in Spark
 (``percentile``) and DuckDB (``quantile_cont``); the scaling arithmetic
@@ -21,6 +29,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _guard_temp_columns(df: DataFrame, names: list[str]) -> None:
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with internal temp columns; "
+            "rename them before calling this transform"
+        )
+
+
 def robust_scale(
     df: DataFrame,
     group_col: str,
@@ -32,21 +49,23 @@ def robust_scale(
     to z-scoring (median and quartiles ignore tail garbage that would
     wreck a mean/std fit).  Appends ``out_col`` =
     ``round((value - median) / IQR, scale)``; groups with IQR = 0
-    (constant-ish value) yield null rather than infinity.
+    (constant-ish value), null values, and null group keys all yield
+    null rather than infinity, a dropped row, or a fabricated value.
     """
+    _guard_temp_columns(df, ["_med", "_iqr"])
+    # one shared percentile buffer for all three quantiles (three
+    # separate percentile() aggregates would each buffer the group)
+    q = F.expr(f"percentile({value_col}, array(0.5, 0.75, 0.25))")
     stats = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
-        (
-            F.expr(f"percentile({value_col}, 0.75)")
-            - F.expr(f"percentile({value_col}, 0.25)")
-        ).alias("_iqr"),
+        q.getItem(0).alias("_med"),
+        (q.getItem(1) - q.getItem(2)).alias("_iqr"),
     )
     v = F.col(value_col)
     scaled = F.when(
         F.col("_iqr") != 0.0, F.round((v - F.col("_med")) / F.col("_iqr"), scale)
     )
     return (
-        df.join(F.broadcast(stats), group_col)
+        df.join(F.broadcast(stats), [group_col], "left")
         .withColumn(out_col, scaled)
         .drop("_med", "_iqr")
     )
@@ -63,7 +82,10 @@ def equidepth_bins(
     (q_{(b-1)/n}, q_{b/n}] with bin 1 catching everything up to q_{1/n}
     — each bin gets ~1/n of the group's rows whatever the value
     distribution (fixed-width binning would starve/overload bins on
-    skewed features).  Appends integer ``out_col`` in [1, n_bins].
+    skewed features).  Appends integer ``out_col`` in [1, n_bins];
+    null values and null group keys get a null bin (they were excluded
+    from the boundary computation, so counting them as bin 1 would
+    corrupt its membership).
 
     Assignment is `1 + count(boundaries strictly below v)` over the
     n-1 interior quantile boundaries, expressed as a sum of compare
@@ -71,21 +93,24 @@ def equidepth_bins(
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
-    fracs = [i / n_bins for i in range(1, n_bins)]
+    qcols = [f"_q{i}" for i in range(1, n_bins)]
+    _guard_temp_columns(df, qcols)
+    fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    q = F.expr(f"percentile({value_col}, array({fracs}))")  # one buffer
     stats = df.groupBy(group_col).agg(
-        *[
-            F.expr(f"percentile({value_col}, {f!r})").alias(f"_q{i}")
-            for i, f in enumerate(fracs, start=1)
-        ]
+        *[q.getItem(i).alias(c) for i, c in enumerate(qcols)]
     )
     v = F.col(value_col)
     bin_expr = F.lit(1)
-    for i in range(1, n_bins):
-        bin_expr = bin_expr + F.when(v > F.col(f"_q{i}"), 1).otherwise(0)
+    for c in qcols:
+        bin_expr = bin_expr + F.when(v > F.col(c), 1).otherwise(0)
+    bin_expr = F.when(
+        v.isNotNull() & F.col(qcols[0]).isNotNull(), bin_expr
+    ).cast("int")
     return (
-        df.join(F.broadcast(stats), group_col)
-        .withColumn(out_col, bin_expr.cast("int"))
-        .drop(*[f"_q{i}" for i in range(1, n_bins)])
+        df.join(F.broadcast(stats), [group_col], "left")
+        .withColumn(out_col, bin_expr)
+        .drop(*qcols)
     )
 
 
@@ -105,7 +130,9 @@ def target_encode(
     prior instead of memorizing a handful of labels (the standard
     leakage mitigation short of a full leave-one-out/CV split, which a
     caller gets by fitting on the train fold via
-    ``sampling.train_test_split`` and joining onto the rest).
+    ``sampling.train_test_split`` and joining onto the rest).  Rows
+    with a null category survive the LEFT stats join with a null
+    encoding.
 
     Determinism: per-category and global target sums accumulate as
     DECIMAL(28,6) images (order-free); the smoothing blend is plain
@@ -113,6 +140,7 @@ def target_encode(
     aggregate + a 1-row global aggregate, both broadcast back; the
     encoding itself is map-only.
     """
+    _guard_temp_columns(df, ["_s", "_n", "_prior"])
     t = F.col(target_col).cast("decimal(28,6)")
     per_cat = df.groupBy(category_col).agg(
         F.sum(t).alias("_s"), F.count(target_col).alias("_n")
@@ -126,7 +154,7 @@ def target_encode(
         scale,
     )
     return (
-        df.join(F.broadcast(per_cat), category_col)
+        df.join(F.broadcast(per_cat), [category_col], "left")
         .crossJoin(F.broadcast(overall))
         .withColumn(out_col, enc)
         .drop("_s", "_n", "_prior")

@@ -140,6 +140,11 @@ def decode_media(
             px = _np.frombuffer(
                 data, dtype=_np.uint8, offset=m.end(), count=w * h * ch
             )
+            if px.size and int(px.max()) > maxval:
+                # out-of-range samples would fall outside the bucket
+                # range and silently vanish from the normalized
+                # histogram — malformed input errors like the rest
+                raise ValueError("netpbm sample exceeds declared maxval")
             idx = px.astype(_np.int64) * n_buckets // (maxval + 1)
             counts = _np.bincount(idx, minlength=n_buckets)[:n_buckets]
             return counts / max(float(px.size), 1.0)

@@ -120,6 +120,12 @@ def ohlc_bars(
     Output cardinality is groups × buckets, bounded by span/granularity
     regardless of event volume.
     """
+    if id_col not in events.columns:
+        raise ValueError(
+            f"tiebreak column {id_col!r} not in input; pass a unique "
+            "column that breaks timestamp ties (determinism requires a "
+            "total order)"
+        )
     order_key = F.concat(
         F.lpad((F.unix_micros(F.col(ts_col))).cast("string"), 20, "0"),
         F.lpad(F.col(id_col).cast("string"), 20, "0"),

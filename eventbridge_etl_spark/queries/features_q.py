@@ -31,7 +31,7 @@ from eventbridge_etl_spark.sources.tables import load_tables
     SELECT e.event_id, e.event_type, e.value,
            CASE WHEN s.iqr <> 0
                 THEN ROUND((e.value - s.med) / s.iqr, 6) END AS scaled
-    FROM events e JOIN s USING (event_type)
+    FROM events e LEFT JOIN s USING (event_type)
     """,
 )
 def events_robust_scale(spark, sf_dir):
@@ -55,11 +55,12 @@ def events_robust_scale(spark, sf_dir):
       FROM documents GROUP BY source
     )
     SELECT d.doc_id, d.source, d.n_chars,
-           CAST(1 + (CASE WHEN d.n_chars > s.q1 THEN 1 ELSE 0 END)
-                  + (CASE WHEN d.n_chars > s.q2 THEN 1 ELSE 0 END)
-                  + (CASE WHEN d.n_chars > s.q3 THEN 1 ELSE 0 END) AS INTEGER)
-             AS bin
-    FROM documents d JOIN s USING (source)
+           CASE WHEN d.n_chars IS NOT NULL AND s.q1 IS NOT NULL THEN
+             CAST(1 + (CASE WHEN d.n_chars > s.q1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN d.n_chars > s.q2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN d.n_chars > s.q3 THEN 1 ELSE 0 END) AS INTEGER)
+           END AS bin
+    FROM documents d LEFT JOIN s USING (source)
     """,
 )
 def doc_equidepth_bins(spark, sf_dir):
@@ -89,7 +90,7 @@ def doc_equidepth_bins(spark, sf_dir):
     SELECT e.event_id, e.event_type,
            ROUND((CAST(c.s AS DOUBLE) + prior.p * 20.0) / (c.n + 20.0), 6)
              AS encoded
-    FROM events e JOIN cat c USING (event_type) CROSS JOIN prior
+    FROM events e LEFT JOIN cat c USING (event_type) CROSS JOIN prior
     """,
 )
 def events_target_encode(spark, sf_dir):

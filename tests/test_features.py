@@ -67,3 +67,39 @@ def test_target_encode_smoothing_blend(spark):
     # rare category shrinks toward the prior: b sits between its raw
     # mean (100) and the prior
     assert prior < out["b"] < 100.0
+
+
+def test_features_preserve_null_keyed_rows(spark):
+    """Null group keys / null values must survive with null outputs —
+    never dropped by the stats join, never assigned a phantom bin."""
+    from eventbridge_etl_spark.operators.features import target_encode
+
+    rows = [("a", 1.0), ("a", 3.0), (None, 9.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    scaled = robust_scale(df, "g", "v").collect()
+    assert len(scaled) == 4
+    assert [r["scaled"] for r in scaled if r["g"] is None] == [None]
+    assert [r["scaled"] for r in scaled if r["v"] is None] == [None]
+
+    binned = equidepth_bins(df, "g", "v").collect()
+    assert len(binned) == 4
+    assert [r["bin"] for r in binned if r["g"] is None] == [None]
+    assert [r["bin"] for r in binned if r["v"] is None] == [None]
+    assert all(r["bin"] is not None for r in binned
+               if r["g"] is not None and r["v"] is not None)
+
+    encoded = target_encode(df, "g", "v").collect()
+    assert len(encoded) == 4
+    assert [r["encoded"] for r in encoded if r["g"] is None] == [None]
+
+
+def test_features_reject_temp_column_collisions(spark):
+    from eventbridge_etl_spark.operators.features import target_encode
+
+    df = spark.createDataFrame([("a", 1.0, 5)], "g string, v double, _n long")
+    with pytest.raises(ValueError, match="collide"):
+        target_encode(df, "g", "v")
+    df2 = spark.createDataFrame([("a", 1.0, 5.0)], "g string, v double, _med double")
+    with pytest.raises(ValueError, match="collide"):
+        robust_scale(df2, "g", "v")

@@ -388,3 +388,14 @@ def test_binary_source_streaming_drain(spark, tmp_path):
         ("fixture_gradient.ppm", "image/x-portable-pixmap"),
         ("fixture_gray.pgm", "image/x-portable-graymap"),
     }
+
+
+def test_decode_media_rejects_samples_above_maxval(spark):
+    """Declared maxval 15 with a raster byte of 200: out-of-range
+    samples must error, not silently vanish from the histogram."""
+    bad = b"P5\n2 1\n15\n" + bytes([3, 200])
+    df = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, raw binary")
+    wrapped = attach_payload(df, "raw", mime="image/x-portable-graymap")
+    with pytest.raises(Exception) as ei:
+        decode_media(wrapped, "doc_id", fake=False).collect()
+    assert "maxval" in str(ei.value)
