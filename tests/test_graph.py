@@ -85,3 +85,38 @@ def test_pagerank_no_driver_loop_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_pagerank_matches_reference_on_random_graphs(spark):
+    """Hypothesis sweep: arbitrary small weighted digraphs (self-loops,
+    parallel-edge collapse, dangling nodes, disconnected pieces) must
+    match the independent float reference within rounding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(
+        st.sampled_from("abcde"),
+        st.sampled_from("abcde"),
+        st.integers(min_value=1, max_value=9),
+    )
+    graphs = st.lists(edge, min_size=1, max_size=12)
+
+    @settings(max_examples=10, deadline=None)
+    @given(graphs)
+    def _check(edges):
+        # collapse parallel edges (sum weights) like an aggregated edge list
+        agg = {}
+        for s, d, w in edges:
+            agg[(s, d)] = agg.get((s, d), 0) + w
+        rows = [(s, d, w) for (s, d), w in sorted(agg.items())]
+        df = spark.createDataFrame(rows, "src string, dst string, n long")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(df, "src", "dst", weight_col="n").collect()
+        }
+        want = _py_pagerank([(s, d, float(w)) for s, d, w in rows])
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-7)
+
+    _check()
