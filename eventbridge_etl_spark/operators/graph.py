@@ -113,3 +113,72 @@ def transition_edges(
         F.lag(label_col).over(w).alias("src"), F.col(label_col).alias("dst")
     ).filter(F.col("src").isNotNull())
     return lagged.groupBy("src", "dst").agg(F.count("*").alias("n"))
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Global triangle / wedge census of an undirected graph — one row
+    ``(n_nodes, n_edges, n_wedges, n_triangles)``.
+
+    Degree-ordered orientation (the classic MapReduce/GraphX trick:
+    orient every edge from the lower to the higher (degree, id) node,
+    making the graph acyclic with max out-degree O(sqrt(m))), then
+    wedges = pairs of out-neighbors, triangles = wedges closed by an
+    oriented edge.  The orientation is what makes this survive skew at
+    scale: a celebrity node with degree d contributes O(d) oriented
+    IN-edges but only O(sqrt(m)) out-edges, so the wedge self-join's
+    fan-out is bounded regardless of the degree distribution — the
+    naive (unoriented) wedge join would fan out d^2 on that node.
+
+    Input edges may be in either order and contain duplicates; they are
+    normalized (min, max) and de-duplicated first.  Self-loops are
+    dropped.  All joins key on node ids; nothing is collected.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    e = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+    )
+    fwd = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    o1 = o.select(
+        F.col("src").alias("s"), F.col("dst").alias("v"), F.col("dd").alias("dv")
+    )
+    o2 = o.select(
+        F.col("src").alias("s"), F.col("dst").alias("u"), F.col("dd").alias("du")
+    )
+    wedges = o1.join(o2, "s").filter(
+        F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("du"), F.col("u"))
+    )
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    tri = wedges.join(closing, ["v", "u"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    counts = (
+        deg.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(F.broadcast(e.agg(F.count("*").alias("n_edges"))))
+        .crossJoin(F.broadcast(wedges.agg(F.count("*").alias("n_wedges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    return counts.select(
+        F.coalesce(F.col("n_nodes"), F.lit(0)).alias("n_nodes"),
+        F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+        F.coalesce(F.col("n_wedges"), F.lit(0)).alias("n_wedges"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )

@@ -75,6 +75,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sample_weighted_pps",
     "zorder_events_cluster",
     # --- round-5 additions, never driver-checked
+    "text_naive_bayes_lang",
+    "text_bm25_retrieval",
+    "graph_triangle_census",
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",
@@ -153,6 +156,7 @@ def load_all() -> None:
         functions_q,
         graph_q,
         llm,
+        mining_q,
         pipeline_q,
         relational,
         streaming_q,

@@ -1,0 +1,143 @@
+"""Unit tests for the corpus-mining operators: Naive Bayes self-scoring,
+BM25 retrieval, and the degree-oriented triangle census."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from eventbridge_etl_spark.operators.classify import naive_bayes_self_score
+from eventbridge_etl_spark.operators.graph import triangle_count
+from eventbridge_etl_spark.operators.retrieval import bm25_topk
+
+
+# ------------------------------------------------------- Naive Bayes
+
+def test_naive_bayes_separable_corpus(spark):
+    """Clearly separable vocabularies -> every doc classified back to
+    its own label, scores strictly ordered."""
+    rows = [
+        (1, "aaa aaa bbb", "x"),
+        (2, "aaa bbb bbb", "x"),
+        (3, "ccc ddd ccc", "y"),
+        (4, "ddd ccc ddd", "y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = naive_bayes_self_score(df).collect()
+    assert len(out) == 4
+    assert all(r.is_correct for r in out)
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].pred_label == "x" and by_id[3].pred_label == "y"
+
+
+def test_naive_bayes_score_formula(spark):
+    """Pin the closed-form score on a one-doc-per-class corpus."""
+    rows = [(1, "a a", "x"), (2, "b b", "y")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in naive_bayes_self_score(df).collect()}
+    # For doc 1 scored under class x: prior ln(1/2); V=2 tokens {a,b},
+    # N_x=2; logp(a|x) = ln(3/4) rounded; both tokens matched.
+    expect = round(math.log(0.5), 6) + 2 * round(math.log(3.0 / 4.0), 6)
+    assert out[1].pred_label == "x"
+    assert out[1].nb_score == pytest.approx(expect, abs=1e-9)
+
+
+def test_naive_bayes_tiebreak_deterministic(spark):
+    """Identical class likelihoods -> argmax breaks on label asc."""
+    rows = [(1, "t", "x"), (2, "t", "y")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in naive_bayes_self_score(df).collect()}
+    # Both classes see the same counts, so scores tie; 'x' < 'y' wins.
+    assert out[1].pred_label == "x" and out[2].pred_label == "x"
+    assert out[1].is_correct and not out[2].is_correct
+
+
+def test_naive_bayes_fixture_accuracy(spark, tables):
+    """On the synthetic documents table the self-trained classifier
+    beats the majority-class baseline (the fixture text is generated
+    noise with only a weak lang signal, so this is the meaningful
+    bound — separability itself is pinned by the hand-built corpora
+    above)."""
+    doc = tables["documents"]
+    out = naive_bayes_self_score(doc).toPandas()
+    assert len(out) == doc.count()
+    acc = out["is_correct"].mean()
+    majority = doc.groupBy("lang").count().toPandas()["count"].max() / len(out)
+    assert acc > float(majority)
+
+
+# ------------------------------------------------------------- BM25
+
+def test_bm25_prefers_term_dense_docs(spark):
+    rows = [
+        (1, "apple apple apple banana"),
+        (2, "apple banana cherry durian"),
+        (3, "cherry durian elderberry fig"),
+        (4, "apple apple banana banana"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, n_terms=2, k=10).collect()
+    # Ranks are 1..n, contiguous, deterministic.
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    ids = [r.doc_id for r in out]
+    # Doc 3 matches at most one query term weakly; never first.
+    assert ids[0] != 3
+    scores = [r.bm25_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_k_bounds_output(spark):
+    rows = [(i, "common filler") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, n_terms=1, k=5).collect()
+    assert len(out) == 5
+    # All-identical docs: scores tie, so the tie-break is doc_id asc.
+    assert [r.doc_id for r in out] == [0, 1, 2, 3, 4]
+
+
+# --------------------------------------------------- triangle census
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["a", "b"])
+
+
+def test_triangle_count_k4(spark):
+    """Complete graph on 4 nodes: 4 triangles, C(4,2)=6 edges."""
+    pairs = [(i, j) for i in range(4) for j in range(4) if i < j]
+    row = triangle_count(_edges(spark, pairs)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_triangle_count_square_no_diagonal(spark):
+    """4-cycle: wedges exist, zero triangles."""
+    row = triangle_count(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    ).collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_edges == 4 and row.n_nodes == 4
+    assert row.n_wedges > 0
+
+
+def test_triangle_count_normalizes_input(spark):
+    """Duplicates, reversed orientation, and self-loops don't change
+    the census."""
+    messy = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1), (3, 3)]
+    row = triangle_count(_edges(spark, messy)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        3,
+        3,
+        1,
+        1,
+    )
+
+
+def test_triangle_count_star_skew(spark):
+    """A hub of degree 12 with no closing edges: orientation sends all
+    hub edges INTO the hub (leaves have lower degree), so wedge count
+    is 0 — the skew-resistance property, not just correctness."""
+    pairs = [(0, i) for i in range(1, 13)]
+    row = triangle_count(_edges(spark, pairs)).collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_wedges == 0
