@@ -308,3 +308,184 @@ def frame_sample(df: DataFrame, id_col: str, n_frames_col: str, every_n: int) ->
     return df.select(
         F.col(id_col), F.explode(idxs).alias("frame_idx")
     )
+
+
+def perceptual_hash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """64-bit perceptual hash (aHash) per payload via mapInPandas —
+    the content-level near-dup key for media: re-encoded, metadata-
+    stripped, or slightly-corrupted copies of the same image land
+    within a few Hamming bits of each other, where byte hashes see
+    nothing.
+
+    Real path: netpbm images decode, grayscale (channel mean),
+    nearest-neighbor 8x8 downsample, threshold each cell against the
+    cell mean -> 64 bits packed MSB-first row-major (signed int64,
+    two's complement).  16-bit PCM WAV uses 64 contiguous sample-block
+    means thresholded the same way (the audio analog).  Other mimes
+    raise NotImplementedError unless ``fake=True`` (64 byte-block
+    means, any mime).  All decisions are strict ``>`` comparisons on
+    IEEE doubles of exact integer sums — deterministic everywhere.
+
+    Output: (id, phash long).  Empty payloads hash to 0.
+
+    Scale: map-only Arrow stage, no shuffle; the hash is 8 bytes per
+    asset, so downstream near-dup joins move hashes, never media bytes.
+    """
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("phash", T.LongType())]
+    )
+    netpbm_mimes, wav_mimes = NETPBM_MIMES, WAV_MIMES
+
+    def _hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import re as _re
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        header_re = _re.compile(
+            rb"(P[56])\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)"
+            rb"\s+(?:#[^\n]*\s+)*(\d+)\s"
+        )
+
+        def _pack(bits):
+            # bits: (64,) bool, MSB-first -> signed int64
+            by = _np.packbits(bits.astype(_np.uint8)).tobytes()
+            return int.from_bytes(by, "big", signed=True)
+
+        def _cells_hash(values):
+            # 64 contiguous-block means thresholded at their own mean
+            v = _np.asarray(values, dtype=_np.float64)
+            if v.size == 0:
+                return 0
+            bounds = (_np.arange(65) * v.size) // 64
+            sums = _np.add.reduceat(
+                v, _np.minimum(bounds[:-1], v.size - 1)
+            )
+            counts = _np.maximum(bounds[1:] - bounds[:-1], 0)
+            means = _np.where(counts > 0, sums / _np.maximum(counts, 1), 0.0)
+            return _pack(means > means.mean())
+
+        def _netpbm_hash(data):
+            m = header_re.match(data)
+            if not m:
+                raise ValueError("malformed netpbm header")
+            w, h, maxval = int(m.group(2)), int(m.group(3)), int(m.group(4))
+            if not 0 < maxval < 256:
+                raise ValueError(f"unsupported netpbm maxval {maxval}")
+            ch = 3 if m.group(1) == b"P6" else 1
+            px = _np.frombuffer(
+                data, dtype=_np.uint8, offset=m.end(), count=w * h * ch
+            ).reshape(h, w, ch)
+            gray = px.astype(_np.float64).mean(axis=2)
+            ys = (_np.arange(8) * h) // 8
+            xs = (_np.arange(8) * w) // 8
+            cells = gray[ys][:, xs].ravel()
+            return _pack(cells > cells.mean())
+
+        def _wav_hash(data):
+            with _wave.open(_io.BytesIO(data)) as w:
+                if w.getsampwidth() != 2:
+                    raise ValueError("only 16-bit PCM WAV supported")
+                frames = w.readframes(w.getnframes())
+            return _cells_hash(_np.frombuffer(frames, dtype="<i2"))
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, payload in zip(pdf["_id"], pdf["_payload"]):
+                data = bytes(payload["data"] or b"")
+                mime = payload["meta"]["mime"]
+                if not data:
+                    ph = 0
+                elif fake:
+                    ph = _cells_hash(_np.frombuffer(data, dtype=_np.uint8))
+                elif mime in netpbm_mimes:
+                    ph = _netpbm_hash(data)
+                elif mime in wav_mimes:
+                    ph = _wav_hash(data)
+                else:
+                    raise NotImplementedError(
+                        f"no codec for mime {mime!r} in this environment; "
+                        "pass fake=True for the byte-level hash"
+                    )
+                ids.append(int(rid))
+                hashes.append(ph)
+            yield _pd.DataFrame({"id": ids, "phash": hashes})
+
+    narrowed = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return narrowed.mapInPandas(_hash_batch, out_schema)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs within ``max_hamming`` bits of each other on a 64-bit
+    hash column, without an all-pairs join.
+
+    Pigeonhole banding: split the hash into ``max_hamming + 1`` disjoint
+    bit-bands — two hashes within the distance bound MUST agree exactly
+    on at least one band, so candidates = equi-joins on (band index,
+    band value), which Spark executes as ordinary hash shuffles keyed on
+    16-bit-ish values.  Verification is ``bit_count(a ^ b)`` — one JVM
+    expression, no Python.  Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Scale: candidate volume is governed by band-value collisions, not
+    corpus size squared; a degenerate band (e.g. all-zero high bits
+    across the corpus) shows up as a hot band-value key, which AQE's
+    skew splitting handles like any other hot join key.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).cast("long").alias("_h")
+    )
+    mask = (1 << width) - 1
+    bands = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("_h"), b * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bv"),
+    ).select("_id", "_h", F.col("_bv.band").alias("_band"), F.col("_bv.val").alias("_val"))
+    left = bands.select(
+        F.col("_band"), F.col("_val"), F.col("_id").alias("_ida"), F.col("_h").alias("_ha")
+    )
+    right = bands.select(
+        F.col("_band"), F.col("_val"), F.col("_id").alias("_idb"), F.col("_h").alias("_hb")
+    )
+    cands = (
+        left.join(right, ["_band", "_val"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb", "_ha", "_hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("_ha ^ _hb"))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "hamming"
+        )
+    )

@@ -78,6 +78,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_naive_bayes_lang",
     "text_bm25_retrieval",
     "graph_triangle_census",
+    "multimodal_phash_near_dup",
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",

@@ -189,3 +189,63 @@ def graph_triangle_census(spark, sf_dir):
     )
     edges = x.join(y, "ok").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     return triangle_count(edges)
+
+
+# --------------------------------------------- perceptual-hash dedup
+
+import os as _os
+
+_PINNED_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests",
+    "data",
+)
+
+
+@query(
+    "multimodal_phash_near_dup",
+    # the aHash decode runs through the REAL netpbm codec (no SQL
+    # analog) — pinned expected output, same digest-selected scheme as
+    # text_compression_ratio (tests/data/gen_pinned_oracles.py)
+    oracle=f"""
+    SELECT id_a, id_b, hamming
+    FROM read_parquet('{_PINNED_DIR}/multimodal_phash_near_dup_pinned.parquet')
+    WHERE corpus_digest = (
+      SELECT md5(string_agg(md5(text), '' ORDER BY doc_id)) FROM documents
+    )
+    """,
+)
+def multimodal_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over synthetic 16x16 PGM images
+    built IN-PLAN (md5-derived rasters, 50 families, every third doc
+    perturbed by one doc-specific row) and hashed through the REAL
+    netpbm codec (operators/multimodal.py:perceptual_hash) — then
+    pigeonhole-banded Hamming<=3 pairing (phash_near_dup_pairs).  The
+    image-dedup path end to end: decode -> 8-byte hash -> banded join;
+    media bytes never shuffle."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators.multimodal import (
+        attach_payload,
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+
+    doc = _doc(spark, sf_dir).select("doc_id")
+    fam = (F.col("doc_id") % 50).cast("string")
+    chunks = [
+        F.unhex(F.md5(F.concat(F.lit("img"), fam, F.lit(":"), F.lit(str(i)))))
+        for i in range(16)
+    ]
+    pert = F.unhex(F.md5(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))))
+    perturbed = F.col("doc_id") % 3 == 0
+    sel = [
+        F.when(perturbed & (F.col("doc_id") % 16 == i), pert).otherwise(chunks[i])
+        for i in range(16)
+    ]
+    data = F.concat(F.encode(F.lit("P5\n16 16\n255\n"), "utf-8"), *sel)
+    imgs = attach_payload(
+        doc.withColumn("_bytes", data), "_bytes", "image/x-portable-graymap"
+    )
+    hashes = perceptual_hash(imgs, "doc_id")
+    return phash_near_dup_pairs(hashes, max_hamming=3)

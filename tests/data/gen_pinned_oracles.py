@@ -67,7 +67,15 @@ def main() -> None:
             f"FROM read_parquet('{sf_dir}/documents.parquet')"
         ).fetchone()[0]
 
-    for name in ("text_compression_ratio", "multimodal_cdc_dedup"):
+    all_names = (
+        "text_compression_ratio",
+        "multimodal_cdc_dedup",
+        "multimodal_phash_near_dup",
+    )
+    # scope a regeneration to just-changed pins: pass names as argv
+    names = tuple(sys.argv[1:]) or all_names
+    assert all(n in all_names for n in names), names
+    for name in names:
         parts = []
         for sf_dir in SF_DIRS:
             digest = corpus_digest(sf_dir)
@@ -86,9 +94,15 @@ def main() -> None:
                 == (out["n_compressed"] / out["n_bytes"].clip(lower=1)).round(4)
             ).all()
             assert (out["n_compressed"] > 0).all()
-        else:
+        elif name == "multimodal_cdc_dedup":
             assert (out["logical_bytes"] == out["n_refs"] * out["size"]).all()
             assert out["chunk_hash"].str.len().eq(64).all()
+        else:  # multimodal_phash_near_dup
+            assert len(out) > 0
+            assert (out["id_a"] < out["id_b"]).all()
+            assert out["hamming"].between(0, 3).all()
+            # unperturbed same-family docs must collide exactly
+            assert (out["hamming"] == 0).any()
         path = os.path.join(OUT_DIR, f"{name}_pinned.parquet")
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
         print("wrote", path)

@@ -141,3 +141,111 @@ def test_triangle_count_star_skew(spark):
     row = triangle_count(_edges(spark, pairs)).collect()[0]
     assert row.n_triangles == 0
     assert row.n_wedges == 0
+
+
+# ----------------------------------------------- perceptual hashing
+
+import os as _os
+
+import numpy as np
+
+from eventbridge_etl_spark.operators.multimodal import (
+    attach_payload,
+    perceptual_hash,
+    phash_near_dup_pairs,
+)
+
+FIXTURE_DIR = _os.path.join(_os.path.dirname(__file__), "data")
+
+
+def _pgm(w, h, fn):
+    vals = bytes(fn(x, y) for y in range(h) for x in range(w))
+    return b"P5\n%d %d\n255\n" % (w, h) + vals
+
+
+def _ref_ahash(vals, w, h):
+    """Independent reference aHash (same spec, separate code path)."""
+    px = np.asarray(vals, dtype=np.float64).reshape(h, w)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    cells = px[ys][:, xs].ravel()
+    bits = cells > cells.mean()
+    return int.from_bytes(np.packbits(bits.astype(np.uint8)).tobytes(), "big", signed=True)
+
+
+def _hash_df(spark, rows, mime="image/x-portable-graymap", fake=False):
+    df = spark.createDataFrame(
+        [(i, bytearray(d)) for i, d in rows], "doc_id long, raw binary"
+    )
+    wrapped = attach_payload(df, "raw", mime=mime)
+    return {r.id: r.phash for r in perceptual_hash(wrapped, "doc_id", fake=fake).collect()}
+
+
+def test_phash_matches_reference_on_committed_fixture(spark):
+    with open(_os.path.join(FIXTURE_DIR, "fixture_gray.pgm"), "rb") as f:
+        data = f.read()
+    got = _hash_df(spark, [(1, data)])
+    vals = [(x * 5 + y * 11) % 256 for y in range(6) for x in range(8)]
+    assert got[1] == _ref_ahash(vals, 8, 6)
+
+
+def test_phash_identical_images_collide_distorted_do_not(spark):
+    base = _pgm(16, 16, lambda x, y: (x * 16 + y * 3) % 256)
+    inverted = _pgm(16, 16, lambda x, y: 255 - (x * 16 + y * 3) % 256)
+    rows = [(1, base), (2, base), (3, inverted)]
+    h = _hash_df(spark, rows)
+    assert h[1] == h[2]
+    assert bin((h[1] ^ h[3]) & (2**64 - 1)).count("1") > 3
+
+
+def test_phash_pairs_match_bruteforce(spark):
+    """Banded candidate generation is lossless for Hamming<=3: compare
+    against the all-pairs brute force on 40 related images."""
+    rng_imgs = []
+    for i in range(40):
+        fam = i % 8
+        # family base pattern with a per-image single-pixel tweak for
+        # every third image
+        def f(x, y, fam=fam, i=i):
+            v = (x * (fam + 3) + y * (2 * fam + 5)) % 256
+            if i % 3 == 0 and x == (i % 16) and y == (i % 16):
+                v = (v + 128) % 256
+            return v
+        rng_imgs.append((i, _pgm(16, 16, f)))
+    h = _hash_df(spark, rng_imgs)
+    brute = sorted(
+        (a, b, bin((h[a] ^ h[b]) & (2**64 - 1)).count("1"))
+        for a in h for b in h
+        if a < b and bin((h[a] ^ h[b]) & (2**64 - 1)).count("1") <= 3
+    )
+    df = spark.createDataFrame([(k, v) for k, v in h.items()], "id long, phash long")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dup_pairs(df, max_hamming=3).collect()
+    )
+    assert got == brute
+    assert len(got) > 0
+
+
+def test_phash_wav_and_fake_paths(spark):
+    with open(_os.path.join(FIXTURE_DIR, "fixture_tone.wav"), "rb") as f:
+        wav = f.read()
+    h1 = _hash_df(spark, [(1, wav), (2, wav)], mime="audio/wav")
+    assert h1[1] == h1[2] != 0
+    h2 = _hash_df(spark, [(1, b"arbitrary bytes here" * 20)], mime="video/mp4", fake=True)
+    assert isinstance(h2[1], int)
+
+
+def test_phash_unknown_mime_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        _hash_df(spark, [(1, b"\x00" * 64)], mime="video/mp4", fake=False)
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_phash_empty_payload_is_zero(spark):
+    h = _hash_df(spark, [(1, b"")], mime="image/x-portable-graymap")
+    assert h[1] == 0
