@@ -257,3 +257,38 @@ def weighted_systematic_sample(
         .filter(n_hi > n_lo)
         .drop("_w", "_ord", "_bkt", "_lwi", "_off", "_wi", "_tot")
     )
+
+
+def leakage_safe_split(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_fraction: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test split that assigns whole NEAR-DUP CLUSTERS to a side,
+    never individual documents — the leakage-safe version of
+    ``train_test_split``.  A hash split on doc ids puts ~2·f·(1−f) of
+    every duplicate pair across the boundary, silently leaking training
+    text into eval; splitting on the cluster label makes that
+    impossible by construction.
+
+    ``pairs`` is any near-dup pair frame (minhash/simhash/embedding —
+    (id_a, id_b) columns); clusters come from the same min-label
+    propagation as ``dedup.near_dup_clusters``, then the md5 hash-
+    fraction split is applied to ``cluster_id``.  Returns
+    ``(id_col, cluster_id, split)`` — one row per input node, split
+    stable under corpus growth exactly like ``train_test_split``.
+
+    Scale: cluster collapse is the bounded-iteration label propagation
+    (see near_dup_clusters); the split itself is a map-only projection.
+    """
+    from eventbridge_etl_spark.operators.dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(nodes, pairs, id_col)
+    return clusters.withColumn(
+        split_col,
+        F.when(hash_fraction(F.col("cluster_id")) < test_fraction, "test").otherwise(
+            "train"
+        ),
+    )

@@ -1,0 +1,102 @@
+"""Bounded-memory frequency sketching: Misra-Gries heavy hitters with
+an exact verification pass.
+
+The 100 TB shape for "which values exceed phi of the stream" over a
+column whose cardinality dwarfs memory: a full groupBy would shuffle
+every distinct value; the sketch pass keeps ``k`` counters per
+partition (classic Misra-Gries), ships only the surviving candidate
+VALUES (≤ k per partition, no counts needed), and a second exact pass
+counts just the candidate subset via a broadcast semi-join and applies
+the threshold.
+
+Losslessness: Misra-Gries with ``k`` counters retains every item whose
+partition-local count exceeds n_p/(k+1).  Any item with global count
+> n/(k+1) must be locally above that ratio in at least one partition
+(averaging argument), so the union of partition summaries is a superset
+of every item at or above the global threshold whenever
+``threshold_ratio >= 1/(k+1)``.  The exact recount then makes the final
+answer INDEPENDENT of partitioning: candidates vary with the data
+layout, the output never does — which is what lets a deterministic SQL
+oracle (plain GROUP BY + HAVING) gate it.
+
+Python crosses the Arrow boundary only in the sketch pass (one
+mapInPandas with a dict of ≤ k counters carried across batches); the
+exact pass is a JVM aggregate over the semi-joined subset.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold_ratio: float = 0.005,
+    sketch_counters: int | None = None,
+) -> DataFrame:
+    """Exact values whose count exceeds ``threshold_ratio`` of all rows,
+    found with bounded memory.
+
+    Returns ``(value, n, share)`` — share rounded to 6 decimals.
+    ``sketch_counters`` defaults to ``ceil(2 / threshold_ratio)``,
+    comfortably above the 1/(k+1) losslessness bound.
+    """
+    if not 0 < threshold_ratio < 1:
+        raise ValueError(f"threshold_ratio must be in (0, 1), got {threshold_ratio}")
+    k = sketch_counters or max(int(2.0 / threshold_ratio) + 1, 8)
+    if threshold_ratio < 1.0 / (k + 1):
+        raise ValueError(
+            f"sketch_counters={k} too small for threshold {threshold_ratio}: "
+            f"losslessness needs threshold_ratio >= 1/(k+1)"
+        )
+
+    out_schema = T.StructType([T.StructField("value", T.StringType())])
+
+    def _sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf["_v"].value_counts(dropna=True).items():
+                if v in counters:
+                    counters[v] += int(c)
+                elif len(counters) < k:
+                    counters[v] = int(c)
+                else:
+                    # decrement-all by the smallest remaining count —
+                    # batch-at-a-time Misra-Gries (equivalent guarantee:
+                    # each eviction round subtracts equally from every
+                    # counter and the incoming item)
+                    dec = min(int(c), min(counters.values()))
+                    counters = {
+                        key: cnt - dec for key, cnt in counters.items() if cnt > dec
+                    }
+                    rem = int(c) - dec
+                    if rem > 0 and len(counters) < k:
+                        counters[v] = rem
+        yield _pd.DataFrame({"value": list(counters.keys())})
+
+    vals = df.select(F.col(value_col).cast("string").alias("_v"))
+    candidates = vals.mapInPandas(_sketch, out_schema).distinct()
+
+    total = df.agg(F.count(F.col(value_col)).alias("_n_total"))
+    exact = (
+        vals.join(F.broadcast(candidates), vals["_v"] == candidates["value"], "inner")
+        .groupBy("value")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n").cast("double") > F.col("_n_total") * F.lit(threshold_ratio))
+        .select(
+            "value",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_n_total"), 6).alias("share"),
+        )
+    )
+    return exact

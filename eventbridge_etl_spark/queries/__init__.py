@@ -79,6 +79,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_bm25_retrieval",
     "graph_triangle_census",
     "multimodal_phash_near_dup",
+    "agg_heavy_hitters",
+    "sample_leakage_safe_split",
+    "dedup_source_overlap",
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",

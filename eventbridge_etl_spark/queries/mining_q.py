@@ -249,3 +249,140 @@ def multimodal_phash_near_dup(spark, sf_dir):
     )
     hashes = perceptual_hash(imgs, "doc_id")
     return phash_near_dup_pairs(hashes, max_hamming=3)
+
+
+# ------------------------------------------------ heavy hitters
+
+@query(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH toks AS ({_TOKS}),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT token AS value, COUNT(*) AS n,
+           round(COUNT(*)::DOUBLE / tot.n, 6) AS share
+    FROM toks CROSS JOIN tot
+    GROUP BY token, tot.n
+    HAVING COUNT(*) > tot.n * 0.002
+    """,
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters over the corpus token stream
+    (operators/sketch.py): bounded-memory candidate sketch per
+    partition, exact broadcast-semi-join recount — output provably
+    independent of partitioning, which is why a plain GROUP BY/HAVING
+    oracle can gate the sketch path."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators.sketch import heavy_hitters
+    from eventbridge_etl_spark.operators.text import tokens
+
+    toks = _doc(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return heavy_hitters(toks, "token", threshold_ratio=0.002)
+
+
+# ------------------------------------- leakage-safe train/test split
+
+def _leakage_oracle() -> str:
+    from eventbridge_etl_spark.queries.llm import _MINHASH_CTES, _MINHASH_VERIFY
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_VERIFY}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.lbl < e.dst
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::UINT64 AS DOUBLE)
+                     / 4294967296.0 < 0.2
+                THEN 'test' ELSE 'train' END AS split
+    FROM comp
+    """
+
+
+@query("sample_leakage_safe_split", oracle=_leakage_oracle())
+def sample_leakage_safe_split(spark, sf_dir):
+    """Cluster-aware train/test split (operators/sampling.py:
+    leakage_safe_split): near-dup clusters from the SAME MinHash-LSH
+    pair graph as dedup_clusters, whole clusters hash-assigned to a
+    side — no near-duplicate can straddle the eval boundary.  The
+    oracle recomputes clusters recursively and applies the identical
+    md5-fraction formula to cluster_id."""
+    from eventbridge_etl_spark.operators import dedup as D
+    from eventbridge_etl_spark.operators.sampling import leakage_safe_split
+    from eventbridge_etl_spark.queries.llm import MINHASH_TAU
+
+    doc = _doc(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        doc, "doc_id", "text", MINHASH_TAU, num_hashes=16, bands=2
+    )
+    return leakage_safe_split(doc, pairs, "doc_id", test_fraction=0.2)
+
+
+# ------------------------------------------- corpus source overlap
+
+def _source_overlap_oracle() -> str:
+    from eventbridge_etl_spark.operators.dedup import MINHASH_PRIME
+    from eventbridge_etl_spark.queries.llm import _MINHASH_A_SQL, _MINHASH_B_SQL
+
+    return f"""
+    WITH st AS (
+      SELECT DISTINCT source AS g,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    xs AS (
+      SELECT g, ('0x' || substr(md5(tok), 1, 8))::BIGINT % {MINHASH_PRIME} AS x
+      FROM st
+    ),
+    sig AS (
+      SELECT g, r.i AS i,
+             min(({_MINHASH_A_SQL}[r.i + 1] * x + {_MINHASH_B_SQL}[r.i + 1])
+                 % {MINHASH_PRIME}) AS h
+      FROM xs, range(16) r(i)
+      GROUP BY g, r.i
+    ),
+    cnt AS (SELECT g, COUNT(*) AS n FROM st GROUP BY g),
+    agree AS (
+      SELECT a.g AS source_a, b.g AS source_b,
+             SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS n_agree
+      FROM sig a JOIN sig b ON a.i = b.i AND a.g < b.g
+      GROUP BY a.g, b.g
+    ),
+    inter AS (
+      SELECT x.g AS source_a, y.g AS source_b, COUNT(*) AS n_inter
+      FROM st x JOIN st y ON x.tok = y.tok AND x.g < y.g
+      GROUP BY x.g, y.g
+    )
+    SELECT ca.g AS source_a, cb.g AS source_b,
+           round(COALESCE(ag.n_agree, 0)::DOUBLE / 16.0, 6) AS est_jaccard,
+           round(COALESCE(i.n_inter, 0)::DOUBLE
+                 / (ca.n + cb.n - COALESCE(i.n_inter, 0))::DOUBLE, 6) AS exact_jaccard,
+           CAST(16 AS BIGINT) AS n_hashes
+    FROM cnt ca JOIN cnt cb ON ca.g < cb.g
+    LEFT JOIN agree ag ON ag.source_a = ca.g AND ag.source_b = cb.g
+    LEFT JOIN inter i ON i.source_a = ca.g AND i.source_b = cb.g
+    """
+
+
+@query("dedup_source_overlap", oracle=_source_overlap_oracle())
+def dedup_source_overlap(spark, sf_dir):
+    """Pairwise corpus-overlap between the documents table's sources:
+    MinHash-sketch estimate next to the exact distinct-token Jaccard
+    (operators/dedup.py:source_overlap) — the cross-source duplication
+    diagnostic that sets dedup order and mixing weights.  At scale only
+    the sketch path runs; the exact columns are the verification-grade
+    companion."""
+    from eventbridge_etl_spark.operators.dedup import source_overlap
+
+    return source_overlap(_doc(spark, sf_dir), "source", "text", num_hashes=16)

@@ -249,3 +249,128 @@ def test_phash_unknown_mime_raises(spark):
 def test_phash_empty_payload_is_zero(spark):
     h = _hash_df(spark, [(1, b"")], mime="image/x-portable-graymap")
     assert h[1] == 0
+
+
+# ------------------------------------------------- heavy hitters
+
+from eventbridge_etl_spark.operators.sketch import heavy_hitters
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    """Zipf-ish stream across several partitions: output equals the
+    exact GROUP BY answer and is identical under different layouts."""
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 120
+        + [(f"cold_{i}",) for i in range(480)]
+    )
+    df = spark.createDataFrame(rows, ["v"])
+    expect = {("hot", 400), ("warm", 120)}  # n=1000, threshold 5% -> >50
+
+    for parts in (1, 7):
+        out = heavy_hitters(df.repartition(parts), "v", threshold_ratio=0.05)
+        got = {(r.value, r.n) for r in out.collect()}
+        assert got == expect, parts
+        shares = {r.value: r.share for r in out.collect()}
+        assert shares["hot"] == 0.4
+
+
+def test_heavy_hitters_sketch_memory_bound_still_lossless(spark):
+    """Tiny counter budget (k=12 for a 10% threshold) against 300
+    distinct cold values: the MG superset guarantee must still surface
+    the single hot value."""
+    rows = [("hot",)] * 60 + [(f"c{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, ["v"]).repartition(5)
+    out = heavy_hitters(df, "v", threshold_ratio=0.1, sketch_counters=12).collect()
+    assert {(r.value, r.n) for r in out} == {("hot", 60)}
+
+
+def test_heavy_hitters_nulls_excluded(spark):
+    rows = [("a",)] * 8 + [(None,)] * 20 + [("b",)] * 2
+    df = spark.createDataFrame(rows, "v string")
+    out = heavy_hitters(df, "v", threshold_ratio=0.5).collect()
+    # denominator is non-null rows (10): only 'a' (8/10) passes 50%
+    assert {(r.value, r.n, r.share) for r in out} == {("a", 8, 0.8)}
+
+
+def test_heavy_hitters_validates_params(spark):
+    df = spark.createDataFrame([("x",)], ["v"])
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "v", threshold_ratio=0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "v", threshold_ratio=0.01, sketch_counters=5)
+
+
+# ------------------------------------- leakage-safe train/test split
+
+from eventbridge_etl_spark.operators.sampling import leakage_safe_split
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """Every near-dup pair lands wholly on one side of the split; a
+    plain per-doc hash split would straddle ~2f(1-f) of them."""
+    nodes = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 50) for i in range(50)], ["id_a", "id_b"]
+    )
+    out = leakage_safe_split(nodes, pairs, "doc_id", test_fraction=0.5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 100
+    for i in range(50):
+        assert rows[i].split == rows[i + 50].split, i
+        assert rows[i].cluster_id == rows[i + 50].cluster_id == i
+    splits = {r.split for r in rows.values()}
+    assert splits == {"train", "test"}
+
+
+def test_leakage_safe_split_stable_under_growth(spark):
+    """A cluster's side never changes when unrelated docs are added."""
+    nodes_small = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+    nodes_big = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], ["id_a", "id_b"])
+    small = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(nodes_small, pairs, "doc_id", 0.3).collect()
+    }
+    big = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(nodes_big, pairs, "doc_id", 0.3).collect()
+    }
+    assert all(big[k] == v for k, v in small.items())
+
+
+# --------------------------------------------- corpus source overlap
+
+from eventbridge_etl_spark.operators.dedup import source_overlap
+
+
+def test_source_overlap_exact_values(spark):
+    """Hand-computable token sets: A={a,b,c}, B={b,c,d}, C={x}."""
+    rows = [
+        (1, "a b c", "A"),
+        (2, "b c d", "B"),
+        (3, "x", "C"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.source_a, r.source_b): r for r in source_overlap(df, "source", "text").collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert out[("A", "B")].exact_jaccard == 0.5  # 2 / 4
+    assert out[("A", "C")].exact_jaccard == 0.0
+    # zero-overlap estimate is 0 unless two mins collide (chance ~0)
+    assert out[("A", "C")].est_jaccard == 0.0
+    # identical sets estimate exactly 1
+    df2 = spark.createDataFrame(
+        [(1, "p q r", "S1"), (2, "r q p", "S2")], ["doc_id", "text", "source"]
+    )
+    row = source_overlap(df2, "source", "text").collect()[0]
+    assert row.est_jaccard == 1.0 and row.exact_jaccard == 1.0
+
+
+def test_source_overlap_estimator_tracks_exact_on_fixture(spark, tables):
+    """On the documents fixture the 16-hash estimate should be within
+    0.35 absolute of exact for every pair (s.d. of the estimator is
+    sqrt(j(1-j)/16) <= 0.125; 0.35 is ~3 sigma headroom)."""
+    out = source_overlap(tables["documents"], "source", "text").toPandas()
+    n_src = tables["documents"].select("source").distinct().count()
+    assert len(out) == n_src * (n_src - 1) // 2
+    assert (abs(out["est_jaccard"] - out["exact_jaccard"]) <= 0.35).all()
