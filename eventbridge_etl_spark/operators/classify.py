@@ -57,7 +57,15 @@ def naive_bayes_self_score(
     document's tokens is ``prior + sum(matched logp) + (n_tokens -
     n_matched) * zero_lp`` — no per-(doc, class, token) outer join
     needed, just the matched inner join plus arithmetic.
+
+    Rows with a null id, text, or label are dropped up front (a null
+    label is not a class; a null text has no tokens to score).
     """
+    df = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(text_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    )
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
     )

@@ -690,6 +690,8 @@ def source_overlap(
     dedup_embedding_cosine vs the LSH path).
     """
     assert num_hashes <= len(MINHASH_A)
+    # null group/text rows carry no set information — drop up front
+    df = df.filter(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
     st = df.select(
         F.col(group_col).alias("_g"), F.explode(tokens(F.col(text_col))).alias("_tok")
     ).distinct()

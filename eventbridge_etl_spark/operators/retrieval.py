@@ -48,7 +48,11 @@ def bm25_topk(
     ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` (Robertson/Lucene
     form, always positive); per-term contribution
     ``idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))``.
+
+    Rows with a null id or text are dropped up front (they can neither
+    be ranked nor contribute corpus statistics).
     """
+    df = df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
     )

@@ -374,3 +374,34 @@ def test_source_overlap_estimator_tracks_exact_on_fixture(spark, tables):
     n_src = tables["documents"].select("source").distinct().count()
     assert len(out) == n_src * (n_src - 1) // 2
     assert (abs(out["est_jaccard"] - out["exact_jaccard"]) <= 0.35).all()
+
+
+# ------------------------------------------------ null-input contracts
+
+def test_new_operators_drop_null_rows(spark):
+    nb = spark.createDataFrame(
+        [(1, "a a", "x"), (2, "b b", "y"), (None, "c", "x"), (3, None, "y"), (4, "d", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = naive_bayes_self_score(nb).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+
+    bm = spark.createDataFrame(
+        [(1, "w w"), (None, "w"), (2, None)], "doc_id long, text string"
+    )
+    got = bm25_topk(bm, n_terms=1, k=5).collect()
+    assert [r.doc_id for r in got] == [1]
+
+    so = spark.createDataFrame(
+        [(1, "a", "A"), (2, "a b", "B"), (3, None, "A"), (4, "c", None)],
+        "doc_id long, text string, source string",
+    )
+    pairs = source_overlap(so, "source", "text").collect()
+    assert {(r.source_a, r.source_b) for r in pairs} == {("A", "B")}
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (None, 1), (2, None)],
+        "a long, b long",
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
