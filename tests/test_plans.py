@@ -300,3 +300,39 @@ def test_fn_url_surface_pushes_the_key_filter(spark):
     plan = _plan(spark, "fn_url_surface")
     assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
     assert _shuffles(plan) == 0
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """The retrieval top-k must be a distributed TakeOrderedAndProject;
+    the rank window runs after the limit, over k rows only."""
+    plan = _plan(spark, "text_bm25_retrieval")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_naive_bayes_no_cartesian(spark):
+    """docs x classes rides broadcast nested-loop (|classes| rows), the
+    LM join is a hash join on token — never a CartesianProduct."""
+    plan = _plan(spark, "text_naive_bayes_lang")
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_census_hash_joins_only(spark):
+    plan = _plan(spark, "graph_triangle_census")
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_pairs_no_cartesian(spark):
+    """Banded candidate generation must be equi-joins on (band, value),
+    never an all-pairs product."""
+    plan = _plan(spark, "multimodal_phash_near_dup")
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_recount_is_broadcast(spark):
+    """The exact pass joins the stream against the ≤k-per-partition
+    candidate set as a BROADCAST hash join — the corpus never shuffles
+    on value for the recount."""
+    plan = _plan(spark, "agg_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
