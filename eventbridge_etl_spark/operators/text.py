@@ -382,3 +382,76 @@ def collapse_runs(text: Column | str) -> dict[str, Column]:
         "collapsed": F.array_join(kept, " "),
         "n_removed": F.size(raw) - F.size(kept),
     }
+
+
+def bigram_logprob(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+):
+    """Corpus-trained interpolated bigram LM score per document — the
+    next step up from ``unigram_logprob`` on the CCNet-style quality
+    ladder: ``p(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) *
+    (c(w2)+1)/(N+V)`` (MLE bigram backed off to the add-one unigram),
+    score = mean ln p over the document's bigrams.  Documents with
+    fewer than two tokens produce no row.
+
+    Plan shape: the token stream and the bigram stream are each
+    exploded once; bigram counts, unigram counts, and the (N, V)
+    corpus totals are the same partial-aggregate shapes as the unigram
+    LM; scoring joins the bigram stream to the bigram LM on
+    (w1, w2) — the identical key its count aggregate used — then to
+    the unigram table on w2.  Every join key is token-valued; at
+    100 TB both LM tables shuffle-join on their own aggregation keys
+    (or broadcast when the vocab head fits).
+
+    Returns (id, n_bigrams, avg_logprob) with the mean rounded to 4
+    (raw-double accumulation, same determinism posture as
+    unigram_logprob).
+    """
+    t = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t")
+    )
+    toks = t.select("id", F.explode("_t").alias("token"))
+    c1 = toks.groupBy("token").agg(F.count("*").alias("_c1"))
+    totals = c1.agg(F.sum("_c1").alias("_n"), F.count("*").alias("_v"))
+
+    bg = t.filter(F.size("_t") >= 2).select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.size("_t") - 1),
+                F.slice("_t", 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select("id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
+    lm2 = c2.join(c1.withColumnRenamed("token", "w1"), "w1").select(
+        "w1",
+        "w2",
+        (F.col("_c2").cast("double") / F.col("_c1")).alias("_pbi"),
+    )
+    uni = c1.withColumnRenamed("token", "w2").crossJoin(F.broadcast(totals)).select(
+        "w2",
+        (
+            (F.col("_c1") + 1).cast("double") / (F.col("_n") + F.col("_v"))
+        ).alias("_puni"),
+    )
+    scored = (
+        bg.join(lm2, ["w1", "w2"])
+        .join(uni, "w2")
+        .select(
+            "id",
+            F.log(
+                F.lit(float(lam)) * F.col("_pbi")
+                + F.lit(1.0 - float(lam)) * F.col("_puni")
+            ).alias("_logp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_logp"), 4).alias("avg_logprob"),
+    )

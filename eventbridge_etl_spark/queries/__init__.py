@@ -82,6 +82,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "agg_heavy_hitters",
     "sample_leakage_safe_split",
     "dedup_source_overlap",
+    "compaction_plan_events",
+    "text_bigram_logprob",
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",

@@ -386,3 +386,117 @@ def dedup_source_overlap(spark, sf_dir):
     from eventbridge_etl_spark.operators.dedup import source_overlap
 
     return source_overlap(_doc(spark, sf_dir), "source", "text", num_hashes=16)
+
+
+# ------------------------------------------------ compaction planning
+
+@query(
+    "compaction_plan_events",
+    oracle="""
+    WITH inv AS (
+      SELECT event_type AS partition,
+             'part-' || CAST(ts::DATE AS VARCHAR) || '.parquet' AS file,
+             COUNT(*) * 64 AS size
+      FROM events GROUP BY 1, 2
+    ),
+    assigned AS (
+      SELECT partition, file, size,
+             CAST(floor(COALESCE(SUM(size) OVER (
+               PARTITION BY partition ORDER BY file
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / 16384.0) AS BIGINT) AS bin
+      FROM inv
+    )
+    SELECT partition, bin, COUNT(*) AS n_files,
+           CAST(SUM(size) AS BIGINT) AS total_bytes,
+           string_agg(file, '|' ORDER BY file) AS files_list,
+           (COUNT(*) = 1 AND SUM(size) >= 16384) AS already_compact
+    FROM assigned GROUP BY partition, bin
+    """,
+)
+def compaction_plan_events(spark, sf_dir):
+    """Small-file compaction plan (operators/compaction.py): a synthetic
+    per-(event_type, day) file inventory bin-packed into 16 KiB rewrite
+    jobs with deterministic next-fit on the name-ordered running sum —
+    the OPTIMIZE-planning dataflow, one window + one aggregate, both
+    keyed on the partition column.  The files array is emitted as a
+    joined string (array columns aren't canonicalizable by the driver's
+    hash compare)."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators.compaction import plan_compaction
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    inv = ev.groupBy(
+        F.col("event_type").alias("pt"),
+        F.to_date("ts").alias("_d"),
+    ).agg((F.count("*") * 64).alias("size")).select(
+        "pt",
+        F.concat(F.lit("part-"), F.col("_d").cast("string"), F.lit(".parquet")).alias(
+            "f"
+        ),
+        "size",
+    )
+    plan = plan_compaction(inv, "pt", "f", "size", target_bytes=16384)
+    return plan.select(
+        "partition",
+        "bin",
+        "n_files",
+        "total_bytes",
+        F.concat_ws("|", "files").alias("files_list"),
+        "already_compact",
+    )
+
+
+# ------------------------------------------------- bigram LM scoring
+
+_BG_LAM = 0.7
+
+
+@query(
+    "text_bigram_logprob",
+    # 1-lam is interpolated via repr so the SQL carries the exact IEEE
+    # value of the Python double (0.30000000000000004, not 0.3)
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS s
+      FROM documents
+    ),
+    toks AS (SELECT id, unnest(s) AS token FROM t),
+    c1 AS (SELECT token, COUNT(*) AS c1 FROM toks GROUP BY token),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v FROM c1),
+    bgx AS (
+      SELECT id, s, generate_subscripts(s, 1) AS i, unnest(s) AS w1 FROM t
+    ),
+    bg AS (SELECT id, w1, s[i + 1] AS w2 FROM bgx WHERE i < len(s)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    lm2 AS (
+      SELECT c2.w1, c2.w2, c2.c2::DOUBLE / u.c1 AS pbi
+      FROM c2 JOIN c1 u ON u.token = c2.w1
+    ),
+    uni AS (
+      SELECT token AS w2, (c1 + 1)::DOUBLE / (t.n + t.v) AS puni
+      FROM c1 CROSS JOIN tot t
+    ),
+    sc AS (
+      SELECT bg.id,
+             ln({_BG_LAM!r} * lm2.pbi + {1.0 - _BG_LAM!r} * uni.puni) AS logp
+      FROM bg
+      JOIN lm2 ON lm2.w1 = bg.w1 AND lm2.w2 = bg.w2
+      JOIN uni ON uni.w2 = bg.w2
+    )
+    SELECT id, COUNT(*) AS n_bigrams, round(avg(logp), 4) AS avg_logprob
+    FROM sc GROUP BY id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM score per document (operators/text.py:
+    bigram_logprob) — MLE bigram backed off to the add-one unigram,
+    the next rung of CCNet-style perplexity filtering after
+    text_unigram_logprob.  Token-keyed joins only; both LM tables
+    shuffle on their own aggregation keys."""
+    from eventbridge_etl_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(_doc(spark, sf_dir), lam=_BG_LAM)

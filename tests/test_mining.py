@@ -405,3 +405,60 @@ def test_new_operators_drop_null_rows(spark):
     )
     row = triangle_count(edges).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
+
+
+# ------------------------------------------------ compaction planner
+
+from eventbridge_etl_spark.operators.compaction import plan_compaction
+
+
+def test_compaction_next_fit_bins(spark):
+    """Files fill a bin until the preceding total crosses the target."""
+    rows = [
+        ("p1", "a", 40), ("p1", "b", 40), ("p1", "c", 40),  # 0,0,0 (prec 0,40,80<100)
+        ("p1", "d", 40),                                     # prec 120 -> bin 1
+        ("p2", "x", 250),                                    # oversized alone
+        ("p2", "y", 10),                                     # prec 250 -> bin 2
+    ]
+    df = spark.createDataFrame(rows, ["pt", "f", "sz"])
+    out = {(r.partition, r.bin): r for r in
+           plan_compaction(df, "pt", "f", "sz", target_bytes=100).collect()}
+    assert out[("p1", 0)].n_files == 3 and out[("p1", 0)].total_bytes == 120
+    assert out[("p1", 1)].files == ["d"]
+    assert out[("p2", 0)].files == ["x"] and out[("p2", 0)].already_compact
+    assert out[("p2", 2)].files == ["y"] and not out[("p2", 2)].already_compact
+
+
+def test_compaction_rejects_bad_target(spark):
+    df = spark.createDataFrame([("p", "f", 1)], ["pt", "f", "sz"])
+    with pytest.raises(ValueError):
+        plan_compaction(df, "pt", "f", "sz", target_bytes=0)
+
+
+# ------------------------------------------------- bigram LM scoring
+
+from eventbridge_etl_spark.operators.text import bigram_logprob
+
+
+def test_bigram_logprob_closed_form(spark):
+    """Two-doc corpus, hand-computed interpolated probabilities."""
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {r.id: r for r in bigram_logprob(df, lam=0.7).collect()}
+    # corpus: tokens a:3 b:3, N=6 V=2; bigrams: (a,b):3, (b,a):1
+    # p(b|a) = .7*(3/3) + .3*(4/8);  p(a|b) = .7*(1/3) + .3*(4/8)
+    import math
+    p_ab = 0.7 * 1.0 + (1 - 0.7) * 0.5
+    p_ba = 0.7 * (1 / 3) + (1 - 0.7) * 0.5
+    exp1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_logprob == pytest.approx(exp1, abs=1e-9)
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_logprob == pytest.approx(round(math.log(p_ab), 4), abs=1e-9)
+
+
+def test_bigram_logprob_short_docs_absent(spark):
+    df = spark.createDataFrame([(1, "only"), (2, "two tokens")], ["doc_id", "text"])
+    out = bigram_logprob(df).collect()
+    assert [r.id for r in out] == [2]
