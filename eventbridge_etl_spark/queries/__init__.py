@@ -84,6 +84,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_source_overlap",
     "compaction_plan_events",
     "text_bigram_logprob",
+    "streaming_ewma_smoothing",
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",

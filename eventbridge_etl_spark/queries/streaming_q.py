@@ -308,3 +308,48 @@ def streaming_rollup_merge(spark, sf_dir):
     )
     q.awaitTermination(300)
     return publish_rollup(read_rollup_state(spark, state_dir))
+
+
+@query(
+    "streaming_ewma_smoothing",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, rn, x AS ew FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             CAST(floor((1.0 * o.x + 3.0 * r.ew) / 4.0) AS BIGINT)
+      FROM rec r JOIN ordered o
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    ),
+    fin AS (SELECT user_id, MAX(rn) AS n FROM ordered GROUP BY user_id)
+    SELECT r.user_id, f.n AS n_events, r.ew AS ewma_scaled
+    FROM rec r JOIN fin f ON f.user_id = r.user_id AND r.rn = f.n
+    """,
+)
+def streaming_ewma_smoothing(spark, sf_dir):
+    """Custom stateful EWMA (alpha=1/4) per user over the event stream
+    (streaming/stateful.py:ewma_smoothing): the recursion runs on
+    scaled integers with floor division, so the drained terminal state
+    matches a recursive-CTE replay of the same (ts, event_id)-ordered
+    recurrence BIT-FOR-BIT — a value-exact oracle for a custom
+    stateful streaming operator, not an epsilon band."""
+    from eventbridge_etl_spark.streaming.stateful import ewma_smoothing
+
+    ev = _event_stream(spark, sf_dir).select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+    )
+    out = _drain(ewma_smoothing(ev), mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("ewma_scaled", "n_events").alias("ewma_scaled"),
+    )

@@ -124,3 +124,92 @@ def running_totals(events: DataFrame, timeout_ms: int | None = None) -> DataFram
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+#: Output schema of :func:`ewma_smoothing`.
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_scaled", T.LongType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("ew", T.LongType()),
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_id", T.LongType()),
+    ]
+)
+
+
+def _make_ewma_handler(num: int, den: int):
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Integer-exact EWMA fold: values are scaled to centi-units
+        with floor(x*100 + 0.5), then ew' = floor((num*x +
+        (den-num)*ew) / den).  All state is integer, so the recursion
+        is bit-reproducible across engines and batches; rows are
+        folded in (ts_us, event_id) order within each batch (the
+        suite-wide tie-break contract), and the last-seen (ts, id) is
+        kept in state so cross-batch ordering violations are
+        detectable by tests."""
+        import math
+
+        (user_id,) = key
+        n, ew, last_ts, last_id = (
+            state.get if state.exists else (0, 0, -1, -1)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for x_raw, ts_us, eid in zip(
+                pdf["value"], pdf["ts_us"], pdf["event_id"]
+            ):
+                x = math.floor(float(x_raw) * 100 + 0.5) if x_raw == x_raw else 0
+                if n == 0:
+                    ew = x
+                else:
+                    ew = math.floor((num * x + (den - num) * ew) / float(den))
+                n += 1
+                last_ts, last_id = int(ts_us), int(eid)
+        state.update((n, ew, last_ts, last_id))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "ewma_scaled": ew}]
+        )
+
+    return update
+
+
+def ewma_smoothing(events: DataFrame, num: int = 1, den: int = 4) -> DataFrame:
+    """Per-key exponentially-weighted moving average as a custom
+    stateful operator, alpha = num/den rational.
+
+    The recursion runs on SCALED INTEGERS (centi-units, floor
+    division), which is what makes this oracle-able: a SQL engine
+    replaying the same ordered recursion (recursive CTE over the
+    (ts, event_id)-ranked rows) reproduces the state bit-for-bit — no
+    float-accumulation epsilon anywhere.  Input needs ``user_id``,
+    ``value``, ``ts_us``, ``event_id``.
+
+    Scale: one shuffle per micro-batch on the key; state is 4 longs
+    per active key.  The per-key fold is sequential by nature (EWMA is
+    an order-dependent recurrence) but each key folds independently —
+    parallelism = key cardinality, the same bound any stateful
+    stream-processor has for this operator.
+    """
+    if not (0 < num < den):
+        raise ValueError(f"alpha must be a proper fraction, got {num}/{den}")
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_ewma_handler(num, den),
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

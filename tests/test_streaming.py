@@ -606,3 +606,67 @@ def test_running_totals_timeout_eviction_timeline(spark, tmp_path):
         assert wait_for(lambda: (1, 1, 2.0, False) in rows())
     finally:
         q.stop()
+
+
+def test_ewma_smoothing_cross_batch_integer_exact(spark, tmp_path):
+    """EWMA state must carry across micro-batches and reproduce the
+    reference recursion on the full ordered sequence EXACTLY (integer
+    state — no epsilon)."""
+    import math
+
+    from eventbridge_etl_spark.streaming.stateful import ewma_smoothing
+
+    src = str(tmp_path / "ewma_src")
+    schema = "user_id long, value double, ts_us long, event_id long"
+    rows1 = [(1, 10.0, 1_000, 1), (1, 20.0, 2_000, 2), (2, 5.0, 1_500, 3)]
+    rows2 = [(1, 40.0, 3_000, 4), (2, 7.5, 2_500, 5), (1, 0.25, 4_000, 6)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        ewma_smoothing(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def ref(values):
+        ew = None
+        for v in values:
+            x = math.floor(v * 100 + 0.5)
+            ew = x if ew is None else math.floor((x + 3 * ew) / 4.0)
+        return ew
+
+    final = {
+        r["user_id"]: (r["n_events"], r["ewma_scaled"])
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, ewma_scaled FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) AS rn
+              FROM ewma_t
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    assert final[1] == (4, ref([10.0, 20.0, 40.0, 0.25]))
+    assert final[2] == (2, ref([5.0, 7.5]))
+
+
+def test_ewma_rejects_improper_alpha(spark):
+    import pytest
+
+    from eventbridge_etl_spark.streaming.stateful import ewma_smoothing
+
+    with pytest.raises(ValueError):
+        ewma_smoothing(None, num=4, den=4)
