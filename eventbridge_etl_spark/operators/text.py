@@ -455,3 +455,44 @@ def bigram_logprob(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_logp"), 4).alias("avg_logprob"),
     )
+
+
+def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Character-level Shannon entropy per document (nats) — the
+    gibberish/binary-spill detector of corpus quality filtering: natural
+    prose sits in a narrow entropy band, base64 blobs and key-mash sit
+    far above it, template boilerplate far below.
+
+    H = -sum_c p_c ln p_c over the document's character histogram,
+    computed as explode(chars) -> per-(doc, char) count -> one per-doc
+    aggregate of count*ln(count) (the algebraic form
+    ``ln n - (1/n) * sum c_i ln c_i`` needs only the total and one sum,
+    so the whole thing is two map-side-combined aggregates keyed by
+    doc).  Deterministic: each ``c_i ln c_i`` term is a double of an
+    exact integer, rounded to 6 and decimal-summed; the final entropy
+    rounds to 4.
+
+    Returns (id, n_chars, entropy).  Empty documents report entropy 0.
+    """
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("id", "ch").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.round(F.col("c").cast("double") * F.log(F.col("c").cast("double")), 6)
+            .cast("decimal(28,6)")
+        ).alias("_clnc"),
+    )
+    ent = F.round(
+        F.log(F.col("n").cast("double"))
+        - F.col("_clnc").cast("double") / F.col("n").cast("double"),
+        4,
+    )
+    return per_doc.select(
+        "id",
+        F.col("n").alias("n_chars"),
+        F.when(F.col("n") > 0, ent).otherwise(F.lit(0.0)).alias("entropy"),
+    )

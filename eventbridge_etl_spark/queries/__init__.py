@@ -85,6 +85,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "compaction_plan_events",
     "text_bigram_logprob",
     "streaming_ewma_smoothing",
+    "text_char_entropy",
+    "window_rolling_median",
+    "agg_chi_square_assoc",
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",
@@ -121,7 +124,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "join_anti",
     "join_left_outer_agg",
     "join_range_nonequi",
-    # --- ... and the TPC-H tail
+    # --- ... and the TPC-H tail.  NOTE (r5 close): the 11 new round-5
+    # tail gates above consumed the window slots this tail was queued
+    # for; everything from here down is ~position 50+ and r6 MUST lead
+    # with it (the TPC-H tail's last green evidence is r1, but the code
+    # is untouched since).
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q6_forecast_revenue",

@@ -500,3 +500,151 @@ def text_bigram_logprob(spark, sf_dir):
     from eventbridge_etl_spark.operators.text import bigram_logprob
 
     return bigram_logprob(_doc(spark, sf_dir), lam=_BG_LAM)
+
+
+# ----------------------------------------------- entropy / median / chi2
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id AS id, unnest(str_split(text, '')) AS ch
+      FROM documents
+    ),
+    cf AS (
+      SELECT id, ch, COUNT(*) AS c FROM chars WHERE len(ch) > 0 GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT id, CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(round(c::DOUBLE * ln(c::DOUBLE), 6) AS DECIMAL(28,6)))
+               AS clnc
+      FROM cf GROUP BY id
+    )
+    SELECT id, n AS n_chars,
+           CASE WHEN n > 0
+                THEN round(ln(n::DOUBLE) - clnc::DOUBLE / n::DOUBLE, 4)
+                ELSE 0.0 END AS entropy
+    FROM per_doc
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document (operators/text.py:
+    char_entropy) — the gibberish/base64-spill detector: two map-side-
+    combined aggregates keyed by doc, decimal-summed c*ln(c) terms."""
+    from eventbridge_etl_spark.operators.text import char_entropy
+
+    return char_entropy(_doc(spark, sf_dir))
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS rolling_median
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def window_rolling_median(spark, sf_dir):
+    """Exact rolling median over a 7-row per-user frame — the robust
+    smoother the rolling mean can't be.  Spark has no exact percentile
+    window function, so the frame is materialized with collect_list ->
+    array_sort -> middle element(s); bounded frames keep the array
+    O(frame) regardless of key cardinality, and the window shuffle is
+    the usual single key exchange.  Midpoint of two middles is one IEEE
+    add + halve — identical to DuckDB's interpolating median."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].filter(
+        F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    mid_even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.when(n % 2 == 1, mid_odd).otherwise(mid_even), 6).alias(
+            "rolling_median"
+        ),
+    )
+
+
+@query(
+    "agg_chi_square_assoc",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY dow),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT obs.o, rt.r * ct.c / n.n::DOUBLE AS e
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+    )
+    SELECT CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+           round(CAST(SUM(CAST(round((o - e) * (o - e) / e, 6)
+                               AS DECIMAL(28,6))) AS DOUBLE), 4) AS chi2
+    FROM cells
+    """,
+)
+def agg_chi_square_assoc(spark, sf_dir):
+    """Chi-square test of association between event_type and ISO
+    weekday — the categorical-drift / independence screen.  Observed
+    and expected counts are one aggregate each; per-cell terms are
+    rounded doubles of exact integers, decimal-summed, so the statistic
+    is engine-exact."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    obs = ev.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("long").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(rt, "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            (F.col("r") * F.col("c") / F.col("n").cast("double")).alias("e"),
+        )
+    )
+    dof = (
+        rt.agg(F.count("*").alias("_r"))
+        .crossJoin(F.broadcast(ct.agg(F.count("*").alias("_c"))))
+        .select(((F.col("_r") - 1) * (F.col("_c") - 1)).cast("long").alias("dof"))
+    )
+    chi2 = cells.agg(
+        F.round(
+            F.sum(
+                F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6)
+                .cast("decimal(28,6)")
+            ).cast("double"),
+            4,
+        ).alias("chi2")
+    )
+    return dof.crossJoin(chi2)

@@ -462,3 +462,21 @@ def test_bigram_logprob_short_docs_absent(spark):
     df = spark.createDataFrame([(1, "only"), (2, "two tokens")], ["doc_id", "text"])
     out = bigram_logprob(df).collect()
     assert [r.id for r in out] == [2]
+
+
+# ---------------------------------------------------- char entropy
+
+from eventbridge_etl_spark.operators.text import char_entropy
+
+
+def test_char_entropy_hand_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "abcd"), (3, "aaaa")], ["doc_id", "text"]
+    )
+    out = {r.id: r for r in char_entropy(df).collect()}
+    assert out[1].n_chars == 4
+    assert out[1].entropy == pytest.approx(round(math.log(2), 4), abs=1e-9)
+    assert out[2].entropy == pytest.approx(round(math.log(4), 4), abs=1e-9)
+    assert out[3].entropy == 0.0
+    # high-entropy (uniform) > natural-ish > degenerate ordering holds
+    assert out[2].entropy > out[1].entropy > out[3].entropy
