@@ -101,3 +101,38 @@ def check_referential_integrity(
         F.col("_n").alias("n_violations"),
         (F.col("_n") == 0).alias("passed"),
     )
+
+
+def check_k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """k-anonymity screen over a quasi-identifier combination — the
+    privacy gate run before a table is shared: every quasi-identifier
+    group must contain at least ``k`` rows, or its members are
+    re-identifiable by joining on those columns.
+
+    Returns a 1-row summary ``(k, n_groups, n_violating_groups,
+    n_rows_at_risk, passed)``.  Two aggregates (group sizes, then the
+    summary) — the second input is group-cardinality, not row-
+    cardinality, so the scan dominates at any scale.  Rows with NULL in
+    a quasi column form their own groups (null-safe grouping), which is
+    the conservative reading: an all-null group is still a group.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    sizes = df.groupBy(*quasi_cols).agg(F.count("*").alias("_n"))
+    # empty input => zero groups => vacuously passed (coalesce the
+    # null aggregates an empty relation produces)
+    return sizes.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count("*").alias("n_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") < k, 1).otherwise(0)), F.lit(0)
+        ).alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0)), F.lit(0)
+        ).alias("n_rows_at_risk"),
+        F.coalesce(
+            F.max(F.when(F.col("_n") < k, 1).otherwise(0)) == 0, F.lit(True)
+        ).alias("passed"),
+    )

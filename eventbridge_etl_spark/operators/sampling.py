@@ -292,3 +292,32 @@ def leakage_safe_split(
             "train"
         ),
     )
+
+
+def balanced_class_sample(
+    df: DataFrame, class_col: str, key: str
+) -> DataFrame:
+    """Downsample every class to the size of the SMALLEST class —
+    exact-count class balancing (the eval-set construction rule, and
+    the hard version of temperature resampling's soft rebalance).
+
+    Selection is deterministic and growth-stable per class: rows rank
+    by (md5 hash-fraction of ``key``, ``key``) and the first
+    ``min_class_count`` survive.  The min count rides a broadcast
+    1-row aggregate; the rank is one window keyed on the class.  The
+    data-dependent bound means Spark cannot push a WindowGroupLimit
+    partial top-k here (contrast temperature_resample's literal bound)
+    — the full per-class rank is computed, one key shuffle, which is
+    the honest cost of an exact data-dependent quota.
+    """
+    sizes = df.groupBy(class_col).agg(F.count("*").alias("_cn"))
+    min_n = sizes.agg(F.min("_cn").alias("_min_n"))
+    w = Window.partitionBy(class_col).orderBy(
+        hash_fraction(key), F.col(key)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_n))
+        .filter(F.col("_rk") <= F.col("_min_n"))
+        .drop("_rk", "_min_n")
+    )

@@ -20,6 +20,11 @@ Submodules group the inventory:
 - ``streaming_q``   — watermarked windows, sessions, dedup, interval join
 - ``graph_q``       — iterative graph algorithms (PageRank over the
                       event-transition Markov chain)
+- ``mining_q``      — round-5 tail: NB classifier, BM25, triangle census,
+                      phash near-dup, heavy hitters, leakage-safe split,
+                      source overlap, compaction planning, bigram LM,
+                      char entropy, rolling median, chi-square, snapshot
+                      diff, k-anonymity, balanced classes
 """
 
 from __future__ import annotations
@@ -88,6 +93,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_char_entropy",
     "window_rolling_median",
     "agg_chi_square_assoc",
+    "scd_snapshot_diff",
+    "expect_k_anonymity",
+    "sample_balanced_classes",
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",
@@ -124,11 +132,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "join_anti",
     "join_left_outer_agg",
     "join_range_nonequi",
-    # --- ... and the TPC-H tail.  NOTE (r5 close): the 11 new round-5
-    # tail gates above consumed the window slots this tail was queued
-    # for; everything from here down is ~position 50+ and r6 MUST lead
-    # with it (the TPC-H tail's last green evidence is r1, but the code
-    # is untouched since).
+    # --- ... and the TPC-H tail.  NOTE (r5 close): the 16 new round-5
+    # tail gates above consumed the window slots the function-surface /
+    # events-join / TPC-H tails were queued for; everything from about
+    # "fn_json_surface" down is at or past position ~50 and r6 MUST
+    # lead with it (last green evidence r1/r2, but code untouched
+    # since).
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q6_forecast_revenue",

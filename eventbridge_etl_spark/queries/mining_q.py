@@ -648,3 +648,119 @@ def agg_chi_square_assoc(spark, sf_dir):
         ).alias("chi2")
     )
     return dof.crossJoin(chi2)
+
+
+# --------------------------------------- diff / privacy / balancing
+
+@query(
+    "scd_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 89 = 0
+    ),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+               AND (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) AS same
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN same THEN 'unchanged' ELSE 'changed' END AS change_type
+    FROM j
+    """,
+)
+def scd_snapshot_diff(spark, sf_dir):
+    """Row-level diff of two table snapshots (operators/scd.py:
+    snapshot_diff): the new side is built in-plan from orders (every
+    97th key dropped, every 13th price bumped, every 89th re-keyed as
+    an insert), then one null-safe full outer join on the key labels
+    every row added/removed/changed/unchanged."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators.scd import snapshot_diff
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    modified = orders.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    new = modified.unionByName(added)
+    return snapshot_diff(
+        orders, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+@query(
+    "expect_k_anonymity",
+    oracle="""
+    WITH sizes AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(5 AS BIGINT) AS k,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS HUGEINT)::BIGINT
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS HUGEINT)::BIGINT
+             AS n_rows_at_risk,
+           MAX(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS passed
+    FROM sizes
+    """,
+)
+def expect_k_anonymity(spark, sf_dir):
+    """k-anonymity screen on customer's (nation, market segment)
+    quasi-identifier pair (operators/expectations.py:check_k_anonymity)
+    — the pre-publication privacy gate; two aggregates, the second over
+    group cardinality only."""
+    from eventbridge_etl_spark.operators.expectations import check_k_anonymity
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return check_k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH sizes AS (SELECT lang, COUNT(*) AS cn FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(cn) AS m FROM sizes),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINT64
+                             AS DOUBLE) / 4294967296.0,
+                        doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked CROSS JOIN mn WHERE rk <= mn.m
+    """,
+)
+def sample_balanced_classes(spark, sf_dir):
+    """Exact class balancing: every language downsampled to the
+    smallest language's count, rows chosen by the deterministic
+    md5-fraction order (operators/sampling.py:balanced_class_sample) —
+    the eval-set construction rule, growth-stable per class."""
+    from eventbridge_etl_spark.operators.sampling import balanced_class_sample
+
+    doc = _doc(spark, sf_dir)
+    return balanced_class_sample(doc, "lang", "doc_id").select("doc_id", "lang")

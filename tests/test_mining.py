@@ -480,3 +480,54 @@ def test_char_entropy_hand_values(spark):
     assert out[3].entropy == 0.0
     # high-entropy (uniform) > natural-ish > degenerate ordering holds
     assert out[2].entropy > out[1].entropy > out[3].entropy
+
+
+# ----------------------------------- diff / k-anonymity / balancing
+
+from eventbridge_etl_spark.operators.expectations import check_k_anonymity
+from eventbridge_etl_spark.operators.sampling import balanced_class_sample
+from eventbridge_etl_spark.operators.scd import snapshot_diff
+
+
+def test_snapshot_diff_labels(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, v string, p double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k long, v string, p double",
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 3 removed, 5 added, 2 changed (b->B), 4 changed (NULL->d, null-safe),
+    # 1 unchanged
+    assert out == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "changed", 5: "added"
+    }
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, [])
+
+
+def test_k_anonymity_summary(spark):
+    rows = [("us", "a")] * 5 + [("us", "b")] * 2 + [("fr", "a")] * 1
+    df = spark.createDataFrame(rows, "nat string, seg string")
+    r = check_k_anonymity(df, ["nat", "seg"], k=3).collect()[0]
+    assert (r.n_groups, r.n_violating_groups, r.n_rows_at_risk) == (3, 2, 3)
+    assert not r.passed
+    ok = check_k_anonymity(df.limit(0), ["nat"], k=2).collect()[0]
+    assert ok.passed  # vacuously: no groups below k
+    with pytest.raises(ValueError):
+        check_k_anonymity(df, ["nat"], k=1)
+
+
+def test_balanced_class_sample_exact_counts(spark):
+    rows = [(i, "big") for i in range(90)] + [(i + 100, "small") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = balanced_class_sample(df, "lang", "doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert counts == {"big": 7, "small": 7}
+    # determinism: same selection twice
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in balanced_class_sample(df, "lang", "doc_id").collect())
+    assert a == b
