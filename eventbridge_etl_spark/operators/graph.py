@@ -135,11 +135,17 @@ def triangle_count(
     normalized (min, max) and de-duplicated first.  Self-loops are
     dropped.  All joins key on node ids; nothing is collected.
     """
+    from pyspark import StorageLevel
+
     a, b = F.col(a_col), F.col(b_col)
+    # normalized edge list and oriented edge list are each read by
+    # multiple downstream consumers — persist them so the census costs
+    # one wedge join, not three recomputations of the whole prefix
     e = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -156,7 +162,7 @@ def triangle_count(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     o1 = o.select(
         F.col("src").alias("s"), F.col("dst").alias("v"), F.col("dd").alias("dv")
     )
@@ -166,15 +172,20 @@ def triangle_count(
     wedges = o1.join(o2, "s").filter(
         F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("du"), F.col("u"))
     )
-    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("u"))
-    tri = wedges.join(closing, ["v", "u"]).agg(
-        F.count("*").alias("n_triangles")
+    # ONE pass over the wedge stream counts wedges AND triangles: a left
+    # join against the oriented closing edge marks closed wedges, and
+    # the final aggregate counts both — the wedge join never runs twice
+    closing = o.select(
+        F.col("src").alias("v"), F.col("dst").alias("u"), F.lit(1).alias("_closed")
+    )
+    census = wedges.join(closing, ["v", "u"], "left").agg(
+        F.count("*").alias("n_wedges"),
+        F.count("_closed").alias("n_triangles"),
     )
     counts = (
         deg.agg(F.count("*").alias("n_nodes"))
         .crossJoin(F.broadcast(e.agg(F.count("*").alias("n_edges"))))
-        .crossJoin(F.broadcast(wedges.agg(F.count("*").alias("n_wedges"))))
-        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(census))
     )
     return counts.select(
         F.coalesce(F.col("n_nodes"), F.lit(0)).alias("n_nodes"),
