@@ -758,3 +758,46 @@ def source_overlap(
             F.lit(num_hashes).cast("long").alias("n_hashes"),
         )
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    history_digests: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    digest_col: str = "content_digest",
+) -> DataFrame:
+    """Admit only genuinely-new content from an incoming batch — the
+    incremental-ingest dedup of a continuously-growing corpus: dedup the
+    batch against ITSELF (exact digest, min-id representative), then
+    anti-join the survivors against the historical digest store.
+
+    ``history_digests`` is the running store of already-admitted
+    digests (the output of previous rounds' ``exact_dedup``, persisted
+    — 48 bytes/row no matter how wide the corpus rows are).  Returns
+    the admitted rows of ``new_batch`` (original columns) plus their
+    ``content_digest`` for appending to the store.
+
+    Scale: the batch shuffles once on digest (self-dedup); the
+    anti-join keys on the same digest — Catalyst plans it as a shuffled
+    or broadcast anti join depending on store size, and a Bloom-pruned
+    one under the runtime-filter confs.  The full history's CONTENT is
+    never read, only its digest column — that is the point: ingest cost
+    is O(batch + digest store), not O(corpus).
+    """
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    batch = new_batch.withColumn("_digest", digest)
+    # min-id representative per digest via one window on the digest key
+    # (same shuffle a groupBy would take, no ambiguous self-join)
+    w = Window.partitionBy("_digest").orderBy(id_col)
+    self_deduped = (
+        batch.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    admitted = self_deduped.join(
+        history_digests.select(F.col(digest_col).alias("_digest")),
+        "_digest",
+        "left_anti",
+    )
+    return admitted.withColumnRenamed("_digest", digest_col)

@@ -764,3 +764,115 @@ def sample_balanced_classes(spark, sf_dir):
 
     doc = _doc(spark, sf_dir)
     return balanced_class_sample(doc, "lang", "doc_id").select("doc_id", "lang")
+
+
+# ------------------------------------ incremental ingest / timed funnel
+
+@query(
+    "dedup_incremental_admission",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      UNION ALL
+      SELECT doc_id + 1000, text FROM documents
+      WHERE doc_id BETWEEN 250 AND 299
+      UNION ALL
+      SELECT doc_id + 2000, text FROM documents WHERE doc_id < 50
+    ),
+    bd AS (SELECT doc_id, md5(text) AS d FROM batch),
+    self_kept AS (SELECT d, MIN(doc_id) AS doc_id FROM bd GROUP BY d)
+    SELECT doc_id, d AS content_digest
+    FROM self_kept WHERE d NOT IN (SELECT d FROM hist)
+    """,
+)
+def dedup_incremental_admission(spark, sf_dir):
+    """Incremental-ingest dedup (operators/dedup.py:incremental_dedup):
+    an incoming batch (docs >= 250, plus re-keyed copies simulating
+    within-batch and against-history duplicates) self-dedups on content
+    digest, then anti-joins the historical digest store (docs < 250).
+    Ingest cost is O(batch + digest store) — the full corpus's content
+    is never read."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    doc = _doc(spark, sf_dir).select("doc_id", "text")
+    hist = exact_dedup(
+        doc.filter(F.col("doc_id") < 250), "doc_id", ["text"]
+    ).select("content_digest")
+    batch = (
+        doc.filter(F.col("doc_id") >= 250)
+        .unionByName(
+            doc.filter(F.col("doc_id").between(250, 299)).withColumn(
+                "doc_id", F.col("doc_id") + 1000
+            )
+        )
+        .unionByName(
+            doc.filter(F.col("doc_id") < 50).withColumn(
+                "doc_id", F.col("doc_id") + 2000
+            )
+        )
+    )
+    out = incremental_dedup(batch, hist, "doc_id", ["text"])
+    return out.select("doc_id", "content_digest")
+
+
+@query(
+    "events_funnel_timed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewers,
+           COUNT(*) AS n_clicked_after,
+           CAST(SUM(CASE WHEN epoch_us(c.t_click) - epoch_us(v.t_view)
+                              <= 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted_1h
+    FROM c JOIN v ON v.user_id = c.user_id
+    """,
+)
+def events_funnel_timed(spark, sf_dir):
+    """Time-bounded funnel: first 'view' -> first subsequent 'click'
+    within one hour.  Whole thing is two per-user aggregates joined on
+    the key (the funnel discipline: co-partitioned filtered aggs, no
+    window over the event stream), with the conversion bound evaluated
+    on integer epoch-micros."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    joined = c.join(v, "user_id")
+    agg = joined.agg(
+        F.count("*").alias("n_clicked_after"),
+        F.sum(
+            F.when(
+                F.unix_micros("t_click") - F.unix_micros("t_view") <= 3600000000,
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_converted_1h"),
+    )
+    viewers = v.agg(F.count("*").alias("n_viewers"))
+    return viewers.crossJoin(F.broadcast(agg))

@@ -531,3 +531,31 @@ def test_balanced_class_sample_exact_counts(spark):
     a = sorted(r.doc_id for r in out.collect())
     b = sorted(r.doc_id for r in balanced_class_sample(df, "lang", "doc_id").collect())
     assert a == b
+
+
+# ------------------------------------------- incremental admission
+
+from eventbridge_etl_spark.operators.dedup import exact_dedup, incremental_dedup
+
+
+def test_incremental_dedup_stages(spark):
+    """Both stages: within-batch dup keeps min id; content already in
+    history is rejected; fresh content admitted with its digest."""
+    hist_src = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], ["doc_id", "text"]
+    )
+    hist = exact_dedup(hist_src, "doc_id", ["text"]).select("content_digest")
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new"),
+            (11, "brand new"),      # in-batch dup of 10
+            (12, "seen before"),    # historical dup
+            (13, "fresh too"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = incremental_dedup(batch, hist, "doc_id", ["text"]).collect()
+    got = {(r.doc_id, r.text) for r in out}
+    assert got == {(10, "brand new"), (13, "fresh too")}
+    digests = {r.content_digest for r in out}
+    assert len(digests) == 2 and all(len(d) == 32 for d in digests)
