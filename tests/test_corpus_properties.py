@@ -478,3 +478,124 @@ def test_sessionize_matches_bruteforce(spark, rows):
                 round(sum(v for _, v in sess), 4),
             )
     assert got == expect
+
+
+# ----------------------------- round-5 tail: NB / triangle / heavy hitters
+
+import math as _math
+
+from eventbridge_etl_spark.operators.classify import naive_bayes_self_score
+from eventbridge_etl_spark.operators.graph import triangle_count
+from eventbridge_etl_spark.operators.sketch import heavy_hitters
+
+_nb_texts = st.lists(st.sampled_from(WORDS), min_size=1, max_size=6).map(" ".join)
+_nb_corpora = st.lists(
+    st.tuples(_nb_texts, st.sampled_from(["p", "q"])), min_size=2, max_size=6
+).filter(lambda rows: len({lbl for _, lbl in rows}) == 2)
+
+
+def _nb_oracle(docs):
+    """Independent add-one multinomial NB with the operator's rounding
+    discipline (per-term round-6, exact decimal-free integer sums)."""
+    from collections import Counter
+    from decimal import Decimal
+
+    ct: Counter = Counter()
+    ctot: Counter = Counter()
+    pri: Counter = Counter()
+    vocab = set()
+    for did, (text, lbl) in docs.items():
+        toks = re.split(r"\s+", text.strip().lower())
+        pri[lbl] += 1
+        for t in toks:
+            ct[(lbl, t)] += 1
+            ctot[lbl] += 1
+            vocab.add(t)
+    v = len(vocab)
+    ndocs = sum(pri.values())
+    out = {}
+    for did, (text, _) in docs.items():
+        toks = re.split(r"\s+", text.strip().lower())
+        best = None
+        for lbl in sorted(pri):
+            s = Decimal(str(round(_math.log(pri[lbl] / ndocs), 6)))
+            zero = Decimal(str(round(_math.log(1.0 / (ctot[lbl] + v)), 6)))
+            for t in toks:
+                if ct[(lbl, t)]:
+                    s += Decimal(
+                        str(round(_math.log((ct[(lbl, t)] + 1) / (ctot[lbl] + v)), 6))
+                    )
+                else:
+                    s += zero
+            if best is None or s > best[1]:
+                best = (lbl, s)
+        out[did] = (best[0], float(best[1]))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_nb_corpora)
+def test_naive_bayes_matches_bruteforce(spark, rows):
+    docs = {i + 1: rc for i, rc in enumerate(rows)}
+    df = spark.createDataFrame(
+        [(k, t, l) for k, (t, l) in docs.items()], "doc_id long, text string, lang string"
+    )
+    got = {
+        r.doc_id: (r.pred_label, r.nb_score)
+        for r in naive_bayes_self_score(df).collect()
+    }
+    exp = _nb_oracle(docs)
+    assert set(got) == set(exp)
+    for did in exp:
+        assert got[did][0] == exp[did][0], (did, got[did], exp[did])
+        assert abs(got[did][1] - exp[did][1]) < 1e-9
+
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=0, max_size=20
+)
+
+
+def _triangle_oracle(pairs):
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = {n for e in edges for n in e}
+    tri = 0
+    ns = sorted(nodes)
+    for i, x in enumerate(ns):
+        for y in ns[i + 1:]:
+            for z in ns[ns.index(y) + 1:]:
+                if (
+                    (x, y) in edges and tuple(sorted((y, z))) in edges
+                    and tuple(sorted((x, z))) in edges
+                ):
+                    tri += 1
+    return len(nodes), len(edges), tri
+
+
+@settings(max_examples=12, deadline=None)
+@given(_edge_lists)
+def test_triangle_count_matches_bruteforce(spark, pairs):
+    df = spark.createDataFrame(
+        pairs + [(99, 98)], "a long, b long"  # ensure non-empty frame
+    )
+    row = triangle_count(df).collect()[0]
+    n_nodes, n_edges, tri = _triangle_oracle(pairs + [(99, 98)])
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (n_nodes, n_edges, tri)
+
+
+_hh_streams = st.lists(st.sampled_from(["h", "w", "c1", "c2", "c3", "c4"]),
+                       min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_hh_streams, st.integers(2, 5))
+def test_heavy_hitters_matches_exact(spark, vals, parts):
+    from collections import Counter
+
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(parts)
+    out = heavy_hitters(df, "v", threshold_ratio=0.25, sketch_counters=8)
+    got = {(r.value, r.n) for r in out.collect()}
+    cnt = Counter(vals)
+    n = len(vals)
+    exp = {(k, c) for k, c in cnt.items() if c > n * 0.25}
+    assert got == exp
