@@ -801,3 +801,60 @@ def incremental_dedup(
         "left_anti",
     )
     return admitted.withColumnRenamed("_digest", digest_col)
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, tau: float
+) -> DataFrame:
+    """All ordered pairs where token-set CONTAINMENT |A∩B| / |A| >= tau
+    — the subset-duplication detector Jaccard cannot be: a short
+    document fully quoted inside a long one has containment 1.0 but
+    arbitrarily low Jaccard (boilerplate wrappers, quote farms,
+    re-posts with commentary).
+
+    Lossless asymmetric prefix filter: rank each doc's tokens by
+    ascending global df; if |A∩B| >= ceil(tau*|A|) then at least one of
+    A's first ``|A| - ceil(tau*|A|) + 1`` (rarest) tokens is in B —
+    pigeonhole, recall exactly 1.0.  So candidates join A-prefix tokens
+    against B's full token index, BUT the index is first semi-joined to
+    the distinct prefix-token set: hot tokens ("the") almost never rank
+    into a prefix, so the containment join runs on the rare end of the
+    Zipf curve just like the Jaccard prefix filter.  No size-ratio
+    prune exists here (a tiny doc CAN be contained in a huge one) —
+    that asymmetry is the honest extra cost vs jaccard_pairs.
+
+    Returns ordered ``(id_a, id_b, containment)`` with id_a != id_b,
+    containment of A in B rounded to 6 (exact-verified).
+    """
+    t = _token_sets(df, id_col, text_col)
+    ex = t.select("_id", "_n", F.explode("_toks").alias("_tok"))
+    dfreq = ex.groupBy("_tok").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_tok")
+    ranked = ex.join(dfreq, "_tok").withColumn("_rn", F.row_number().over(w))
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(tau) * F.col("_n")) + 1
+    )
+    ptoks = prefix.select("_tok").distinct()
+    index_b = ex.join(ptoks, "_tok", "left_semi")
+    cand = (
+        prefix.select(F.col("_id").alias("_ida"), "_tok")
+        .join(index_b.select(F.col("_id").alias("_idb"), "_tok"), "_tok")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    t_int = t.withColumn("_toks", F.transform("_toks", lambda tok: F.xxhash64(tok)))
+    ta = t_int.select(
+        F.col("_id").alias("_ida"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
+    )
+    tb = t_int.select(F.col("_id").alias("_idb"), F.col("_toks").alias("_tb"))
+    common = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        cand.join(ta, "_ida")
+        .join(tb, "_idb")
+        .withColumn("containment", F.round(common / F.col("_na"), 6))
+        .filter(F.col("containment") >= tau)
+        .select(
+            F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "containment"
+        )
+    )

@@ -98,6 +98,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sample_balanced_classes",
     "dedup_incremental_admission",
     "events_funnel_timed",
+    "dedup_containment_pairs",
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",
@@ -134,7 +135,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "join_anti",
     "join_left_outer_agg",
     "join_range_nonequi",
-    # --- ... and the TPC-H tail.  NOTE (r5 close): the 18 new round-5
+    # --- ... and the TPC-H tail.  NOTE (r5 close): the 19 new round-5
     # tail gates above consumed the window slots the function-surface /
     # events-join / TPC-H tails were queued for; everything from about
     # "fn_json_surface" down is at or past position ~50 and r6 MUST

@@ -876,3 +876,32 @@ def events_funnel_timed(spark, sf_dir):
     )
     viewers = v.agg(F.count("*").alias("n_viewers"))
     return viewers.crossJoin(F.broadcast(agg))
+
+
+# ------------------------------------------------ containment dedup
+
+def _containment_oracle() -> str:
+    from eventbridge_etl_spark.queries.llm import _SQL_TOKS
+
+    return f"""
+    WITH t AS (SELECT doc_id AS id, {_SQL_TOKS} AS s FROM documents)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6)
+             AS containment
+    FROM t a JOIN t b ON a.id <> b.id
+    WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) >= 0.8
+    """
+
+
+@query("dedup_containment_pairs", oracle=_containment_oracle())
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment detection |A∩B|/|A| >= 0.8
+    (operators/dedup.py:containment_pairs) — catches a short document
+    quoted inside a long one, which Jaccard structurally cannot.
+    Lossless rare-token prefix filter on the contained side; the full
+    index is semi-join-pruned to prefix tokens, so the join runs on the
+    rare end of the Zipf curve.  The oracle is the O(n²) brute force —
+    recall 1.0 is the claim being checked."""
+    from eventbridge_etl_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_doc(spark, sf_dir), "doc_id", "text", tau=0.8)

@@ -559,3 +559,43 @@ def test_incremental_dedup_stages(spark):
     assert got == {(10, "brand new"), (13, "fresh too")}
     digests = {r.content_digest for r in out}
     assert len(digests) == 2 and all(len(d) == 32 for d in digests)
+
+
+# ------------------------------------------------ containment pairs
+
+from eventbridge_etl_spark.operators.dedup import containment_pairs
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc fully inside a long one: containment 1.0 one way,
+    low the other way, low Jaccard both ways."""
+    short = "alpha beta gamma"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(20))
+    df = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
+    out = {(r.id_a, r.id_b): r.containment for r in
+           containment_pairs(df, "doc_id", "text", tau=0.8).collect()}
+    assert out == {(1, 2): 1.0}  # only short-in-long passes 0.8
+
+
+def test_containment_matches_bruteforce(spark):
+    """Recall-1.0 claim: prefix-filtered result == all-pairs brute force
+    on a corpus with partial overlaps either side of tau."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e f g h i j"),
+        (3, "a b c x y"),
+        (4, "p q r"),
+        (5, "p q r"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.id_a, r.id_b, r.containment)
+        for r in containment_pairs(df, "doc_id", "text", tau=0.6).collect()
+    )
+    sets = {i: set(t.split()) for i, t in rows}
+    brute = sorted(
+        (a, b, round(len(sets[a] & sets[b]) / len(sets[a]), 6))
+        for a in sets for b in sets
+        if a != b and len(sets[a] & sets[b]) / len(sets[a]) >= 0.6
+    )
+    assert got == brute and len(got) >= 4
