@@ -336,3 +336,29 @@ def test_heavy_hitters_recount_is_broadcast(spark):
     plan = _plan(spark, "agg_heavy_hitters")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_no_cartesian(spark):
+    plan = _plan(spark, "dedup_containment_pairs")
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_is_anti_join(spark):
+    """History rejection must plan as an anti join (broadcast or
+    shuffled), never an outer-join + filter."""
+    plan = _plan(spark, "dedup_incremental_admission")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_plan_single_window(spark):
+    """One running-sum window + one aggregate, both keyed on the
+    partition column — bin assignment adds no extra exchanges."""
+    plan = _plan(spark, "compaction_plan_events")
+    assert plan.count("Window") == 1
+
+
+def test_snapshot_diff_single_join(spark):
+    plan = _plan(spark, "scd_snapshot_diff")
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
