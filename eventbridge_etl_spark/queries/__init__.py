@@ -99,6 +99,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_admission",
     "events_funnel_timed",
     "dedup_containment_pairs",
+    "mining_association_rules",
+    "events_type_pmi",
+    "text_perplexity_buckets",
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",
@@ -135,7 +138,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "join_anti",
     "join_left_outer_agg",
     "join_range_nonequi",
-    # --- ... and the TPC-H tail.  NOTE (r5 close): the 19 new round-5
+    # --- ... and the TPC-H tail.  NOTE (r5 close): the 22 new round-5
     # tail gates above consumed the window slots the function-surface /
     # events-join / TPC-H tails were queued for; everything from about
     # "fn_json_surface" down is at or past position ~50 and r6 MUST

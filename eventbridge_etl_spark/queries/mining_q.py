@@ -905,3 +905,214 @@ def dedup_containment_pairs(spark, sf_dir):
     from eventbridge_etl_spark.operators.dedup import containment_pairs
 
     return containment_pairs(_doc(spark, sf_dir), "doc_id", "text", tau=0.8)
+
+
+# ------------------------------------------- association rules / PMI
+
+@query(
+    "mining_association_rules",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+    isup AS (SELECT item, COUNT(*) AS n_item FROM li GROUP BY item),
+    pairs AS (
+      SELECT x.item AS a, y.item AS b, COUNT(*) AS n_ab
+      FROM li x JOIN li y ON x.ok = y.ok AND x.item <> y.item
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT p.a AS antecedent, p.b AS consequent,
+             round(p.n_ab::DOUBLE / n.n_orders, 6) AS support,
+             round(p.n_ab::DOUBLE / ia.n_item, 6) AS confidence,
+             round(p.n_ab::DOUBLE * n.n_orders / (ia.n_item * ib.n_item), 6)
+               AS lift
+      FROM pairs p
+      JOIN isup ia ON ia.item = p.a
+      JOIN isup ib ON ib.item = p.b
+      CROSS JOIN n
+      WHERE p.n_ab >= 3
+    ),
+    top AS (
+      SELECT *, row_number() OVER (
+        ORDER BY lift DESC, confidence DESC, antecedent, consequent) AS rank
+      FROM rules
+    )
+    SELECT antecedent, consequent, support, confidence, lift,
+           CAST(rank AS BIGINT) AS rank
+    FROM top WHERE rank <= 25
+    """,
+)
+def mining_association_rules(spark, sf_dir):
+    """Market-basket association rules over the order/part co-purchase
+    relation: support / confidence / lift for every directed pair with
+    >= 3 co-occurrences, top-25 by lift.  All aggregations: the pair
+    count shuffles on the order key once (the self-join is
+    order-key-local), item supports and the basket total ride
+    broadcast joins back onto the pairs, and the final top-k is a
+    distributed TakeOrdered before the 25-row rank window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    li = (
+        load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("ok").alias("n_orders"))
+    isup = li.groupBy("item").agg(F.count("*").alias("n_item"))
+    x = li.select("ok", F.col("item").alias("a"))
+    y = li.select("ok", F.col("item").alias("b"))
+    pairs = (
+        x.join(y, "ok")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    rules = (
+        pairs.join(isup.select(F.col("item").alias("a"), F.col("n_item").alias("na")), "a")
+        .join(isup.select(F.col("item").alias("b"), F.col("n_item").alias("nb")), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    top = rules.orderBy(
+        F.col("lift").desc(), F.col("confidence").desc(), "antecedent", "consequent"
+    ).limit(25)
+    w = Window.orderBy(
+        F.col("lift").desc(), F.col("confidence").desc(), "antecedent", "consequent"
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "events_type_pmi",
+    oracle="""
+    WITH se AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM se),
+    tsup AS (SELECT event_type, COUNT(*) AS nt FROM se GROUP BY event_type),
+    co AS (
+      SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_ab
+      FROM se x JOIN se y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT co.a, co.b,
+           round(ln(co.n_ab::DOUBLE * n.nu / (ta.nt * tb.nt)), 6) AS pmi,
+           co.n_ab
+    FROM co JOIN tsup ta ON ta.event_type = co.a
+    JOIN tsup tb ON tb.event_type = co.b
+    CROSS JOIN n
+    """,
+)
+def events_type_pmi(spark, sf_dir):
+    """Pointwise mutual information between event types co-occurring in
+    the same user's history — the association statistic behind
+    collocation mining, applied to behavior: PMI = ln(P(a,b) /
+    (P(a)P(b))) over per-user distinct type sets.  One user-keyed
+    self-join plus two broadcast support joins."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.sources.tables import load_tables
+
+    se = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n = se.agg(F.count_distinct("user_id").alias("nu"))
+    tsup = se.groupBy("event_type").agg(F.count("*").alias("nt"))
+    x = se.select("user_id", F.col("event_type").alias("a"))
+    y = se.select("user_id", F.col("event_type").alias("b"))
+    co = (
+        x.join(y, "user_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    return (
+        co.join(F.broadcast(tsup.select(F.col("event_type").alias("a"), F.col("nt").alias("ta"))), "a")
+        .join(F.broadcast(tsup.select(F.col("event_type").alias("b"), F.col("nt").alias("tb"))), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * F.col("nu")
+                    / (F.col("ta") * F.col("tb"))
+                ),
+                6,
+            ).alias("pmi"),
+            "n_ab",
+        )
+    )
+
+
+# ---------------------------------------------- perplexity buckets
+
+@query(
+    "text_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n, count(*) AS v FROM tf),
+    lm AS (
+      SELECT token, ln((tf + 1)::DOUBLE / (n + v)::DOUBLE) AS logp
+      FROM tf CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT t.id, round(avg(lm.logp), 4) AS avg_logprob
+      FROM toks t JOIN lm USING (token) GROUP BY t.id
+    ),
+    cuts AS (
+      SELECT quantile_cont(avg_logprob, 1.0/3) AS c33,
+             quantile_cont(avg_logprob, 2.0/3) AS c67
+      FROM scored
+    )
+    SELECT s.id, s.avg_logprob,
+           CASE WHEN s.avg_logprob >= c.c67 THEN 'head'
+                WHEN s.avg_logprob >= c.c33 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s CROSS JOIN cuts c
+    """,
+)
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: the corpus-trained unigram LM
+    score split at its own 33rd/67th percentiles into head / middle /
+    tail — the quality-tier assignment used to mix crawl data.  The
+    cuts ride a broadcast 1-row aggregate back onto the scored docs
+    (exact percentile here because it IS the oracle contract;
+    approx_percentile is the stated 100 TB swap, as everywhere else in
+    the suite)."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators.text import unigram_logprob
+
+    lp = unigram_logprob(_doc(spark, sf_dir)).select("id", "avg_logprob")
+    cuts = lp.agg(
+        F.expr("percentile(avg_logprob, 1.0D/3)").alias("c33"),
+        F.expr("percentile(avg_logprob, 2.0D/3)").alias("c67"),
+    )
+    return lp.crossJoin(F.broadcast(cuts)).select(
+        "id",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("c67"), "head")
+        .when(F.col("avg_logprob") >= F.col("c33"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
