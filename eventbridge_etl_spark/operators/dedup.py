@@ -858,3 +858,88 @@ def containment_pairs(
             F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "containment"
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT weighted-cosine near-dup pairs over tf-idf vectors, computed
+    as an inverted-index self-join — no dense vectors, no cartesian
+    product: a pair is generated only if it shares at least one token,
+    which for any ``tau > 0`` loses nothing (disjoint documents have
+    cosine exactly 0).
+
+    Weighting: tf·ln(N/df) rounded to 6 decimals, L2-normalized per doc
+    (unit weights rounded to 9), per-pair contributions summed as
+    DECIMAL(38,15) so accumulation order is immaterial; the DuckDB
+    oracle replicates every rounding step.
+
+    Scale shape: candidate volume is Σ_token df(token)² — the hot end of
+    the Zipf curve pays quadratically, which is exactly the stop-word
+    mass idf already declares worthless.  ``max_df`` drops tokens whose
+    document frequency exceeds it from BOTH weighting and pairing
+    (lossy BY CONTRACT — a df-capped cosine, the standard production
+    trade; Bayardo-style cosine prefix filtering is the lossless
+    alternative and its Jaccard sibling lives in
+    ``jaccard_pairs_prefix_filtered``).  The default gate runs uncapped
+    for oracle exactness.  Join keys are xxhash64 token ids (fixed
+    width), the pair aggregate is one shuffle on (id_a, id_b).
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
+        )
+        .groupBy("_id", "_tok")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("_df") <= max_df)
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "_tok",
+        F.round(
+            F.log(F.col("_n").cast("double") / F.col("_df").cast("double")), 6
+        ).alias("_idf"),
+    )
+    w = toks.join(idf, "_tok").select(
+        "_id",
+        "_tok",
+        F.round(F.col("_tf").cast("double") * F.col("_idf"), 6).alias("_w"),
+    )
+    norms = w.groupBy("_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("_w") * F.col("_w"), 12).cast("decimal(38,12)")).cast(
+                "double"
+            )
+        ).alias("_norm")
+    )
+    unit = (
+        w.join(norms, "_id")
+        .where(F.col("_norm") > 0)
+        .select(
+            "_id",
+            F.xxhash64("_tok").alias("_tid"),
+            F.round(F.col("_w") / F.col("_norm"), 9).alias("_u"),
+        )
+    )
+    a, b = unit.alias("a"), unit.alias("b")
+    return (
+        a.join(b, (F.col("a._tid") == F.col("b._tid")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("a._u") * F.col("b._u"), 15).cast("decimal(38,15)")
+                ).cast("double"),
+                6,
+            ).alias("cosine")
+        )
+        .where(F.col("cosine") >= tau)
+    )

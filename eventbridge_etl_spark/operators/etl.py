@@ -88,3 +88,38 @@ def rename_projection(
     else:
         cols = [F.col(source_col).getItem(src).alias(dst) for src, dst in renames.items()]
     return df.select(*cols)
+
+
+def parse_json_quarantine(
+    df: DataFrame, json_col: str, schema_ddl: str
+) -> DataFrame:
+    """Dead-letter JSON parsing: parse ``json_col`` against
+    ``schema_ddl`` in PERMISSIVE mode, tagging instead of dropping.
+
+    Adds a ``parsed`` struct column (null-filled on bad rows), a
+    ``quarantined`` boolean, and ``raw_payload`` (the original string,
+    kept only for quarantined rows so the dead-letter sink can replay
+    them — the happy path carries no duplicate payload bytes).
+
+    Entirely JVM-side (``from_json`` + a corrupt-record capture
+    column): a map-only operator with no shuffle, so it composes with
+    any downstream routing (the quarantine split is two filters over
+    the same scan).  At 100 TB the cost is the JSON parse itself —
+    there is no per-row Python and nothing widens the exchange.
+    """
+    full_schema = f"{schema_ddl}, _corrupt string"
+    parsed = F.from_json(
+        F.col(json_col),
+        full_schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    bad = F.col("_p._corrupt").isNotNull()
+    return (
+        df.withColumn("_p", parsed)
+        .withColumn("quarantined", bad)
+        .withColumn(
+            "raw_payload", F.when(bad, F.col(json_col)).otherwise(F.lit(None))
+        )
+        .withColumn("parsed", F.col("_p").dropFields("_corrupt"))
+        .drop("_p")
+    )

@@ -72,3 +72,34 @@ def top_keys(df: DataFrame, keys: Sequence[str], n: int = 20) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), *keys)
         .limit(n)
     )
+
+
+def skew_report(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """One-row shuffle-skew diagnostic for a prospective join/agg key.
+
+    Returns ``(n_rows, n_keys, max_key_rows, top1_share, p50_key_rows,
+    p90_key_rows, p99_key_rows, skew_ratio)`` where ``skew_ratio`` =
+    max/p50 — the number AQE's skew-join splitter and a human both care
+    about: >>1 means the hottest key dominates its shuffle partition.
+
+    Two aggregates, both partially combined map-side: per-key counts
+    (exchange carries one row per distinct key), then a single global
+    summary row.  The percentiles are EXACT over the per-key count
+    vector — that vector has one entry per distinct key, which is the
+    quantity already being shuffled, so exactness here costs nothing
+    extra; for billions of keys swap ``percentile`` for
+    ``approx_percentile`` (same call shape).
+    """
+    keys = list(keys)
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("kn"))
+    kn = F.col("kn").cast("double")
+    return per_key.agg(
+        F.sum("kn").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("kn").alias("max_key_rows"),
+        F.round(F.max("kn") / F.sum("kn"), 6).alias("top1_share"),
+        F.round(F.expr("percentile(kn, 0.5)"), 6).alias("p50_key_rows"),
+        F.round(F.expr("percentile(kn, 0.9)"), 6).alias("p90_key_rows"),
+        F.round(F.expr("percentile(kn, 0.99)"), 6).alias("p99_key_rows"),
+        F.round(F.max(kn) / F.expr("percentile(kn, 0.5)"), 6).alias("skew_ratio"),
+    )

@@ -317,3 +317,91 @@ def sessionize(
             ).alias("sum_value"),
         )
     )
+
+
+def prorate_intervals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    max_dur_s: int = 7200,
+) -> DataFrame:
+    """Prorate an interval's amount across the hour buckets it spans —
+    the usage-metering / billing-allocation primitive (an event worth
+    ``amount`` running from ``start`` for ``dur`` seconds contributes to
+    each overlapped hour proportionally to the overlap).
+
+    Interval synthesis from the events fixture: duration =
+    ``round(|value| * 60)`` seconds capped at ``max_dur_s`` (so the
+    generator fan-out is bounded at ``max_dur_s/3600 + 1`` rows per
+    event — NEVER unbounded), amount = ``round(value, 2)``.
+
+    All boundary arithmetic is integer epoch-MICROseconds: hour index =
+    ``us div 3.6e9``, hour list = ``sequence(h_first, h_last)`` exploded
+    (a generator, not a driver range — the plan stays fully distributed
+    and the explode runs inside the same stage as the scan).  The
+    per-(bucket,interval) share is one IEEE double multiply+divide on
+    exact integers, rounded, then summed as DECIMAL(28,6) per bucket so
+    accumulation order cannot change the total.
+
+    One explode (map-side, bounded ×3 here) + one hash aggregate on
+    (type, hour): a single shuffle carrying one row per group.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    dur_s = F.least(F.round(F.abs(F.col(value_col)) * 60), F.lit(max_dur_s)).cast(
+        "long"
+    )
+    amount = F.round(F.col(value_col), 2)
+    hour_us = 3_600_000_000
+    base = (
+        events.select(
+            F.col(type_col).alias("etype"),
+            us.alias("s_us"),
+            (us + dur_s * 1_000_000).alias("e_us"),
+            (dur_s * 1_000_000).alias("dur_us"),
+            amount.alias("amount"),
+        )
+        .where(F.col("dur_us") > 0)
+    )
+    h = F.col("h")
+    overlap = F.least(F.col("e_us"), (h + 1) * hour_us) - F.greatest(
+        F.col("s_us"), h * hour_us
+    )
+    return (
+        base.select(
+            "etype",
+            "s_us",
+            "e_us",
+            "dur_us",
+            "amount",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_us div {hour_us}"), F.expr(f"e_us div {hour_us}")
+                )
+            ).alias("h"),
+        )
+        .withColumn("overlap_us", overlap)
+        .where(F.col("overlap_us") > 0)
+        .withColumn(
+            "share",
+            F.round(
+                F.col("amount")
+                * (F.col("overlap_us").cast("double") / F.col("dur_us").cast("double")),
+                6,
+            ),
+        )
+        .groupBy(
+            F.col("etype").alias("event_type"),
+            F.timestamp_micros(h * hour_us).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            # The decimal(28,6) sum is EXACT and identical cross-engine;
+            # emit its double image directly.  (Re-rounding the double to
+            # fewer decimals would re-introduce half-point divergence on
+            # sums landing exactly on a 5 — observed at sf0.01.)
+            F.sum(F.col("share").cast("decimal(28,6)")).cast("double").alias(
+                "prorated_value"
+            ),
+        )
+    )

@@ -173,6 +173,17 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_label_centroids",
     "agg_approx_distinct",
     "agg_approx_percentile",
+    # --- round-5 session-3 additions (analytics_q): registered at the
+    # BACK of the overflow on purpose — the r5 window is already
+    # consumed by this round's changed+new head, so these are pytest-
+    # verified now and MUST rotate into the r6 head together with the
+    # stale TPC-H/window/fn tails above.
+    "agg_ols_trend",
+    "events_latency_percentiles",
+    "events_prorate_hourly",
+    "skew_key_report",
+    "dedup_tfidf_cosine",
+    "pipeline_json_quarantine",
 )
 
 
@@ -180,6 +191,7 @@ def load_all() -> None:
     """Import every query submodule (idempotent), then order the registry
     so gate-priority names (see ``_GATE_PRIORITY``) come first."""
     from eventbridge_etl_spark.queries import (  # noqa: F401
+        analytics_q,
         corpus_q,
         features_q,
         functions_q,

@@ -1,0 +1,267 @@
+"""Round-5 session-3 additions: grouped OLS trend fitting, exact
+latency percentile bands, interval proration, shuffle-skew diagnostics,
+exact tf-idf cosine near-dup pairs, and dead-letter JSON parsing.
+
+Same determinism discipline as the rest of the registry: exact integer/
+decimal sufficient statistics wherever accumulation order could matter,
+IEEE-double tails applied to identical operands in the same textual
+order in both engines, explicit rounding on every float output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventbridge_etl_spark.operators.dedup import tfidf_cosine_pairs
+from eventbridge_etl_spark.operators.etl import parse_json_quarantine
+from eventbridge_etl_spark.operators.regression import grouped_ols
+from eventbridge_etl_spark.operators.skew import skew_report
+from eventbridge_etl_spark.operators.timeseries import prorate_intervals
+from eventbridge_etl_spark.queries import query
+from eventbridge_etl_spark.sources.tables import load_tables
+
+
+def _t(spark, sf_dir, name):
+    return load_tables(spark, sf_dir, (name,))[name]
+
+
+@query(
+    "agg_ols_trend",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM b GROUP BY grp
+    ),
+    d AS (
+      SELECT grp, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+      FROM s
+    ),
+    f AS (
+      SELECT grp, n,
+             nd * sxyd - sxd * syd AS num,
+             nd * sxxd - sxd * sxd AS den,
+             nd * syyd - syd * syd AS deny,
+             nd, sxd, syd
+      FROM d
+    )
+    SELECT grp AS o_orderpriority, n,
+           round(CASE WHEN den <> 0 THEN (num / den) / 100.0 END, 6) AS slope,
+           round(CASE WHEN den <> 0
+                      THEN ((syd - (num / den) * sxd) / nd) / 100.0 END,
+                 6) AS intercept,
+           round(CASE WHEN den <> 0 AND deny <> 0
+                      THEN (num * num) / (den * deny) END, 6) AS r2
+    FROM f
+    """,
+)
+def agg_ols_trend(spark, sf_dir):
+    """Per-priority linear trend of order value over time — grouped OLS
+    as ONE hash aggregate of exact integer sufficient statistics
+    (operators/regression.py); the exchange carries six numbers per
+    group regardless of table size."""
+    orders = _t(spark, sf_dir, "orders")
+    return grouped_ols(
+        orders,
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")),
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+
+
+@query(
+    "events_latency_percentiles",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_latency_percentiles(spark, sf_dir):
+    """Exact p50/p90/p99 bands per event type (SLO dashboard shape).
+    Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    (n-1)*q linear-interpolation definition, so values match to the
+    rounding digit.  At 100 TB swap for `approx_percentile` (same call
+    shape, mergeable sketch); the exact form is the verification-grade
+    companion."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "events_prorate_hourly",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS etype, epoch_us(ts) AS s_us,
+             CAST(least(round(abs(value) * 60), 7200) AS BIGINT) * 1000000
+               AS dur_us,
+             round(value, 2) AS amount
+      FROM events
+    ),
+    b2 AS (
+      SELECT etype, s_us, s_us + dur_us AS e_us, dur_us, amount
+      FROM base WHERE dur_us > 0
+    ),
+    hrs AS (
+      SELECT etype, s_us, e_us, dur_us, amount,
+             unnest(generate_series(s_us // 3600000000,
+                                    e_us // 3600000000)) AS h
+      FROM b2
+    ),
+    seg AS (
+      SELECT etype, h, amount, dur_us,
+             least(e_us, (h + 1) * 3600000000)
+               - greatest(s_us, h * 3600000000) AS overlap_us
+      FROM hrs
+    )
+    SELECT etype AS event_type, make_timestamp(h * 3600000000) AS hour,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CAST(round(amount * (CAST(overlap_us AS DOUBLE)
+                                         / CAST(dur_us AS DOUBLE)), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS prorated_value
+    FROM seg WHERE overlap_us > 0
+    GROUP BY 1, 2
+    """,
+)
+def events_prorate_hourly(spark, sf_dir):
+    """Usage-metering interval proration (operators/timeseries.py::
+    prorate_intervals): split each event's synthesized interval across
+    the hours it overlaps, weight by integer-microsecond overlap, and
+    decimal-sum per (type, hour).  Bounded explode of a `sequence`
+    generator — fully distributed, one shuffle."""
+    return prorate_intervals(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "skew_key_report",
+    oracle="""
+    WITH pk AS (SELECT user_id, COUNT(*) AS kn FROM events GROUP BY user_id)
+    SELECT CAST(SUM(kn) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+           MAX(kn) AS max_key_rows,
+           round(CAST(MAX(kn) AS DOUBLE) / CAST(SUM(kn) AS DOUBLE), 6)
+             AS top1_share,
+           round(quantile_cont(kn, 0.5), 6) AS p50_key_rows,
+           round(quantile_cont(kn, 0.9), 6) AS p90_key_rows,
+           round(quantile_cont(kn, 0.99), 6) AS p99_key_rows,
+           round(CAST(MAX(kn) AS DOUBLE) / quantile_cont(kn, 0.5), 6)
+             AS skew_ratio
+    FROM pk
+    """,
+)
+def skew_key_report(spark, sf_dir):
+    """Pre-join shuffle-skew diagnostic over the events user_id key
+    (operators/skew.py::skew_report): per-key count distribution with
+    exact percentiles over the per-key vector — the evidence that
+    decides between a plain join, AQE skew split, and salting."""
+    return skew_report(_t(spark, sf_dir, "events"), ["user_id"])
+
+
+@query(
+    "dedup_tfidf_cosine",
+    oracle="""
+    WITH toks AS (
+      SELECT id, token, COUNT(*) AS tf FROM (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents) GROUP BY id, token
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    dfq AS (SELECT token, COUNT(*) AS dfn FROM toks GROUP BY token),
+    idf AS (
+      SELECT token,
+             round(ln(CAST(n AS DOUBLE) / CAST(dfn AS DOUBLE)), 6) AS idf
+      FROM dfq CROSS JOIN nd
+    ),
+    w AS (
+      SELECT id, t.token,
+             round(CAST(tf AS DOUBLE) * idf, 6) AS w
+      FROM toks t JOIN idf USING (token)
+    ),
+    nrm AS (
+      SELECT id,
+             sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nrm
+      FROM w GROUP BY id
+    ),
+    unit AS (
+      SELECT w.id, token, round(w / nrm.nrm, 9) AS u
+      FROM w JOIN nrm ON nrm.id = w.id WHERE nrm.nrm > 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15)))
+                      AS DOUBLE), 6) AS cosine
+    FROM unit a JOIN unit b ON a.token = b.token AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING round(CAST(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15)))
+                      AS DOUBLE), 6) >= 0.8
+    """,
+)
+def dedup_tfidf_cosine(spark, sf_dir):
+    """Exact tf-idf weighted-cosine near-dup pairs via an inverted-index
+    self-join (operators/dedup.py::tfidf_cosine_pairs) — the weighted
+    complement to the Jaccard AllPairs gate: catches documents that
+    share rare vocabulary even when boilerplate dilutes the raw token
+    Jaccard.  No cartesian product; candidates exist only through
+    shared tokens, which loses nothing at any tau > 0.  tau=0.8 sits
+    above this fixture's templated-boilerplate floor (median pairwise
+    cosine is ~0.61 — nearly every doc pair shares scaffold text)."""
+    return tfidf_cosine_pairs(_t(spark, sf_dir, "documents"), tau=0.8)
+
+
+@query(
+    "pipeline_json_quarantine",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN '{{' || props
+                  ELSE props END AS p
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN json_valid(p)
+                         THEN CAST(json_extract(p, '$.k') AS BIGINT) END)
+                AS BIGINT) AS sum_k
+    FROM c GROUP BY event_type
+    """,
+)
+def pipeline_json_quarantine(spark, sf_dir):
+    """Dead-letter JSON routing (operators/etl.py::parse_json_quarantine):
+    a deterministic 1-in-7 slice of props is mangled, the PERMISSIVE
+    parser tags instead of dropping, and the gate audits the
+    valid/quarantined split plus the parsed-field sum per event type —
+    proving bad payloads neither kill the job nor leak into the parsed
+    output."""
+    ev = _t(spark, sf_dir, "events")
+    mangled = ev.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("{{"), F.col("props"))
+        ).otherwise(F.col("props")),
+    )
+    tagged = parse_json_quarantine(mangled, "props", "k bigint")
+    return tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("quarantined"), 1).otherwise(0)).alias("n_quarantined"),
+        F.sum(F.col("parsed.k")).alias("sum_k"),
+    )
