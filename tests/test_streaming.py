@@ -670,3 +670,45 @@ def test_ewma_rejects_improper_alpha(spark):
 
     with pytest.raises(ValueError):
         ewma_smoothing(None, num=4, den=4)
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path, event_stream):
+    from eventbridge_etl_spark.streaming.enrich import enrich_with_dimension
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (3, "bronze")], "user_id long, tier string"
+    )
+    enriched = enrich_with_dimension(event_stream(), dim, ["user_id"])
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("tier"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "tier", "n")
+    )
+    drain(agg, tmp_path, "enriched_counts", mode="append")
+    rows = {
+        (str(r["ws"]), r["tier"]): r["n"]
+        for r in spark.sql("select * from enriched_counts").collect()
+    }
+    # user 1 -> gold (4 events in hour 0), user 2 unmatched -> null tier
+    assert rows[("2024-01-01 00:00:00", "gold")] == 3
+    assert rows[("2024-01-01 00:00:00", None)] == 1
+
+
+def test_stream_static_enrichment_rejects_full_join(spark, event_stream):
+    from eventbridge_etl_spark.streaming.enrich import enrich_with_dimension
+
+    dim = spark.createDataFrame([(1, "gold")], "user_id long, tier string")
+    with pytest.raises(ValueError):
+        enrich_with_dimension(event_stream(), dim, ["user_id"], how="full")
+
+
+def test_stream_static_inner_filters_unmatched(spark, tmp_path, event_stream):
+    from eventbridge_etl_spark.streaming.enrich import enrich_with_dimension
+
+    dim = spark.createDataFrame([(1, "gold")], "user_id long, tier string")
+    enriched = enrich_with_dimension(event_stream(), dim, ["user_id"], how="inner")
+    drain(enriched, tmp_path, "enriched_inner")
+    out = spark.sql("select * from enriched_inner")
+    assert out.count() == 4  # only user 1's events survive
+    assert out.where(F.col("tier") != "gold").count() == 0
