@@ -943,3 +943,79 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cosine") >= tau)
     )
+
+
+def _band_rows(t: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, _band, _bh) banded-signature rows for a token-set frame —
+    the same band encoding as ``_minhash_lsh_rep_pairs`` (r signature
+    ints joined verbatim), so indexes built here collide identically."""
+    r = num_hashes // bands
+    signed = _sign_token_sets(t, num_hashes)
+    band_cols = F.array(
+        *[
+            F.concat_ws(",", *[F.col("_sig")[b * r + i] for i in range(r)])
+            for b in range(bands)
+        ]
+    )
+    return signed.select("_id", F.posexplode(band_cols).alias("_band", "_bh"))
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 2,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: DISTINCT ``(_band, _bh)``
+    band buckets.  ~2 short strings per document REGARDLESS of document
+    size — the store a 100 TB corpus leaves behind is gigabytes, and
+    admission never re-reads the corpus text."""
+    assert num_hashes % bands == 0
+    t = _token_sets(df, id_col, text_col)
+    return _band_rows(t, num_hashes, bands).select("_band", "_bh").distinct()
+
+
+def minhash_admission(
+    batch: DataFrame,
+    store_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 2,
+) -> DataFrame:
+    """Incremental near-dup ADMISSION: screen a new batch against a
+    historical corpus's banded-MinHash index (``minhash_band_index``).
+
+    A document is rejected when ANY of its band buckets already exists
+    in the store — the signature-level screen (P[collide] =
+    1-(1-j^r)^b), with no exact verify: the store deliberately keeps no
+    token sets, because retaining them would mean re-shipping corpus
+    content on every ingest.  That asymmetry is the production trade:
+    admission cost is O(batch x bands) probe rows semi-joined against a
+    compact key — Bloom-prunable under the runtime-filter confs — and
+    the false-positive rate is the banding curve's, bounded and
+    tunable, while false negatives match plain MinHash-LSH.
+
+    Returns the batch's ``(id, admitted)`` verdict for every input row
+    (order-free; join it back to the batch to route).  Batch-INTERNAL
+    duplicates are out of scope by contract — run ``minhash_lsh_pairs``
+    or ``incremental_dedup`` within the batch first.
+    """
+    assert num_hashes % bands == 0
+    t = _token_sets(batch, id_col, text_col)
+    probes = _band_rows(t, num_hashes, bands)
+    rejected = (
+        probes.join(store_index, ["_band", "_bh"], "left_semi")
+        .select("_id")
+        .distinct()
+        .withColumn("_rej", F.lit(True))
+    )
+    return (
+        t.select("_id")
+        .join(rejected, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(~F.col("_rej"), F.lit(True)).alias("admitted"),
+        )
+    )

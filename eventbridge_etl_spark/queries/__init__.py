@@ -184,6 +184,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "skew_key_report",
     "dedup_tfidf_cosine",
     "pipeline_json_quarantine",
+    "dedup_minhash_admission",
 )
 
 

@@ -265,3 +265,40 @@ def pipeline_json_quarantine(spark, sf_dir):
         F.sum(F.when(F.col("quarantined"), 1).otherwise(0)).alias("n_quarantined"),
         F.sum(F.col("parsed.k")).alias("sum_k"),
     )
+
+
+def _minhash_admission_oracle() -> str:
+    from eventbridge_etl_spark.queries.llm import _MINHASH_CTES
+
+    return f"""
+    WITH {_MINHASH_CTES},
+    store AS (SELECT DISTINCT band, bh FROM bands WHERE doc_id % 3 <> 0),
+    probe AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 3 = 0),
+    rej AS (
+      SELECT DISTINCT p.doc_id
+      FROM probe p JOIN store s ON s.band = p.band AND s.bh = p.bh
+    )
+    SELECT b.doc_id, (r.doc_id IS NULL) AS admitted
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) b
+    LEFT JOIN rej r ON r.doc_id = b.doc_id
+    """
+
+
+@query("dedup_minhash_admission", oracle=_minhash_admission_oracle())
+def dedup_minhash_admission(spark, sf_dir):
+    """Incremental near-dup admission against a historical banded-
+    MinHash index (operators/dedup.py::minhash_admission): store =
+    docs with doc_id %% 3 != 0, batch = the rest.  The store keeps ~2
+    short band strings per document and the corpus text is never
+    re-read at ingest; the oracle replicates the md5+affine family,
+    banding, and collision screen exactly."""
+    from eventbridge_etl_spark.operators.dedup import (
+        minhash_admission,
+        minhash_band_index,
+    )
+
+    doc = _t(spark, sf_dir, "documents")
+    store = doc.where(F.col("doc_id") % 3 != 0)
+    batch = doc.where(F.col("doc_id") % 3 == 0)
+    idx = minhash_band_index(store, "doc_id", "text")
+    return minhash_admission(batch, idx, "doc_id", "text")

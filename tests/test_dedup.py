@@ -153,3 +153,52 @@ def test_ngram_contamination_edges(spark):
         ).count()
         == 0
     )
+
+
+class TestMinhashAdmission:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_dup_rejected_fresh_admitted(self, spark):
+        from eventbridge_etl_spark.operators.dedup import (
+            minhash_admission,
+            minhash_band_index,
+        )
+
+        store = self._mk(
+            spark,
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "completely unrelated archival content lives here now")],
+        )
+        batch = self._mk(
+            spark,
+            [(10, "the quick brown fox jumps over the lazy dog today"),  # dup
+             (11, "zebra xylophone quark nebula grapefruit mantis")],     # new
+        )
+        idx = minhash_band_index(store, "doc_id", "text")
+        out = {r["doc_id"]: r["admitted"]
+               for r in minhash_admission(batch, idx, "doc_id", "text").collect()}
+        assert out == {10: False, 11: True}
+
+    def test_every_batch_row_gets_a_verdict(self, spark):
+        from eventbridge_etl_spark.operators.dedup import (
+            minhash_admission,
+            minhash_band_index,
+        )
+
+        store = self._mk(spark, [(1, "alpha beta gamma delta")])
+        batch = self._mk(
+            spark, [(i, f"doc number {i} words vary") for i in range(5)]
+        )
+        idx = minhash_band_index(store, "doc_id", "text")
+        assert minhash_admission(batch, idx, "doc_id", "text").count() == 5
+
+    def test_index_is_compact_and_text_free(self, spark):
+        from eventbridge_etl_spark.operators.dedup import minhash_band_index
+
+        store = self._mk(
+            spark, [(i, f"shared boilerplate plus {i}") for i in range(10)]
+        )
+        idx = minhash_band_index(store, "doc_id", "text", bands=2)
+        assert idx.columns == ["_band", "_bh"]  # no ids, no text
+        assert idx.count() <= 20  # <= bands rows per doc, deduped
