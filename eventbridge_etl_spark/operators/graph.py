@@ -193,3 +193,39 @@ def triangle_count(
         F.coalesce(F.col("n_wedges"), F.lit(0)).alias("n_wedges"),
         F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum hop distance from a source node SET over a directed edge
+    list, as ``max_hops`` unrolled frontier expansions — the same
+    fixed-iteration declarative style as ``pagerank``: no driver-side
+    convergence loop, one logical plan Catalyst sees whole.
+
+    ``edges`` must have ``(src, dst)``; ``sources`` one ``node``
+    column.  Returns ``(node, hops)`` for every node reachable within
+    ``max_hops`` (sources themselves at 0).
+
+    Scale shape: each level is frontier ⋈ edges followed by a DISTINCT
+    — the distinct is load-bearing twice over: it bounds the frontier
+    at |V| rows (else a dense level squares), and it rebalances the
+    hot-destination skew the join produces.  Per-level cost is one
+    shuffle keyed on the join column; for deep traversals checkpoint
+    every few levels to cut lineage (not needed at the unrolled depths
+    this targets — path-length analytics, 2-3 hop reach).
+    """
+    e = edges.select(F.col("src"), F.col("dst"))
+    dist = sources.select(F.col("node"), F.lit(0).alias("hop"))
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        dist = dist.unionByName(nxt.select("node", F.lit(h).alias("hop")))
+        frontier = nxt
+    return dist.groupBy("node").agg(F.min("hop").alias("hops"))

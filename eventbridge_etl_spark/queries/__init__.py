@@ -185,6 +185,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_tfidf_cosine",
     "pipeline_json_quarantine",
     "dedup_minhash_admission",
+    "graph_bfs_hops",
+    "streaming_enriched_windows",
 )
 
 

@@ -84,3 +84,46 @@ def graph_pagerank_transitions(spark, sf_dir):
         edges, "src", "dst", weight_col="n",
         damping=_DAMPING, iterations=_ITERATIONS,
     )
+
+
+def _bfs_oracle(max_hops: int, source_type: str) -> str:
+    sql = f"""
+    WITH lagged AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events
+    ),
+    e AS (SELECT DISTINCT src, dst FROM lagged WHERE src IS NOT NULL),
+    f0 AS (SELECT '{source_type}' AS node)"""
+    levels = ["SELECT node, 0 AS hop FROM f0"]
+    prev = "f0"
+    for h in range(1, max_hops + 1):
+        sql += f""",
+    f{h} AS (
+      SELECT DISTINCT e.dst AS node FROM {prev} f JOIN e ON e.src = f.node
+    )"""
+        levels.append(f"SELECT node, {h} AS hop FROM f{h}")
+        prev = f"f{h}"
+    union = " UNION ALL ".join(levels)
+    sql += f"""
+    SELECT node, MIN(hop) AS hops FROM ({union}) GROUP BY node
+    """
+    return sql
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle(3, "click"))
+def graph_bfs_hops(spark, sf_dir):
+    """Minimum hop distance from the 'click' state over the event-type
+    transition graph (operators/graph.py::bfs_hops) — 3 unrolled
+    frontier expansions, each one join + one DISTINCT; the distinct
+    bounds every frontier at |V| and rebalances hot-destination skew.
+    The oracle unrolls the identical levels as CTEs."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    edges = transition_edges(events).select("src", "dst").distinct()
+    sources = events.sparkSession.createDataFrame(
+        [("click",)], "node string"
+    )
+    from eventbridge_etl_spark.operators.graph import bfs_hops
+
+    return bfs_hops(edges, sources, max_hops=3)

@@ -353,3 +353,58 @@ def streaming_ewma_smoothing(spark, sf_dir):
         F.max("n_events").alias("n_events"),
         F.max_by("ewma_scaled", "n_events").alias("ewma_scaled"),
     )
+
+
+@query(
+    "streaming_enriched_windows",
+    oracle="""
+    WITH e AS (
+      SELECT ev.ts, c.c_mktsegment AS segment, ev.value
+      FROM events ev LEFT JOIN customer c ON c.c_custkey = ev.user_id
+    ),
+    w AS (
+      SELECT date_trunc('hour', ts) AS window_start, segment,
+             COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
+               AS sum_value
+      FROM e GROUP BY 1, 2
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           segment, n_events, sum_value
+    FROM w
+    WHERE window_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+)
+def streaming_enriched_windows(spark, sf_dir):
+    """Stream-static broadcast enrichment (streaming/enrich.py) feeding
+    a watermarked tumbling-window rollup: the event stream left-joins
+    the customer dimension per micro-batch (map-only broadcast — no
+    stream shuffle before the window agg), then counts per (hour,
+    market segment) in append mode.  Oracle: the batch join plus the
+    finalized-window contract (window_end <= max(ts) - 2 h); unmatched
+    users keep their events with a null segment."""
+    from eventbridge_etl_spark.streaming.enrich import enrich_with_dimension
+
+    dim = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    enriched = enrich_with_dimension(_event_stream(spark, sf_dir), dim, ["user_id"])
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain(agg)

@@ -120,3 +120,35 @@ def test_pagerank_matches_reference_on_random_graphs(spark):
             assert got[v] == pytest.approx(want[v], abs=1e-7)
 
     _check()
+
+
+class TestBfsHops:
+    def test_chain_and_unreachable(self, spark):
+        from eventbridge_etl_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+            "src string, dst string",
+        )
+        src = spark.createDataFrame([("a",)], "node string")
+        out = {r["node"]: r["hops"] for r in bfs_hops(edges, src, 3).collect()}
+        assert out == {"a": 0, "b": 1, "c": 2, "d": 3}  # x, y unreachable
+
+    def test_min_hop_wins_on_cycle(self, spark):
+        from eventbridge_etl_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c")],
+            "src string, dst string",
+        )
+        src = spark.createDataFrame([("a",)], "node string")
+        out = {r["node"]: r["hops"] for r in bfs_hops(edges, src, 3).collect()}
+        assert out == {"a": 0, "b": 1, "c": 1}
+
+    def test_multi_source(self, spark):
+        from eventbridge_etl_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame([("a", "b"), ("z", "b")], "src string, dst string")
+        src = spark.createDataFrame([("a",), ("z",)], "node string")
+        out = {r["node"]: r["hops"] for r in bfs_hops(edges, src, 2).collect()}
+        assert out == {"a": 0, "z": 0, "b": 1}
