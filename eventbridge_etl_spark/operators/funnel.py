@@ -124,3 +124,70 @@ def retention_cohorts(
         .groupBy("cohort_start", "period_offset")
         .agg(F.count_distinct(key_col).alias("n_active"))
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_hours: int = 24,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value is split
+    EQUALLY across the user's touch events in the ``window_hours``
+    before it (touch_ts in [conv_ts - W, conv_ts)); conversions with no
+    in-window touch credit a synthetic ``(direct)`` channel in full.
+
+    Returns ``(channel, n_credited, total_credit)`` — one row per touch
+    type plus the direct row.
+
+    Shape: ONE key join (user_id) with the time bound evaluated on
+    integer epoch-micros inside the join filter — candidate volume is
+    per-user conversions x touches, bounded by per-user activity, never
+    cross-user.  The per-conversion touch count is a second aggregate
+    keyed by the conversion id; credit shares are rounded to 6 decimals
+    then summed as DECIMAL(28,6) so the channel totals are
+    accumulation-order-free.  An anti-join on the same user key finds
+    the direct conversions.  Three shuffles total, each on a real key
+    (user, conversion id, channel) — all broadcastable/AQE-splittable
+    at skew.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    conv = events.where(F.col("event_type") == conv_type).select(
+        F.col(key_col).alias("_u"),
+        F.col(id_col).alias("_cid"),
+        us.alias("_cus"),
+        F.round(F.col(value_col), 2).alias("_cval"),
+    )
+    touch = events.where(F.col("event_type").isin(*touch_types)).select(
+        F.col(key_col).alias("_u"),
+        F.col("event_type").alias("_channel"),
+        us.alias("_tus"),
+    )
+    w_us = window_hours * 3_600_000_000
+    pairs = conv.join(touch, "_u").where(
+        (F.col("_tus") >= F.col("_cus") - w_us) & (F.col("_tus") < F.col("_cus"))
+    )
+    counted = pairs.join(
+        pairs.groupBy("_cid").agg(F.count(F.lit(1)).alias("_n")), "_cid"
+    )
+    share = F.round(F.col("_cval") / F.col("_n"), 6).cast("decimal(28,6)")
+    attributed = counted.groupBy(F.col("_channel").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_credited"),
+        F.sum(share).cast("double").alias("total_credit"),
+    )
+    direct = (
+        conv.join(pairs.select("_cid").distinct(), "_cid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_credited"),
+            F.sum(F.col("_cval").cast("decimal(28,6)")).cast("double").alias(
+                "total_credit"
+            ),
+        )
+        .select(F.lit("(direct)").alias("channel"), "n_credited", "total_credit")
+        .where(F.col("n_credited") > 0)
+    )
+    return attributed.unionByName(direct)

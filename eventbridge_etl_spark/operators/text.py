@@ -496,3 +496,54 @@ def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
         F.col("n").alias("n_chars"),
         F.when(F.col("n") > 0, ent).otherwise(F.lit(0.0)).alias("entropy"),
     )
+
+
+def unigram_kl(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-drift metric: symmetric pair of KL divergences between the
+    add-one-smoothed unigram distributions of two corpora (the monitor
+    that catches a source mix shifting under a training pipeline).
+
+    P(t) = (count_a(t)+1) / (N_a+V) over the JOINT vocabulary V, Q
+    likewise; returns one row ``(vocab_size, n_tokens_a, n_tokens_b,
+    kl_ab, kl_ba)``.
+
+    Shape: one conditional-sum token aggregate over the union (both
+    corpora tagged and unioned — a single shuffle keyed by token), the
+    three scalar totals broadcast back via a 1-row cross join, then one
+    global aggregate of per-token terms — each term an IEEE double of
+    exact integer ratios rounded to 12 decimals and summed as
+    DECIMAL(38,12), so token order cannot change the divergence.
+    """
+    tagged = df_a.select(
+        F.lit(0).alias("_side"), F.explode(tokens(text_col)).alias("_tok")
+    ).unionByName(
+        df_b.select(F.lit(1).alias("_side"), F.explode(tokens(text_col)).alias("_tok"))
+    )
+    counts = tagged.groupBy("_tok").agg(
+        F.sum(F.when(F.col("_side") == 0, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("_cb"),
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("_v"),
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p = (F.col("_ca") + 1).cast("double") / (F.col("_na") + F.col("_v")).cast("double")
+    q = (F.col("_cb") + 1).cast("double") / (F.col("_nb") + F.col("_v")).cast("double")
+    term_ab = F.round(p * F.log(p / q), 12).cast("decimal(38,12)")
+    term_ba = F.round(q * F.log(q / p), 12).cast("decimal(38,12)")
+    return j.groupBy("_v", "_na", "_nb").agg(
+        F.round(F.sum(term_ab).cast("double"), 6).alias("kl_ab"),
+        F.round(F.sum(term_ba).cast("double"), 6).alias("kl_ba"),
+    ).select(
+        F.col("_v").alias("vocab_size"),
+        F.col("_na").alias("n_tokens_a"),
+        F.col("_nb").alias("n_tokens_b"),
+        "kl_ab",
+        "kl_ba",
+    )

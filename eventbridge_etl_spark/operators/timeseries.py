@@ -405,3 +405,38 @@ def prorate_intervals(
             ),
         )
     )
+
+
+def locf_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    out_col: str = "filled_value",
+) -> DataFrame:
+    """Last-observation-carried-forward: null values take the most
+    recent non-null value for the same key (the sensor-readout /
+    sparse-metric densification primitive).  Leading nulls (no prior
+    observation) stay null.
+
+    One partition-local running window per key — a single shuffle on
+    the key, no join, no grid generation (``gap_fill_hourly`` is the
+    sibling that DOES materialize a grid).  The explicit tiebreak
+    contract is shared with the other event-stream operators: ts ties
+    without a total order would make "last" nondeterministic.
+    """
+    if tiebreak_col not in events.columns:
+        raise ValueError(
+            f"tiebreak column {tiebreak_col!r} not in input; pass a unique "
+            "column that breaks timestamp ties (determinism requires a "
+            "total order)"
+        )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn(
+        out_col, F.last(F.col(value_col), ignorenulls=True).over(w)
+    )

@@ -187,6 +187,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_admission",
     "graph_bfs_hops",
     "streaming_enriched_windows",
+    "events_attribution_linear",
+    "events_locf_fill",
+    "text_unigram_kl_drift",
 )
 
 

@@ -302,3 +302,128 @@ def dedup_minhash_admission(spark, sf_dir):
     batch = doc.where(F.col("doc_id") % 3 == 0)
     idx = minhash_band_index(store, "doc_id", "text")
     return minhash_admission(batch, idx, "doc_id", "text")
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cus,
+             round(value, 2) AS cval
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS u, event_type AS channel, epoch_us(ts) AS tus
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT c.cid, c.cval, t.channel
+      FROM conv c JOIN touch t ON t.u = c.u
+      WHERE t.tus >= c.cus - 86400000000 AND t.tus < c.cus
+    ),
+    counted AS (
+      SELECT p.cid, p.cval, p.channel, n.n
+      FROM pairs p
+      JOIN (SELECT cid, COUNT(*) AS n FROM pairs GROUP BY cid) n
+        ON n.cid = p.cid
+    ),
+    attributed AS (
+      SELECT channel, COUNT(*) AS n_credited,
+             CAST(SUM(CAST(round(cval / n, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE) AS total_credit
+      FROM counted GROUP BY channel
+    ),
+    direct AS (
+      SELECT '(direct)' AS channel, COUNT(*) AS n_credited,
+             CAST(SUM(CAST(cval AS DECIMAL(28,6))) AS DOUBLE) AS total_credit
+      FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM pairs)
+      HAVING COUNT(*) > 0
+    )
+    SELECT * FROM attributed UNION ALL SELECT * FROM direct
+    """,
+)
+def events_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution (operators/funnel.py::
+    linear_attribution): purchases split their value equally across the
+    user's click/view touches in the prior 24 h; untouched purchases
+    credit '(direct)'.  One user-key join with an integer epoch-µs
+    bound, per-conversion counts, decimal-summed credit shares."""
+    from eventbridge_etl_spark.operators.funnel import linear_attribution
+
+    return linear_attribution(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_locf_fill",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM base
+    """,
+)
+def events_locf_fill(spark, sf_dir):
+    """Last-observation-carried-forward densification (operators/
+    timeseries.py::locf_fill): a deterministic 1-in-5 slice of values
+    is nulled, then forward-filled per user under the shared (ts,
+    event_id) tiebreak contract.  One key-partitioned running window —
+    a single shuffle, no join, no grid."""
+    from eventbridge_etl_spark.operators.timeseries import locf_fill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+    return locf_fill(ev).select("event_id", "user_id", "filled_value")
+
+
+@query(
+    "text_unigram_kl_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id % 2 AS side,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+      FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT COUNT(*) AS v, SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+    terms AS (
+      SELECT CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE) AS p,
+             CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS q,
+             v, na, nb
+      FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(v AS BIGINT) AS vocab_size,
+           CAST(na AS BIGINT) AS n_tokens_a,
+           CAST(nb AS BIGINT) AS n_tokens_b,
+           round(CAST(SUM(CAST(round(p * ln(p / q), 12) AS DECIMAL(38,12)))
+                      AS DOUBLE), 6) AS kl_ab,
+           round(CAST(SUM(CAST(round(q * ln(q / p), 12) AS DECIMAL(38,12)))
+                      AS DOUBLE), 6) AS kl_ba
+    FROM terms GROUP BY v, na, nb
+    """,
+)
+def text_unigram_kl_drift(spark, sf_dir):
+    """Corpus-drift monitor (operators/text.py::unigram_kl): symmetric
+    KL divergences between the add-one-smoothed unigram distributions
+    of the even/odd doc_id halves.  One token-keyed conditional-sum
+    aggregate + a broadcast 1-row totals join + one global decimal
+    aggregate of rounded per-token terms."""
+    from eventbridge_etl_spark.operators.text import unigram_kl
+
+    doc = _t(spark, sf_dir, "documents")
+    return unigram_kl(
+        doc.where(F.col("doc_id") % 2 == 0), doc.where(F.col("doc_id") % 2 == 1)
+    )

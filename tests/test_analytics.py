@@ -166,3 +166,100 @@ class TestJsonQuarantine:
     def test_map_only_no_shuffle(self, spark):
         df = spark.createDataFrame([(1, '{"k": 1}')], "id long, payload string")
         assert "Exchange" not in _plan(parse_json_quarantine(df, "payload", "k bigint"))
+
+
+class TestLinearAttribution:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+
+    def test_equal_split_and_direct(self, spark):
+        import datetime as dt
+        from eventbridge_etl_spark.operators.funnel import linear_attribution
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def at(mins):
+            return t0 + dt.timedelta(minutes=mins)
+
+        rows = [
+            # user 1: 2 touches then a 30.0 purchase -> 15.0 each
+            (1, at(0), 1, "click", 1.0),
+            (2, at(5), 1, "view", 1.0),
+            (3, at(10), 1, "purchase", 30.0),
+            # user 2: no touches -> direct 10.0
+            (4, at(0), 2, "purchase", 10.0),
+            # user 3: touch AFTER purchase doesn't count -> direct 8.0
+            (5, at(10), 3, "purchase", 8.0),
+            (6, at(20), 3, "click", 1.0),
+        ]
+        out = {
+            r["channel"]: (r["n_credited"], r["total_credit"])
+            for r in linear_attribution(self._ev(spark, rows)).collect()
+        }
+        assert out["click"] == (1, 15.0)
+        assert out["view"] == (1, 15.0)
+        assert out["(direct)"] == (2, 18.0)
+
+    def test_window_bound_excludes_old_touches(self, spark):
+        import datetime as dt
+        from eventbridge_etl_spark.operators.funnel import linear_attribution
+
+        t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+        rows = [
+            (1, t0 - dt.timedelta(hours=25), 1, "click", 1.0),  # too old
+            (2, t0, 1, "purchase", 20.0),
+        ]
+        out = {r["channel"]: r["total_credit"]
+               for r in linear_attribution(self._ev(spark, rows)).collect()}
+        assert out == {"(direct)": 20.0}
+
+
+class TestLocfFill:
+    def test_forward_fill_and_leading_null(self, spark):
+        import datetime as dt
+        from eventbridge_etl_spark.operators.timeseries import locf_fill
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "x", None),                         # leading null
+            (2, t0 + dt.timedelta(minutes=1), 1, "x", 5.0),
+            (3, t0 + dt.timedelta(minutes=2), 1, "x", None),
+            (4, t0 + dt.timedelta(minutes=3), 1, "x", None),
+            (5, t0 + dt.timedelta(minutes=4), 1, "x", 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        out = {r["event_id"]: r["filled_value"] for r in locf_fill(df).collect()}
+        assert out == {1: None, 2: 5.0, 3: 5.0, 4: 5.0, 5: 7.0}
+
+    def test_requires_tiebreak(self, spark):
+        import pytest
+        from eventbridge_etl_spark.operators.timeseries import locf_fill
+
+        df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+        with pytest.raises(ValueError):
+            locf_fill(df, ts_col="user_id")
+
+
+class TestUnigramKl:
+    def test_identical_corpora_zero_divergence(self, spark):
+        from eventbridge_etl_spark.operators.text import unigram_kl
+
+        a = spark.createDataFrame([(1, "x y z"), (2, "x y")], "doc_id long, text string")
+        out = unigram_kl(a, a).collect()[0]
+        assert out["kl_ab"] == 0.0 and out["kl_ba"] == 0.0
+        assert out["vocab_size"] == 3
+        assert out["n_tokens_a"] == 5 and out["n_tokens_b"] == 5
+
+    def test_drifted_corpora_positive_divergence(self, spark):
+        from eventbridge_etl_spark.operators.text import unigram_kl
+
+        a = spark.createDataFrame([(1, "x x x y")], "doc_id long, text string")
+        b = spark.createDataFrame([(2, "y y y x")], "doc_id long, text string")
+        out = unigram_kl(a, b).collect()[0]
+        assert out["kl_ab"] > 0 and out["kl_ba"] > 0
