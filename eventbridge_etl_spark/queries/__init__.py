@@ -190,6 +190,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_attribution_linear",
     "events_locf_fill",
     "text_unigram_kl_drift",
+    "events_dau_wau",
 )
 
 

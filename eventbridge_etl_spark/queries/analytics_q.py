@@ -427,3 +427,67 @@ def text_unigram_kl_drift(spark, sf_dir):
     return unigram_kl(
         doc.where(F.col("doc_id") % 2 == 0), doc.where(F.col("doc_id") % 2 == 1)
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    anchors AS (
+      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS anchor,
+             user_id
+      FROM du
+    ),
+    wau AS (
+      SELECT a.anchor AS day, COUNT(DISTINCT a.user_id) AS wau
+      FROM anchors a JOIN days d ON d.day = a.anchor
+      GROUP BY a.anchor
+    ),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day)
+    SELECT dau.day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+             AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU/WAU stickiness per day: WAU is a SLIDING 7-day distinct
+    count, computed by exploding each (day, user) activity row to the
+    <=7 anchor days it supports — a bounded expand (x7, independent of
+    event volume because it runs on the DISTINCT day-user pairs, not
+    raw events), then one distinct aggregate per anchor.  This is the
+    standard rewrite for sliding COUNT DISTINCT, which no window frame
+    can express (distinct aggregates don't stream through frames)."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), F.col("user_id")
+    ).distinct()
+    days = du.select("day").distinct()
+    anchors = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("interval 6 days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("anchor"),
+        "user_id",
+    )
+    wau = (
+        anchors.join(days, anchors["anchor"] == days["day"])
+        .groupBy(F.col("anchor").alias("wday"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(wau, dau["day"] == wau["wday"]).select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )
