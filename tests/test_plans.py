@@ -362,3 +362,31 @@ def test_snapshot_diff_single_join(spark):
     plan = _plan(spark, "scd_snapshot_diff")
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_session3_gates_have_sane_plans(spark):
+    """Session-3 additions: no cartesian products anywhere; the
+    single-pass operators stay at their contracted shuffle counts."""
+    for name in (
+        "agg_ols_trend",
+        "events_latency_percentiles",
+        "events_prorate_hourly",
+        "skew_key_report",
+        "dedup_tfidf_cosine",
+        "pipeline_json_quarantine",
+        "dedup_minhash_admission",
+        "graph_bfs_hops",
+        "events_attribution_linear",
+        "events_locf_fill",
+        "text_unigram_kl_drift",
+        "events_dau_wau",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+    # contracted single-shuffle shapes
+    assert _shuffles(_plan(spark, "agg_ols_trend")) == 1
+    assert _shuffles(_plan(spark, "events_prorate_hourly")) == 1
+    assert _shuffles(_plan(spark, "events_locf_fill")) == 1
+    # KL: token agg + final agg only; the totals join must broadcast
+    kl = _plan(spark, "text_unigram_kl_drift")
+    assert "BroadcastNestedLoopJoin" in kl or "BroadcastExchange" in kl
