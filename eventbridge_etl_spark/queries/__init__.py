@@ -191,6 +191,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_locf_fill",
     "text_unigram_kl_drift",
     "events_dau_wau",
+    "orders_psi_drift",
 )
 
 

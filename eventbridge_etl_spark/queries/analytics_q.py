@@ -491,3 +491,88 @@ def events_dau_wau(spark, sf_dir):
             "stickiness"
         ),
     )
+
+
+@query(
+    "orders_psi_drift",
+    oracle="""
+    WITH ref AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ),
+    cur AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    ),
+    bs AS (
+      SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b
+      FROM ref
+    ),
+    tagged AS (
+      SELECT 0 AS side, v FROM ref UNION ALL SELECT 1 AS side, v FROM cur
+    ),
+    binned AS (
+      SELECT side, 1 + len(list_filter(b, x -> x < v)) AS bin
+      FROM tagged CROSS JOIN bs
+    ),
+    counts AS (
+      SELECT bin, SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cr,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(cr) AS nr, SUM(cc) AS nc FROM counts),
+    terms AS (
+      SELECT CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE) AS p,
+             CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE) AS q,
+             nr, nc
+      FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+           round(CAST(SUM(CAST(round((p - q) * ln(p / q), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+    FROM terms GROUP BY nr, nc
+    """,
+)
+def orders_psi_drift(spark, sf_dir):
+    """Population stability index of order value, pre-1999 (reference)
+    vs 1999+ (current): the reference's exact interior deciles are
+    broadcast as bin boundaries, both populations bin map-side, one
+    conditional-sum aggregate per bin, and the add-one-smoothed
+    (p-q)·ln(p/q) terms decimal-sum to the PSI — the ML feature-drift
+    alarm (rule of thumb: >0.2 = investigate).  Shape: two scans + one
+    10-row aggregate; boundary evaluation is a broadcast 1-row cross
+    join, so nothing corpus-sized shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.where(F.col("o_orderdate") < "1999-01-01").select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = orders.where(F.col("o_orderdate") >= "1999-01-01").select(
+        F.col("o_totalprice").alias("v")
+    )
+    qs = ",".join(str(x / 10) for x in range(1, 10))
+    bounds = ref.agg(F.expr(f"percentile(v, array({qs}))").alias("b"))
+    tagged = ref.select(F.lit(0).alias("side"), "v").unionByName(
+        cur.select(F.lit(1).alias("side"), "v")
+    )
+    binned = tagged.crossJoin(F.broadcast(bounds)).select(
+        "side",
+        (
+            F.lit(1) + F.size(F.filter("b", lambda x: x < F.col("v")))
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cr"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cc"),
+    )
+    tot = counts.agg(F.sum("cr").alias("nr"), F.sum("cc").alias("nc"))
+    j = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("cr") + 1).cast("double") / (F.col("nr") + 10).cast("double")
+    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + 10).cast("double")
+    term = F.round((p - q) * F.log(p / q), 12).cast("decimal(38,12)")
+    return (
+        j.groupBy("nr", "nc")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("psi"))
+        .select(
+            F.col("nr").alias("n_ref"), F.col("nc").alias("n_cur"), "psi"
+        )
+    )
