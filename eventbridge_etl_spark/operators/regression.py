@@ -77,3 +77,83 @@ def grouped_ols(
         F.round(intercept_s / scale, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def jackknife_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Delete-one-fold jackknife standard error of the per-group mean —
+    distributed uncertainty quantification without resampling the data:
+    rows hash deterministically into ``k`` folds (md5 of the id, the
+    registry's portable hash convention), the leave-one-fold-out means
+    are recomputed from EXACT decimal (sum, count) per fold, and
+    SE = sqrt((k-1)/k · Σ(θ_i − θ̄)²).
+
+    Returns ``(group, n, mean, jk_se)``, all floats rounded to 6.
+
+    Shape: one hash aggregate keyed on (group, fold) — the exchange
+    carries k rows per group — then a k-row window per group for the
+    totals and one final aggregate.  The per-fold squared deviations
+    are rounded to 12 decimals and decimal-summed, so fold order cannot
+    change the SE.  This is the scalable alternative to bootstrap
+    resampling: no data duplication, one pass, mergeable statistics.
+    """
+    from pyspark.sql import Window
+
+    fold = (
+        F.expr(
+            f"conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10)"
+        ).cast("long")
+        % k
+    )
+    per_fold = df.groupBy(F.col(group_col), fold.alias("_fold")).agg(
+        F.sum(F.round(F.col(value_col), 6).cast("decimal(28,6)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    w = Window.partitionBy(group_col)
+    tot = per_fold.withColumn("_st", F.sum("_s").over(w)).withColumn(
+        "_nt", F.sum("_n").over(w)
+    )
+    theta_i = (
+        (F.col("_st") - F.col("_s")).cast("double")
+        / (F.col("_nt") - F.col("_n")).cast("double")
+    )
+    # theta_i rounded to 12 BEFORE any cross-fold summation; the fold
+    # mean and the squared deviations both decimal-sum rounded images so
+    # no unordered double accumulation exists anywhere (window AVG over
+    # doubles would be engine/run-order dependent)
+    with_theta = tot.withColumn("_ti", F.round(theta_i, 12))
+    kw = F.count(F.lit(1)).over(w)
+    tbar = with_theta.withColumn(
+        "_tbar",
+        F.round(
+            F.sum(F.col("_ti").cast("decimal(38,12)")).over(w).cast("double")
+            / kw.cast("double"),
+            12,
+        ),
+    ).withColumn("_k", kw)
+    dev2 = F.round(
+        (F.col("_ti") - F.col("_tbar")) * (F.col("_ti") - F.col("_tbar")), 12
+    )
+    keff = F.max(F.col("_k")).cast("double")
+    return (
+        tbar.groupBy(group_col)
+        .agg(
+            F.max("_nt").alias("n"),
+            F.round(
+                F.max(F.col("_st")).cast("double") / F.max(F.col("_nt")).cast("double"),
+                6,
+            ).alias("mean"),
+            F.round(
+                F.sqrt(
+                    ((keff - 1) / keff)
+                    * F.sum(dev2.cast("decimal(38,12)")).cast("double")
+                ),
+                6,
+            ).alias("jk_se"),
+        )
+    )

@@ -440,3 +440,51 @@ def locf_fill(
     return events.withColumn(
         out_col, F.last(F.col(value_col), ignorenulls=True).over(w)
     )
+
+
+def interpolate_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    out_col: str = "filled_value",
+) -> DataFrame:
+    """Linear time-interpolation of null values between the nearest
+    non-null neighbors per key — the companion to ``locf_fill`` when
+    the series is a sampled continuous signal rather than a stepwise
+    state.  Edges degrade gracefully: no prior observation → backfill
+    from the next, no next → carry the previous, neither → null.
+
+    Two partition-local windows over ONE key shuffle (the preceding
+    and following frames share the sort); the interpolation itself is
+    an IEEE expression on integer epoch-µs distances, rounded to 6 —
+    no join, no grid, row count unchanged.
+    """
+    if tiebreak_col not in events.columns:
+        raise ValueError(
+            f"tiebreak column {tiebreak_col!r} not in input; pass a unique "
+            "column that breaks timestamp ties (determinism requires a "
+            "total order)"
+        )
+    us = F.unix_micros(F.col(ts_col))
+    v = F.col(value_col)
+    base = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_ts = F.when(v.isNotNull(), us)
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(obs_ts, ignorenulls=True).over(fwd)
+    span = (next_t - prev_t).cast("double")
+    frac = (us - prev_t).cast("double") / F.nullif(span, F.lit(0.0))
+    interp = F.round(prev_v + (next_v - prev_v) * frac, 6)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(span == 0, prev_v)
+        .otherwise(interp)
+    )
+    return events.withColumn(out_col, filled)

@@ -192,6 +192,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_unigram_kl_drift",
     "events_dau_wau",
     "orders_psi_drift",
+    "events_interp_fill",
+    "agg_jackknife_mean",
 )
 
 

@@ -576,3 +576,109 @@ def orders_psi_drift(spark, sf_dir):
             F.col("nr").alias("n_ref"), F.col("nc").alias("n_cur"), "psi"
         )
     )
+
+
+@query(
+    "events_interp_fill",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    wnd AS (
+      SELECT event_id, user_id, us, v,
+        last_value(v IGNORE NULLS) OVER back AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+          OVER back AS pt,
+        first_value(v IGNORE NULLS) OVER fwd AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+          OVER fwd AS nt
+      FROM base
+      WINDOW back AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                WHEN nt = pt THEN pv
+                ELSE round(pv + (nv - pv)
+                           * (CAST(us - pt AS DOUBLE)
+                              / CAST(nt - pt AS DOUBLE)), 6)
+           END AS filled_value
+    FROM wnd
+    """,
+)
+def events_interp_fill(spark, sf_dir):
+    """Linear time-interpolation of the nulled 1-in-5 slice between the
+    nearest non-null neighbors per user (operators/timeseries.py::
+    interpolate_fill) — the continuous-signal companion to LOCF; edge
+    rows backfill/carry.  Two frames over one key shuffle."""
+    from eventbridge_etl_spark.operators.timeseries import interpolate_fill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+    return interpolate_fill(ev).select("event_id", "user_id", "filled_value")
+
+
+@query(
+    "agg_jackknife_mean",
+    oracle="""
+    WITH folded AS (
+      SELECT event_type AS grp,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 20 AS fold,
+             value
+      FROM events
+    ),
+    pf AS (
+      SELECT grp, fold,
+             SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS s,
+             COUNT(*) AS n
+      FROM folded GROUP BY grp, fold
+    ),
+    tot AS (
+      SELECT grp, SUM(s) AS st, SUM(n) AS nt, COUNT(*) AS kk
+      FROM pf GROUP BY grp
+    ),
+    ti AS (
+      SELECT pf.grp,
+             round(CAST(tot.st - pf.s AS DOUBLE)
+                   / CAST(tot.nt - pf.n AS DOUBLE), 12) AS ti,
+             tot.st, tot.nt, tot.kk
+      FROM pf JOIN tot ON tot.grp = pf.grp
+    ),
+    tb AS (
+      SELECT grp,
+             round(CAST(SUM(CAST(ti AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(MAX(kk) AS DOUBLE), 12) AS tbar
+      FROM ti GROUP BY grp
+    )
+    SELECT ti.grp AS event_type, CAST(MAX(ti.nt) AS BIGINT) AS n,
+           round(CAST(MAX(ti.st) AS DOUBLE) / CAST(MAX(ti.nt) AS DOUBLE), 6)
+             AS mean,
+           round(sqrt(((CAST(MAX(ti.kk) AS DOUBLE) - 1)
+                       / CAST(MAX(ti.kk) AS DOUBLE))
+                      * CAST(SUM(CAST(round((ti.ti - tb.tbar)
+                                            * (ti.ti - tb.tbar), 12)
+                                      AS DECIMAL(38,12))) AS DOUBLE)), 6)
+             AS jk_se
+    FROM ti JOIN tb ON tb.grp = ti.grp
+    GROUP BY ti.grp
+    """,
+)
+def agg_jackknife_mean(spark, sf_dir):
+    """Delete-one-fold jackknife standard error of the per-type mean
+    value (operators/regression.py::jackknife_mean, k=20 md5 folds) —
+    one-pass distributed uncertainty quantification with exact decimal
+    fold statistics; no resampling, no data duplication."""
+    from eventbridge_etl_spark.operators.regression import jackknife_mean
+
+    return jackknife_mean(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id", k=20
+    )

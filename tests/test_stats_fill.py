@@ -1,0 +1,95 @@
+"""interpolate_fill and jackknife_mean (session-3 tail)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from eventbridge_etl_spark.operators.regression import jackknife_mean
+from eventbridge_etl_spark.operators.timeseries import interpolate_fill
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+
+class TestInterpolateFill:
+    def test_midpoint_interpolation(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "x", 10.0),
+            (2, t0 + dt.timedelta(minutes=5), 1, "x", None),   # midpoint
+            (3, t0 + dt.timedelta(minutes=10), 1, "x", 20.0),
+        ]
+        out = {r["event_id"]: r["filled_value"]
+               for r in interpolate_fill(_ev(spark, rows)).collect()}
+        assert out == {1: 10.0, 2: 15.0, 3: 20.0}
+
+    def test_uneven_time_fraction(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "x", 0.0),
+            (2, t0 + dt.timedelta(minutes=1), 1, "x", None),  # 1/4 of span
+            (3, t0 + dt.timedelta(minutes=4), 1, "x", 8.0),
+        ]
+        out = {r["event_id"]: r["filled_value"]
+               for r in interpolate_fill(_ev(spark, rows)).collect()}
+        assert out[2] == pytest.approx(2.0)
+
+    def test_edges_backfill_and_carry(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "x", None),                            # backfill -> 5
+            (2, t0 + dt.timedelta(minutes=1), 1, "x", 5.0),
+            (3, t0 + dt.timedelta(minutes=2), 1, "x", None),  # carry -> 5
+        ]
+        out = {r["event_id"]: r["filled_value"]
+               for r in interpolate_fill(_ev(spark, rows)).collect()}
+        assert out == {1: 5.0, 2: 5.0, 3: 5.0}
+
+    def test_all_null_key_stays_null(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        out = interpolate_fill(
+            _ev(spark, [(1, t0, 1, "x", None)])
+        ).collect()[0]
+        assert out["filled_value"] is None
+
+    def test_single_shuffle(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        df = interpolate_fill(_ev(spark, [(1, t0, 1, "x", 1.0)]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+class TestJackknifeMean:
+    def test_mean_exact_and_se_positive(self, spark):
+        rows = [("a", i, float(i % 7)) for i in range(1000)]
+        df = spark.createDataFrame(rows, "g string, id long, v double")
+        out = jackknife_mean(df, "g", "v", "id", k=10).collect()[0]
+        exact = sum(i % 7 for i in range(1000)) / 1000
+        assert out["n"] == 1000
+        assert out["mean"] == pytest.approx(exact, abs=1e-6)
+        assert out["jk_se"] > 0
+
+    def test_constant_values_zero_se(self, spark):
+        rows = [("a", i, 5.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "g string, id long, v double")
+        out = jackknife_mean(df, "g", "v", "id", k=10).collect()[0]
+        assert out["mean"] == 5.0
+        assert out["jk_se"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_se_tracks_known_binomial_scale(self, spark):
+        # iid 0/1 with p=0.5: SE of the mean ~ 0.5/sqrt(n)
+        import random
+
+        rng = random.Random(7)
+        rows = [("a", i, float(rng.random() < 0.5)) for i in range(4000)]
+        df = spark.createDataFrame(rows, "g string, id long, v double")
+        out = jackknife_mean(df, "g", "v", "id", k=20).collect()[0]
+        expected = 0.5 / math.sqrt(4000)
+        assert out["jk_se"] == pytest.approx(expected, rel=0.35)
