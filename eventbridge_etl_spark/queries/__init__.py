@@ -194,6 +194,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "orders_psi_drift",
     "events_interp_fill",
     "agg_jackknife_mean",
+    "events_cusum_alarms",
 )
 
 

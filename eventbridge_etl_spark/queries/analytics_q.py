@@ -682,3 +682,43 @@ def agg_jackknife_mean(spark, sf_dir):
     return jackknife_mean(
         _t(spark, sf_dir, "events"), "event_type", "value", "event_id", k=20
     )
+
+
+@query(
+    "events_cusum_alarms",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, rn,
+             GREATEST(CAST(0 AS BIGINT), x - 5500) AS s
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             GREATEST(CAST(0 AS BIGINT), r.s + o.x - 5500)
+      FROM rec r JOIN ordered o
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN s > 20000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           MAX(s) AS max_stat,
+           arg_max(s, rn) AS final_stat
+    FROM rec GROUP BY user_id
+    """,
+)
+def events_cusum_alarms(spark, sf_dir):
+    """One-sided CUSUM changepoint alarms per user (operators/
+    changepoint.py::cusum_alarms — grouped applyInPandas, the batch
+    custom-stateful surface): integer-scaled clamped recursion, target
+    50.00 + slack 5.00, decision bound 200.00.  The oracle replays the
+    identical integer recurrence as a recursive CTE — bit-exact, no
+    epsilon band, despite the operator being Python-side."""
+    from eventbridge_etl_spark.operators.changepoint import cusum_alarms
+
+    return cusum_alarms(_t(spark, sf_dir, "events"))

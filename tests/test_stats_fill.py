@@ -93,3 +93,50 @@ class TestJackknifeMean:
         out = jackknife_mean(df, "g", "v", "id", k=20).collect()[0]
         expected = 0.5 / math.sqrt(4000)
         assert out["jk_se"] == pytest.approx(expected, rel=0.35)
+
+
+class TestCusumAlarms:
+    def test_known_sequence(self, spark):
+        import datetime as dt
+        from eventbridge_etl_spark.operators.changepoint import cusum_alarms
+
+        t0 = dt.datetime(2024, 1, 1)
+        # target+slack = 55.00 (5500 scaled). Values: 50 (s=0), 100
+        # (s=4500), 100 (s=9000), 10 (s=4500), 300 (s=29000 ALARM)
+        vals = [50.0, 100.0, 100.0, 10.0, 300.0]
+        rows = [
+            (i, t0 + dt.timedelta(minutes=i), 1, "x", v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        out = cusum_alarms(df).collect()[0]
+        assert out["n_events"] == 5
+        assert out["n_alarms"] == 1
+        assert out["max_stat"] == 29000
+        assert out["final_stat"] == 29000
+
+    def test_clamps_at_zero(self, spark):
+        import datetime as dt
+        from eventbridge_etl_spark.operators.changepoint import cusum_alarms
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(minutes=i), 1, "x", 1.0) for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        out = cusum_alarms(df).collect()[0]
+        assert out["max_stat"] == 0 and out["n_alarms"] == 0
+
+    def test_requires_tiebreak(self, spark):
+        import pytest
+        from eventbridge_etl_spark.operators.changepoint import cusum_alarms
+
+        df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+        with pytest.raises(ValueError):
+            cusum_alarms(df, ts_col="user_id", tiebreak_col="missing")
