@@ -547,3 +547,52 @@ def unigram_kl(
         "kl_ab",
         "kl_ba",
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Intra-corpus novelty: per document, the fraction of its DISTINCT
+    word ``n``-grams that occur in no other document — low novelty means
+    the document is assembled from corpus-wide boilerplate (high
+    memorization risk / low marginal training value), the complement of
+    the cross-set `ngram_contamination` guard.
+
+    Returns ``(id, n_grams, n_unique, novelty)``; documents shorter
+    than ``n`` tokens have no grams and are absent by contract.
+
+    Scale shape: grams reduce to distinct 64-bit hashes per doc
+    map-side (ints on the wire, never gram strings), one gram-keyed
+    count aggregate, one join back, one doc-keyed aggregate.  Gram
+    cardinality ~ corpus token count; both shuffles carry ints.
+    """
+    toks = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gs = F.array_distinct(
+        F.transform(
+            starts, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " "))
+        )
+    )
+    per = df.select(F.col(id_col), F.explode(gs).alias("_g"))
+    dfreq = per.groupBy("_g").agg(F.count(F.lit(1)).alias("_nd"))
+    uniq = F.when(F.col("_nd") == 1, 1).otherwise(0)
+    return (
+        per.join(dfreq, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(uniq).alias("n_unique"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(
+                F.col("n_unique").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            ),
+        )
+    )

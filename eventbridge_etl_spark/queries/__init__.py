@@ -195,6 +195,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_interp_fill",
     "agg_jackknife_mean",
     "events_cusum_alarms",
+    "text_ngram_novelty",
 )
 
 

@@ -722,3 +722,40 @@ def events_cusum_alarms(spark, sf_dir):
     from eventbridge_etl_spark.operators.changepoint import cusum_alarms
 
     return cusum_alarms(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    ng AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> array_to_string(t[i:i+7], ' '))) AS gs
+      FROM tok
+    ),
+    per AS (SELECT doc_id, unnest(gs) AS g FROM ng),
+    dfq AS (SELECT g, COUNT(*) AS nd FROM per GROUP BY g)
+    SELECT p.doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN d.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(CAST(SUM(CASE WHEN d.nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM per p JOIN dfq d ON d.g = p.g
+    GROUP BY p.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document intra-corpus word-8-gram novelty (operators/
+    text.py::ngram_novelty) — the memorization-risk / marginal-value
+    signal: what fraction of a doc's distinct 8-grams exist nowhere
+    else in the corpus.  Engine joins on xxhash64 gram ints, oracle on
+    gram strings; counts agree because counting is hash-independent
+    (same convention as dedup_contamination_flag)."""
+    from eventbridge_etl_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))

@@ -131,3 +131,26 @@ def test_weighted_pps_rejects_fractional_weights(spark):
     )
     with pytest.raises(ValueError, match="integral"):
         weighted_systematic_sample(df, "doc_id", "w", k=1)
+
+
+class TestNgramNovelty:
+    def test_unique_vs_boilerplate(self, spark):
+        from eventbridge_etl_spark.operators.text import ngram_novelty
+
+        shared = "a b c d e f g h"              # identical 8 tokens -> 1 gram
+        docs = spark.createDataFrame(
+            [(1, shared), (2, shared), (3, "p q r s t u v w")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+        assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+        assert out[3]["novelty"] == 1.0 and out[3]["n_unique"] == 1
+
+    def test_short_docs_absent(self, spark):
+        from eventbridge_etl_spark.operators.text import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [(1, "too short"), (2, "a b c d e f g h")],
+            "doc_id long, text string",
+        )
+        assert [r["doc_id"] for r in ngram_novelty(docs).collect()] == [2]
