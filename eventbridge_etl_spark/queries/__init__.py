@@ -196,6 +196,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "agg_jackknife_mean",
     "events_cusum_alarms",
     "text_ngram_novelty",
+    "graph_entropy_rate",
 )
 
 

@@ -127,3 +127,60 @@ def graph_bfs_hops(spark, sf_dir):
     from eventbridge_etl_spark.operators.graph import bfs_hops
 
     return bfs_hops(edges, sources, max_hops=3)
+
+
+@query(
+    "graph_entropy_rate",
+    oracle="""
+    WITH lagged AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events
+    ),
+    e AS (
+      SELECT src, dst, COUNT(*) AS n FROM lagged
+      WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    outs AS (SELECT src, SUM(n) AS o FROM e GROUP BY src),
+    tot AS (SELECT SUM(n) AS t, COUNT(DISTINCT src) AS ns FROM e),
+    terms AS (
+      SELECT CAST(e.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS pj,
+             CAST(e.n AS DOUBLE) / CAST(outs.o AS DOUBLE) AS pc,
+             tot.t, tot.ns
+      FROM e JOIN outs ON outs.src = e.src CROSS JOIN tot
+    )
+    SELECT CAST(t AS BIGINT) AS n_transitions,
+           CAST(ns AS BIGINT) AS n_states,
+           round(-CAST(SUM(CAST(round(pj * ln(pc), 12) AS DECIMAL(38,12)))
+                       AS DOUBLE), 6) AS entropy_rate
+    FROM terms GROUP BY t, ns
+    """,
+)
+def graph_entropy_rate(spark, sf_dir):
+    """Empirical entropy rate of the event-type Markov chain:
+    H = -Σ_edges (n_e/N)·ln(n_e/out_src) with the visit-frequency
+    stationary estimate — how predictable the next event type is given
+    the current one (the sequence-compressibility number for behavior
+    streams).  One edge aggregate + broadcast out-degree/total joins +
+    one decimal-summed scalar; edge cardinality (|types|²) bounds every
+    shuffle after the first."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    e = transition_edges(events)
+    outs = e.groupBy("src").agg(F.sum("n").alias("o"))
+    tot = e.agg(
+        F.sum("n").alias("t"), F.countDistinct("src").alias("ns")
+    )
+    j = e.join(outs, "src").crossJoin(F.broadcast(tot))
+    pj = F.col("n").cast("double") / F.col("t").cast("double")
+    pc = F.col("n").cast("double") / F.col("o").cast("double")
+    term = F.round(pj * F.log(pc), 12).cast("decimal(38,12)")
+    return (
+        j.groupBy("t", "ns")
+        .agg(F.round(-F.sum(term).cast("double"), 6).alias("entropy_rate"))
+        .select(
+            F.col("t").alias("n_transitions"),
+            F.col("ns").alias("n_states"),
+            "entropy_rate",
+        )
+    )

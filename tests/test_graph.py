@@ -152,3 +152,25 @@ class TestBfsHops:
         src = spark.createDataFrame([("a",), ("z",)], "node string")
         out = {r["node"]: r["hops"] for r in bfs_hops(edges, src, 2).collect()}
         assert out == {"a": 0, "z": 0, "b": 1}
+
+
+class TestEntropyRate:
+    def test_deterministic_chain_zero_entropy(self, spark):
+        # a->b->a->b...: every transition is certain -> H = 0
+        import datetime as dt
+        rows = []
+        t0 = dt.datetime(2024, 1, 1)
+        for i in range(20):
+            rows.append((i, t0 + dt.timedelta(minutes=i), 1,
+                         "a" if i % 2 == 0 else "b", 1.0))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        from eventbridge_etl_spark.queries import graph_q  # noqa: F401
+        from eventbridge_etl_spark.operators.graph import transition_edges
+        from pyspark.sql import functions as F
+        e = transition_edges(df)
+        # all mass on a->b and b->a, each conditional prob 1 -> ln 1 = 0
+        assert e.count() == 2
+        assert e.agg(F.sum("n")).collect()[0][0] == 19
