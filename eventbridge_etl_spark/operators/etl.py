@@ -106,6 +106,11 @@ def parse_json_quarantine(
     any downstream routing (the quarantine split is two filters over
     the same scan).  At 100 TB the cost is the JSON parse itself —
     there is no per-row Python and nothing widens the exchange.
+
+    A NULL ``json_col`` is NOT quarantined: there is nothing to parse
+    and nothing to replay, so it flows through with a null ``parsed``
+    struct (route it with a plain ``isNull`` filter if absent payloads
+    are contract violations in your pipeline).
     """
     full_schema = f"{schema_ddl}, _corrupt string"
     parsed = F.from_json(

@@ -197,6 +197,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_cusum_alarms",
     "text_ngram_novelty",
     "graph_entropy_rate",
+    "text_nb_confusion",
 )
 
 

@@ -759,3 +759,37 @@ def text_ngram_novelty(spark, sf_dir):
     from eventbridge_etl_spark.operators.text import ngram_novelty
 
     return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+def _nb_confusion_oracle() -> str:
+    # reuse the registered NB oracle verbatim as a subquery so the two
+    # gates can never drift apart
+    from eventbridge_etl_spark.queries import ORACLES, mining_q  # noqa: F401
+
+    nb = ORACLES["text_naive_bayes_lang"]
+    return f"""
+    WITH nb AS ({nb})
+    SELECT d.lang AS actual, nb.pred_label, COUNT(*) AS n
+    FROM nb JOIN documents d ON d.doc_id = nb.doc_id
+    GROUP BY d.lang, nb.pred_label
+    """
+
+
+@query("text_nb_confusion", oracle=_nb_confusion_oracle())
+def text_nb_confusion(spark, sf_dir):
+    """Confusion matrix of the Naive Bayes language classifier (the
+    evaluation-metrics surface every classifier pipeline needs): one
+    count aggregate over predictions joined back to the labels.  The
+    oracle embeds the registered NB oracle verbatim, so classifier and
+    evaluation can never drift apart."""
+    from eventbridge_etl_spark.operators.classify import naive_bayes_self_score
+
+    doc = _t(spark, sf_dir, "documents")
+    scored = naive_bayes_self_score(doc)
+    return (
+        scored.join(
+            doc.select("doc_id", F.col("lang").alias("actual")), "doc_id"
+        )
+        .groupBy("actual", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -263,3 +263,9 @@ class TestUnigramKl:
         b = spark.createDataFrame([(2, "y y y x")], "doc_id long, text string")
         out = unigram_kl(a, b).collect()[0]
         assert out["kl_ab"] > 0 and out["kl_ba"] > 0
+
+
+def test_json_quarantine_null_payload_passes_through(spark):
+    df = spark.createDataFrame([(1, None)], "id long, payload string")
+    r = parse_json_quarantine(df, "payload", "k bigint").collect()[0]
+    assert not r["quarantined"] and r["parsed"] is None
