@@ -198,6 +198,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_ngram_novelty",
     "graph_entropy_rate",
     "text_nb_confusion",
+    "parts_abc_classes",
+    "nation_supplier_hhi",
 )
 
 

@@ -793,3 +793,132 @@ def text_nb_confusion(spark, sf_dir):
         .groupBy("actual", "pred_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "parts_abc_classes",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    cum AS (
+      SELECT l_partkey, r, t,
+             round(CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS DOUBLE)
+                   / CAST(t AS DOUBLE), 12) AS cshare
+      FROM rev CROSS JOIN tot
+    )
+    SELECT CASE WHEN cshare <= 0.5 THEN 'A'
+                WHEN cshare <= 0.8 THEN 'B' ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           round(CAST(SUM(r) AS DOUBLE), 2) AS revenue,
+           round(CAST(SUM(r) AS DOUBLE) / CAST(MAX(t) AS DOUBLE), 6)
+             AS revenue_share
+    FROM cum GROUP BY 1
+    """,
+)
+def parts_abc_classes(spark, sf_dir):
+    """ABC/Pareto inventory classification: parts ranked by revenue,
+    classes cut at 50%/80% of the EXACT decimal cumulative share
+    (running decimal sum over the ranked window — order-defined, so the
+    double ratio image is identical cross-engine).  The global ordered
+    cumsum is a single-partition window — fine at part cardinality
+    (catalog-sized, not fact-sized); at billions of keys use the
+    two-pass per-partition prefix-sum pattern proven in
+    operators/sampling.py::weighted_systematic_sample."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cshare",
+        F.round(
+            F.sum("r").over(w).cast("double") / F.col("t").cast("double"), 12
+        ),
+    )
+    cls = (
+        F.when(F.col("cshare") <= 0.5, "A")
+        .when(F.col("cshare") <= 0.8, "B")
+        .otherwise("C")
+    )
+    return cum.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("r").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.sum("r").cast("double") / F.max("t").cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+@query(
+    "nation_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    sn AS (
+      SELECT rev.l_suppkey, s.s_nationkey, rev.r
+      FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    ),
+    nt AS (SELECT s_nationkey, SUM(r) AS tr FROM sn GROUP BY s_nationkey)
+    SELECT n.n_name AS nation, COUNT(*) AS n_suppliers,
+           round(CAST(SUM(CAST(round(
+                   (CAST(sn.r AS DOUBLE) / CAST(nt.tr AS DOUBLE))
+                   * (CAST(sn.r AS DOUBLE) / CAST(nt.tr AS DOUBLE)), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS hhi
+    FROM sn
+    JOIN nt ON nt.s_nationkey = sn.s_nationkey
+    JOIN nation n ON n.n_nationkey = sn.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_supplier_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman supplier-concentration index per nation
+    (Σ share² of supplier revenue — the market-concentration /
+    single-vendor-risk metric): supplier revenue aggregate, nation
+    totals joined back, decimal-summed squared shares.  Dimensions
+    (supplier, nation) broadcast; only the lineitem aggregate touches
+    fact-scale data."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    rev = t["lineitem"].groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("r")
+    )
+    sn = rev.join(
+        F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+        rev["l_suppkey"] == F.col("s_suppkey"),
+    )
+    nt = sn.groupBy("s_nationkey").agg(F.sum("r").alias("tr"))
+    share = F.col("r").cast("double") / F.col("tr").cast("double")
+    term = F.round(share * share, 12).cast("decimal(38,12)")
+    return (
+        sn.join(nt, "s_nationkey")
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(term).cast("double"), 6).alias("hhi"),
+        )
+    )
