@@ -906,11 +906,15 @@ def tfidf_cosine_pairs(
             F.log(F.col("_n").cast("double") / F.col("_df").cast("double")), 6
         ).alias("_idf"),
     )
+    from pyspark import StorageLevel
+
+    # w feeds both the norm aggregate and the unit-weight join; persist
+    # so tokenization + the idf join run once per action tree
     w = toks.join(idf, "_tok").select(
         "_id",
         "_tok",
         F.round(F.col("_tf").cast("double") * F.col("_idf"), 6).alias("_w"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     norms = w.groupBy("_id").agg(
         F.sqrt(
             F.sum(F.round(F.col("_w") * F.col("_w"), 12).cast("decimal(38,12)")).cast(

@@ -168,9 +168,13 @@ def linear_attribution(
         us.alias("_tus"),
     )
     w_us = window_hours * 3_600_000_000
+    from pyspark import StorageLevel
+
+    # pairs feeds three consumers (count agg, credit agg, direct
+    # anti-join); persist so the user-key join runs once, not three times
     pairs = conv.join(touch, "_u").where(
         (F.col("_tus") >= F.col("_cus") - w_us) & (F.col("_tus") < F.col("_cus"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counted = pairs.join(
         pairs.groupBy("_cid").agg(F.count(F.lit(1)).alias("_n")), "_cid"
     )

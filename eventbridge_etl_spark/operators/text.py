@@ -578,7 +578,13 @@ def ngram_novelty(
             starts, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " "))
         )
     )
-    per = df.select(F.col(id_col), F.explode(gs).alias("_g"))
+    from pyspark import StorageLevel
+
+    # per feeds the gram-frequency aggregate AND the join back; persist
+    # so the gram explode+hash runs once per action tree
+    per = df.select(F.col(id_col), F.explode(gs).alias("_g")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dfreq = per.groupBy("_g").agg(F.count(F.lit(1)).alias("_nd"))
     uniq = F.when(F.col("_nd") == 1, 1).otherwise(0)
     return (
