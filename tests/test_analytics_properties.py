@@ -76,8 +76,16 @@ def test_proration_conserves_mass(spark, iv):
     )
     out = prorate_intervals(df).collect()
     total = sum(r["prorated_value"] for r in out)
+    # the operator's amount = F.round(v, 2) is HALF_UP; Python's round()
+    # is half-even (round(1.625, 2) == 1.62 vs Spark/DuckDB 1.63), so
+    # mirror with Decimal quantization
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r2(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+
     expected = sum(
-        round(v, 2)
+        r2(v)
         for _, v in iv
         if min(round(abs(v) * 60), 7200) > 0
     )
