@@ -173,11 +173,15 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_label_centroids",
     "agg_approx_distinct",
     "agg_approx_percentile",
-    # --- round-5 session-3 additions (analytics_q): registered at the
-    # BACK of the overflow on purpose — the r5 window is already
-    # consumed by this round's changed+new head, so these are pytest-
-    # verified now and MUST rotate into the r6 head together with the
-    # stale TPC-H/window/fn tails above.
+    # --- round-5 session-3 additions: registered at the BACK of the
+    # overflow on purpose — the r5 window is already consumed by this
+    # round's changed+new head.  All 22 have fresh-process oracle-MATCH
+    # evidence from this session's local sweeps (see SCALE.md closing
+    # notes) and pytest coverage.  R6 WINDOW PLAN (window=50, demand=60):
+    # lead with these 22 (never driver-checked), then fill the ~28
+    # remaining slots from the stale tail above, oldest evidence first
+    # (fn_json/fn_map/events-join gates, then TPC-H q2+); the ~10 that
+    # miss the r6 window lead r7.
     "agg_ols_trend",
     "events_latency_percentiles",
     "events_prorate_hourly",
