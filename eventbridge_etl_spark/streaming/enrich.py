@@ -4,9 +4,18 @@ broadcast-join discipline.
 Reference parity: the transform lambda decorates each event from fixed
 rule tables (`lambda-fns/transform/transform.ts`); here that is a
 stream-static join, which Structured Streaming supports natively in
-every output mode (the static side is re-planned per micro-batch, so a
-dimension refreshed in place is picked up on the next trigger — an
-UPSERTed dimension table gives slowly-changing enrichment for free).
+every output mode.  The static side is re-EXECUTED per micro-batch,
+but a plain-parquet dimension's FILE LISTING is resolved once at
+DataFrame creation: overwriting it in place fails the next epoch with
+FILE_NOT_EXIST (measured — see
+tests/test_streaming.py::test_stream_static_dimension_refresh_between_epochs).
+``spark.catalog.refreshByPath`` does NOT rescue an already-built
+plan (also measured).  The refresh contract is therefore: REBUILD the
+static DataFrame when (re)starting the trigger — free for
+availableNow batch-style jobs (tested) — or rebuild it inside
+``foreachBatch`` for long-running triggers, or use a
+snapshot-isolated table format (Delta/Iceberg), where in-place
+upserts are picked up per batch without plan rebuilds.
 
 Broadcast is the default because a dimension that fits in executor
 memory turns the per-batch join into a map-only stage: no shuffle of
