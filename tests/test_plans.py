@@ -390,3 +390,42 @@ def test_session3_gates_have_sane_plans(spark):
     # KL: token agg + final agg only; the totals join must broadcast
     kl = _plan(spark, "text_unigram_kl_drift")
     assert "BroadcastNestedLoopJoin" in kl or "BroadcastExchange" in kl
+
+
+def test_plan_audit_api(spark):
+    """plans/audit.py::plan_audit — the packaged form of this file's
+    ad-hoc checks — reports the facts we assert elsewhere."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.plans.audit import plan_audit
+
+    small = spark.range(10).select(F.col("id").alias("k"), F.lit("d").alias("name"))
+    big = spark.range(1000).select((F.col("id") % 10).alias("k"), F.col("id"))
+    joined = big.join(F.broadcast(small), "k").groupBy("name").count()
+    joined.collect()  # finalize the adaptive plan so codegen spans show
+    a = plan_audit(joined)
+    assert a["broadcasts"] == 1
+    assert a["shuffles"] == 1           # just the groupBy agg
+    assert not a["has_cartesian"] and not a["has_bnl_join"]
+    assert a["whole_stage_codegen_spans"] >= 1
+
+    topk = big.orderBy(F.col("id").desc()).limit(5)
+    assert plan_audit(topk)["top_k_pushed"]
+
+    cross = spark.range(3).crossJoin(spark.range(3).select(F.col("id").alias("j")))
+    assert plan_audit(cross)["has_cartesian"] or plan_audit(cross)["has_bnl_join"]
+
+
+def test_plan_audit_scan_facts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.plans.audit import plan_audit
+
+    p = str(tmp_path / "t")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), F.lit("x").alias("s")
+    ).write.parquet(p)
+    q = spark.read.parquet(p).where(F.col("k") == 2).select("id")
+    a = plan_audit(q)
+    assert any("EqualTo(k,2" in f for f in a["pushed_filters"])
+    assert all("s:" not in rs for rs in a["read_schemas"])  # pruned
