@@ -602,3 +602,29 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def sentence_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence segmentation with stable indexes: split on
+    ``[.!?]+`` followed by whitespace, emit ``(id, sent_idx, sentence,
+    n_chars)`` with 0-based document order — the unit-of-work operator
+    that precedes sentence-level dedup, quality scoring, and chunk
+    assembly.
+
+    Deliberately JVM-only (``split`` + ``posexplode``): a Python UDTF
+    could express the same fan-out but would put a per-row Python
+    boundary in the hottest map stage; the regex split keeps the whole
+    explode inside whole-stage codegen.  Map-only — no shuffle, output
+    order carried by ``sent_idx``, not partition order.  Empty
+    trailing fragments (text ending in '.') are dropped.
+    """
+    sents = F.split(F.trim(F.col(text_col)), r"[.!?]+\s+")
+    return (
+        df.select(F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence"))
+        .where(F.length(F.trim(F.col("sentence"))) > 0)
+        .withColumn("n_chars", F.length("sentence"))
+    )

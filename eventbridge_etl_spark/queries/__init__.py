@@ -204,6 +204,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_nb_confusion",
     "parts_abc_classes",
     "nation_supplier_hhi",
+    "text_sentence_spans",
 )
 
 

@@ -922,3 +922,28 @@ def nation_supplier_hhi(spark, sf_dir):
             F.round(F.sum(term).cast("double"), 6).alias("hhi"),
         )
     )
+
+
+@query(
+    "text_sentence_spans",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '[.!?]+\\s+') AS arr
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, i - 1 AS sent_idx, arr[i] AS sentence
+      FROM s, unnest(range(1, len(arr) + 1)) r(i)
+    )
+    SELECT doc_id, sent_idx, sentence, length(sentence) AS n_chars
+    FROM e WHERE length(trim(sentence)) > 0
+    """,
+)
+def text_sentence_spans(spark, sf_dir):
+    """Sentence segmentation with stable 0-based indexes (operators/
+    text.py::sentence_spans) — map-only JVM split+posexplode, no
+    Python boundary in the fan-out."""
+    from eventbridge_etl_spark.operators.text import sentence_spans
+
+    return sentence_spans(_t(spark, sf_dir, "documents"))

@@ -154,3 +154,39 @@ class TestNgramNovelty:
             "doc_id long, text string",
         )
         assert [r["doc_id"] for r in ngram_novelty(docs).collect()] == [2]
+
+
+class TestSentenceSpans:
+    def test_splits_and_indexes(self, spark):
+        from eventbridge_etl_spark.operators.text import sentence_spans
+
+        docs = spark.createDataFrame(
+            [(1, "First one. Second here! Third?  Fourth"),
+             (2, "No terminal punctuation")],
+            "doc_id long, text string",
+        )
+        out = sorted(
+            (r["doc_id"], r["sent_idx"], r["sentence"])
+            for r in sentence_spans(docs).collect()
+        )
+        assert out == [
+            (1, 0, "First one"),
+            (1, 1, "Second here"),
+            (1, 2, "Third"),
+            (1, 3, "Fourth"),
+            (2, 0, "No terminal punctuation"),
+        ]
+
+    def test_trailing_period_no_empty_fragment(self, spark):
+        from eventbridge_etl_spark.operators.text import sentence_spans
+
+        docs = spark.createDataFrame([(1, "Only sentence.")], "doc_id long, text string")
+        out = sentence_spans(docs).collect()
+        assert [(r["sent_idx"], r["sentence"]) for r in out] == [(0, "Only sentence.")]
+
+    def test_map_only(self, spark):
+        from eventbridge_etl_spark.operators.text import sentence_spans
+
+        docs = spark.createDataFrame([(1, "a. b")], "doc_id long, text string")
+        plan = sentence_spans(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" in plan
