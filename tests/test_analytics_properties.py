@@ -84,10 +84,12 @@ def test_proration_conserves_mass(spark, iv):
     def r2(x):
         return float(Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP))
 
+    # the operator sees the 3-decimal value the rows were built with,
+    # so quantize THAT (not the raw draw)
     expected = sum(
-        r2(v)
+        r2(round(v, 3))
         for _, v in iv
-        if min(round(abs(v) * 60), 7200) > 0
+        if min(round(abs(round(v, 3)) * 60), 7200) > 0
     )
     # each interval's shares are rounded to 6dp before the exact sum:
     # error bound = n_segments * 5e-7
