@@ -41,7 +41,9 @@ def cusum_alarms(
     max_stat, final_stat)`` where the statistic S accumulates scaled
     deviations above ``target + slack`` and an alarm is each step with
     ``S > threshold`` (no reset on alarm — the alarm COUNT measures
-    dwell time above the decision bound)."""
+    dwell time above the decision bound).  Null observations are
+    skipped without advancing the recursion (they still count in
+    ``n_events``)."""
     if tiebreak_col not in df.columns:
         raise ValueError(
             f"tiebreak column {tiebreak_col!r} not in input; pass a unique "
@@ -62,6 +64,8 @@ def cusum_alarms(
         pdf = pdf.sort_values(["_us", "_tb"])
         s = mx = alarms = 0
         for x in pdf["_x"]:
+            if x != x:  # null value -> NaN through Arrow; skip, don't advance
+                continue
             s = s + int(x) - drift
             if s < 0:
                 s = 0
@@ -74,8 +78,10 @@ def cusum_alarms(
             columns=["_k", "n_events", "n_alarms", "max_stat", "final_stat"],
         )
 
+    key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"_k long, n_events long, n_alarms long, max_stat long, final_stat long"
+        f"_k {key_type}, n_events long, n_alarms long, "
+        f"max_stat long, final_stat long"
     )
     return (
         prepared.groupBy("_k")

@@ -8,9 +8,8 @@ must provide).
 
 Determinism contract (shared with the rest of the registry): the five
 sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT — inputs are
-scaled to integers, per-row products are formed in int64 (bounded by
-contract, see below) and summed as DECIMAL(38,0), so accumulation order
-cannot change them.  Only the final slope/intercept/r² arithmetic runs
+scaled to integers, per-row products are formed in DECIMAL(38,0) and
+summed as DECIMAL(38,0), so accumulation order cannot change them.  Only the final slope/intercept/r² arithmetic runs
 in IEEE doubles, applied to identical exact operands in the same
 textual order in Spark and the DuckDB oracle, then rounded.
 
@@ -19,10 +18,15 @@ aggregation combines map-side, the exchange carries six numbers per
 group.  No window, no join, no second pass.  At 100 TB this is the
 same plan as a grouped count.
 
-Input-magnitude bound: per-row |x_scaled * y_scaled| must stay below
-2^63 (int64).  With the default scales (x integral, y in cents) that is
-|x|·|y| < 9.2e16 — epoch-days (~2e4) times trillion-cent totals.  The
-exact decimal SUM of those products is unbounded (DECIMAL(38,0)).
+Input-magnitude bound: per-row products (including the squares x²
+and y²) are formed in DECIMAL(38,0) — exact to 1e38, so any realistic
+scaled magnitude is safe; the sums share the same bound.  Numerical
+caveat (distinct from overflow): the IEEE tail computes n·Σy² − (Σy)²
+from double images of the exact sums, which cancels catastrophically
+when |ȳ| ≫ stddev(y) (e.g. a 4e9 offset) — r² then degrades toward
+None/0 identically in both engines.  Center y (subtract a constant)
+before fitting if r² matters at extreme offsets; slope/intercept are
+unaffected by the y offset's magnitude until ~2^53.
 """
 
 from __future__ import annotations
@@ -50,13 +54,16 @@ def grouped_ols(
     """
     xl = x.cast("long")
     yl = y_scaled.cast("long")
+    # products are formed with a DECIMAL(38,0) left operand so squares
+    # of large y cannot wrap int64 (review finding: yl*yl overflowed at
+    # |y| >= ~3.04e9 while the docstring only bounded the cross term)
     sums = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xl.cast(_D38)).alias("sx"),
         F.sum(yl.cast(_D38)).alias("sy"),
-        F.sum((xl * xl).cast(_D38)).alias("sxx"),
-        F.sum((xl * yl).cast(_D38)).alias("sxy"),
-        F.sum((yl * yl).cast(_D38)).alias("syy"),
+        F.sum(xl.cast(_D38) * xl).alias("sxx"),
+        F.sum(xl.cast(_D38) * yl).alias("sxy"),
+        F.sum(yl.cast(_D38) * yl).alias("syy"),
     )
     # IEEE tail: every operand cast to double FIRST, formulas written in
     # the exact same order as the oracle SQL.

@@ -51,5 +51,8 @@ def enrich_with_dimension(
         raise ValueError(
             f"stream-static enrichment supports left/inner, got {how!r}"
         )
+    # a bare string would list() into characters and produce a baffling
+    # unresolved-column error — accept it the way df.join does
+    keys = [on] if isinstance(on, str) else list(on)
     right = F.broadcast(dim) if broadcast else dim
-    return stream.join(right, list(on), how)
+    return stream.join(right, keys, how)

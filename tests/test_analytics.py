@@ -269,3 +269,16 @@ def test_json_quarantine_null_payload_passes_through(spark):
     df = spark.createDataFrame([(1, None)], "id long, payload string")
     r = parse_json_quarantine(df, "payload", "k bigint").collect()[0]
     assert not r["quarantined"] and r["parsed"] is None
+
+
+def test_ols_large_y_square_does_not_overflow(spark):
+    # y_scaled ~ 4e9: yl*yl would wrap int64 pre-fix, driving a
+    # garbage NEGATIVE r2; decimal products keep syy exact, so r2 is
+    # either None (the IEEE tail's n*syy - sy^2 cancels at this offset
+    # magnitude — documented caveat) or a sane value, never negative
+    rows = [("a", x, 4_000_000_000 + x) for x in range(5)]
+    df = spark.createDataFrame(rows, "g string, x long, ys long")
+    out = grouped_ols(df, "g", F.col("x"), F.col("ys"), y_scale=1).collect()[0]
+    assert out["slope"] == pytest.approx(1.0)
+    assert out["intercept"] == pytest.approx(4_000_000_000.0)
+    assert out["r2"] is None or 0 <= out["r2"] <= 1 + 1e-6

@@ -140,3 +140,36 @@ class TestCusumAlarms:
         df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
         with pytest.raises(ValueError):
             cusum_alarms(df, ts_col="user_id", tiebreak_col="missing")
+
+
+def test_cusum_skips_null_values(spark):
+    import datetime as dt
+    from eventbridge_etl_spark.operators.changepoint import cusum_alarms
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "x", 100.0),
+        (2, t0 + dt.timedelta(minutes=1), 1, "x", None),   # skipped
+        (3, t0 + dt.timedelta(minutes=2), 1, "x", 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = cusum_alarms(df).collect()[0]
+    assert out["n_events"] == 3                 # null still counted
+    assert out["final_stat"] == 2 * (10000 - 5500)  # null didn't advance S
+
+
+def test_cusum_string_keys(spark):
+    import datetime as dt
+    from eventbridge_etl_spark.operators.changepoint import cusum_alarms
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("sess-a", t0, 1, 50.0), ("sess-b", t0, 2, 300.0)]
+    df = spark.createDataFrame(
+        rows, "session string, ts timestamp, event_id long, value double"
+    )
+    out = {r["session"]: r["max_stat"]
+           for r in cusum_alarms(df, key_col="session").collect()}
+    assert out == {"sess-a": 0, "sess-b": 30000 - 5500}

@@ -773,3 +773,13 @@ def test_stream_static_dimension_refresh_between_epochs(spark, tmp_path):
     rows = {r["event_id"]: r["tier"]
             for r in spark.read.parquet(out).collect()}
     assert rows == {1: "bronze", 2: "gold"}  # rebuilt plan saw the refresh
+
+
+def test_enrichment_accepts_bare_string_key(spark, tmp_path, event_stream):
+    from eventbridge_etl_spark.streaming.enrich import enrich_with_dimension
+
+    dim = spark.createDataFrame([(1, "gold")], "user_id long, tier string")
+    enriched = enrich_with_dimension(event_stream(), dim, "user_id")
+    drain(enriched, tmp_path, "enriched_strkey")
+    out = spark.sql("select * from enriched_strkey")
+    assert out.where(F.col("tier") == "gold").count() == 4
