@@ -60,9 +60,25 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _fresh_cache(fn: Callable[[SparkSession, str], DataFrame]):
+    """Drop the PREVIOUS query's persisted blocks before building the
+    next plan.  Several operators persist an intermediate consumed
+    twice within one action tree (tfidf weights, attribution paths,
+    n-gram tables); across a 204-query sweep in one long-lived session
+    those blocks would otherwise accumulate until LRU eviction.  The
+    clear happens at plan-BUILD time — nothing is in flight between
+    sweep iterations, and unpersisting never changes results."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {name: _fresh_cache(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -8,6 +8,7 @@ the hot path.
 
 from __future__ import annotations
 
+import re
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -112,6 +113,12 @@ def parse_json_quarantine(
     struct (route it with a plain ``isNull`` filter if absent payloads
     are contract violations in your pipeline).
     """
+    if re.search(r"(?<![A-Za-z0-9_])_corrupt(?![A-Za-z0-9_])", schema_ddl):
+        raise ValueError(
+            "schema_ddl declares a field named '_corrupt', which collides "
+            "with the corrupt-record capture column; rename the payload "
+            "field or parse it under a different name"
+        )
     full_schema = f"{schema_ddl}, _corrupt string"
     parsed = F.from_json(
         F.col(json_col),

@@ -82,8 +82,11 @@ def plan_audit(df: DataFrame) -> PlanAudit:
             set(re.findall(r"\*\((\d+)\)", p))
             | set(re.findall(r"WholeStageCodegen \((\d+)\)", p))
         ),
-        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", p),
-        partition_filters=re.findall(r"PartitionFilters: \[([^\]]*)\]", p),
+        # greedy-to-end-of-line capture: a filter like In(k, [1, 2, 3])
+        # contains `]` itself, so a lazy [^\]]* would truncate the list
+        # and under-report what reached the scan
+        pushed_filters=re.findall(r"PushedFilters: \[(.*)\]", p),
+        partition_filters=re.findall(r"PartitionFilters: \[(.*)\]", p),
         read_schemas=re.findall(r"ReadSchema: (\S+)", p),
         top_k_pushed="TakeOrderedAndProject" in p,
         window_group_limit="WindowGroupLimit" in p,

@@ -68,120 +68,14 @@ def query(name: str, oracle: str | None = None):
 #: order.  Anything importing the registries directly without calling
 #: ``load_all()`` sees plain module-import registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # --- round-5: code or oracle CHANGED this round, must re-verify —
-    # pinned-parquet oracles for the two formerly rows-only gates, the
-    # gap-fill/counter/zscore determinism+decimal fixes, the PPS weight
-    # contract, and the zorder long-cast
-    "text_compression_ratio",
-    "multimodal_cdc_dedup",
-    "events_counter_increase",
-    "events_gap_fill",
-    "events_anomaly_zscore",
-    "sample_weighted_pps",
-    "zorder_events_cluster",
-    # --- round-5 additions, never driver-checked
-    "text_naive_bayes_lang",
-    "text_bm25_retrieval",
-    "graph_triangle_census",
-    "multimodal_phash_near_dup",
-    "agg_heavy_hitters",
-    "sample_leakage_safe_split",
-    "dedup_source_overlap",
-    "compaction_plan_events",
-    "text_bigram_logprob",
-    "streaming_ewma_smoothing",
-    "text_char_entropy",
-    "window_rolling_median",
-    "agg_chi_square_assoc",
-    "scd_snapshot_diff",
-    "expect_k_anonymity",
-    "sample_balanced_classes",
-    "dedup_incremental_admission",
-    "events_funnel_timed",
-    "dedup_containment_pairs",
-    "mining_association_rules",
-    "events_type_pmi",
-    "text_perplexity_buckets",
-    "events_sessionize",
-    "fn_url_surface",
-    "graph_pagerank_transitions",
-    "events_robust_scale",
-    "doc_equidepth_bins",
-    "events_target_encode",
-    # --- stale debt, oldest first: last green in r1 (four rounds ago)
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_distinct_count",
-    "window_distribution",
-    "fn_generator_surface",
-    # --- last green in r2: the window family ...
-    "window_topk_per_group",
-    "window_rank_dense",
-    "window_running_total",
-    "window_lag_gap",
-    "window_moving_avg",
-    "window_range_frame_30d",
-    # --- ... the function-surface tail ...
-    "fn_json_surface",
-    "fn_map_surface",
-    "fn_higher_order_surface",
-    # --- ... the r2 events/join gates ...
-    "events_json_projection",
-    "events_validity_filter",
-    "events_reconciliation",
-    "events_hourly_rollup",
-    "pipeline_header_zip_rename",
-    "join_asof_attribution",
-    "join_semi",
-    "join_anti",
-    "join_left_outer_agg",
-    "join_range_nonequi",
-    # --- ... and the TPC-H tail.  NOTE (r5 close): the 22 new round-5
-    # tail gates above consumed the window slots the function-surface /
-    # events-join / TPC-H tails were queued for; everything from about
-    # "fn_json_surface" down is at or past position ~50 and r6 MUST
-    # lead with it (last green evidence r1/r2, but code untouched
-    # since).
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    # ---------------- overflow (positions 51+): checked only if the
-    # driver window widens; r6 must lead with whatever is left here
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_predicates",
-    "q21_waiting_orders",
-    "q22_dormant_customers",
-    "q13_customer_distribution",
-    "q20_dominant_suppliers",
-    "dedup_clusters",
-    "dedup_embedding_lsh",
-    "sample_train_test_split",
-    "sample_stratified",
-    "multimodal_frame_sample",
-    "similarity_label_centroids",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    # --- round-5 session-3 additions: registered at the BACK of the
-    # overflow on purpose — the r5 window is already consumed by this
-    # round's changed+new head.  All 22 have fresh-process oracle-MATCH
-    # evidence from this session's local sweeps (see SCALE.md closing
-    # notes) and pytest coverage.  R6 WINDOW PLAN (window=50, demand=60):
-    # lead with these 22 (never driver-checked), then fill the ~28
-    # remaining slots from the stale tail above, oldest evidence first
-    # (fn_json/fn_map/events-join gates, then TPC-H q2+); the ~10 that
-    # miss the r6 window lead r7.
+    # ================= ROUND-6 WINDOW (positions 1-50) =================
+    # Plan per VERDICT r5 "Next round #1": drain the evidence debt.
+    # Lead with the 23 round-5 session-3 gates that have NEVER been
+    # driver-checked (local 204/204 sweep evidence only, SCALE.md), then
+    # the one NEW gate this round (the max_df-capped tf-idf scale path,
+    # VERDICT item 3 — the only addition; the registry must not outrun
+    # the window again), then the 26 oldest r2-stale queries.
+    # --- 23 never driver-checked (round-5 session-3 additions) ---
     "agg_ols_trend",
     "events_latency_percentiles",
     "events_prorate_hourly",
@@ -205,6 +99,105 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "parts_abc_classes",
     "nation_supplier_hhi",
     "text_sentence_spans",
+    # --- the single new round-6 gate (VERDICT r5 item 3) ---
+    "dedup_tfidf_cosine_capped",
+    # --- r2-stale, oldest-evidence first (last green CORRECTNESS_r02;
+    # code untouched since) — 26 of 38 fit this window ---
+    "fn_higher_order_surface",
+    "events_json_projection",
+    "events_validity_filter",
+    "events_reconciliation",
+    "events_hourly_rollup",
+    "pipeline_header_zip_rename",
+    "join_asof_attribution",
+    "join_semi",
+    "join_anti",
+    "join_left_outer_agg",
+    "join_range_nonequi",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
+    # ============== OVERFLOW (position 51+) — LEADS ROUND 7 ============
+    # The 12 remaining r2-stale rows; after r6 these are the ONLY
+    # queries with evidence older than r3 and MUST head the r7 window.
+    "q21_waiting_orders",
+    "q22_dormant_customers",
+    "q13_customer_distribution",
+    "q20_dominant_suppliers",
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "sample_train_test_split",
+    "sample_stratified",
+    "multimodal_frame_sample",
+    "similarity_label_centroids",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    # --- then the r3-evidence cohort (50 queries, two rounds old at r6
+    # close) in their registration order: the llm/text/dedup/similarity
+    # head, routing, TPC-H q1/q3/q5, set ops, streaming.  Listed so the
+    # re-check rotation stays deterministic for r7/r8 planning.
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_scores",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_ivf_recall",
+    "similarity_topk_lsh",
+    "similarity_quantize_int8",
+    "text_chunk_windows",
+    "text_document_frequency",
+    "text_pii_redact",
+    "dedup_contamination_flag",
+    "sample_source_cap",
+    "text_repetition_stats",
+    "pipeline_training_mix",
+    "pack_token_sequences",
+    "sample_global_shuffle",
+    "similarity_kmeans_refine",
+    "dedup_semantic",
+    "text_unigram_logprob",
+    "route_transform_rule",
+    "route_cidr_classifier",
+    "route_observe_tap",
+    "events_keyed_upsert",
+    "scan_projection_filter",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_broadcast_chain",
+    "sort_multi_key_topk",
+    "set_intersect",
+    "set_except",
+    "set_union_distinct",
+    "subquery_scalar_above_avg",
+    "conditional_pivot",
+    "agg_percentiles",
+    "reshape_unpivot",
+    "agg_pivot_native",
+    "agg_statistics",
+    "streaming_hourly_windows",
+    "streaming_dedup",
+    "streaming_sessionize",
+    "streaming_interval_join",
+    "streaming_running_totals",
 )
 
 

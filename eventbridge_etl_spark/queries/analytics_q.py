@@ -228,6 +228,68 @@ def dedup_tfidf_cosine(spark, sf_dir):
 
 
 @query(
+    "dedup_tfidf_cosine_capped",
+    oracle="""
+    WITH toks AS (
+      SELECT id, token, COUNT(*) AS tf FROM (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents) GROUP BY id, token
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    dfq AS (
+      SELECT token, COUNT(*) AS dfn FROM toks GROUP BY token
+      HAVING COUNT(*) <= 390
+    ),
+    idf AS (
+      SELECT token,
+             round(ln(CAST(n AS DOUBLE) / CAST(dfn AS DOUBLE)), 6) AS idf
+      FROM dfq CROSS JOIN nd
+    ),
+    w AS (
+      SELECT id, t.token,
+             round(CAST(tf AS DOUBLE) * idf, 6) AS w
+      FROM toks t JOIN idf USING (token)
+    ),
+    nrm AS (
+      SELECT id,
+             sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nrm
+      FROM w GROUP BY id
+    ),
+    unit AS (
+      SELECT w.id, token, round(w / nrm.nrm, 9) AS u
+      FROM w JOIN nrm ON nrm.id = w.id WHERE nrm.nrm > 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15)))
+                      AS DOUBLE), 6) AS cosine
+    FROM unit a JOIN unit b ON a.token = b.token AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING round(CAST(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15)))
+                      AS DOUBLE), 6) >= 0.8
+    """,
+)
+def dedup_tfidf_cosine_capped(spark, sf_dir):
+    """The SCALE path of tf-idf cosine dedup: ``max_df``-capped
+    (operators/dedup.py::tfidf_cosine_pairs with ``max_df=390``) — the
+    df-capped cosine that bounds the Zipf head.  Candidate volume is
+    Σ_token df(token)², so the hot end of the vocabulary pays
+    quadratically; the cap drops every token present in >390 of this
+    fixture's 500 docs (the 15 near-universal scaffold tokens, ~half
+    the vocabulary) from BOTH weighting and pairing, lossy BY CONTRACT.
+    N in the idf stays the full corpus count; norms are over surviving
+    tokens only — the oracle replicates both choices exactly.  The
+    uncapped ``dedup_tfidf_cosine`` gate remains the verification
+    companion (exactness at sf0.01); this capped gate is the variant a
+    100 TB corpus would actually run (VERDICT r5 item 3 — the exact
+    path measured 466 s at sf0.1, SCALE.md)."""
+    return tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), tau=0.8, max_df=390
+    )
+
+
+@query(
     "pipeline_json_quarantine",
     oracle="""
     WITH c AS (
@@ -695,17 +757,23 @@ def agg_jackknife_mean(spark, sf_dir):
       FROM events
     ),
     rec AS (
-      SELECT user_id, rn,
-             GREATEST(CAST(0 AS BIGINT), x - 5500) AS s
+      -- null-skip contract mirrors the operator: a NULL observation
+      -- carries s UNCHANGED (no advance, no clamp-reset) and is never
+      -- an alarm step; it still counts in n_events below
+      SELECT user_id, rn, x,
+             CASE WHEN x IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE GREATEST(CAST(0 AS BIGINT), x - 5500) END AS s
       FROM ordered WHERE rn = 1
       UNION ALL
-      SELECT o.user_id, o.rn,
-             GREATEST(CAST(0 AS BIGINT), r.s + o.x - 5500)
+      SELECT o.user_id, o.rn, o.x,
+             CASE WHEN o.x IS NULL THEN r.s
+                  ELSE GREATEST(CAST(0 AS BIGINT), r.s + o.x - 5500) END
       FROM rec r JOIN ordered o
         ON o.user_id = r.user_id AND o.rn = r.rn + 1
     )
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CASE WHEN s > 20000 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN x IS NOT NULL AND s > 20000
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS n_alarms,
            MAX(s) AS max_stat,
            arg_max(s, rn) AS final_stat

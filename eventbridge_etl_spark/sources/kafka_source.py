@@ -16,6 +16,18 @@ Two layers, split so the second is testable anywhere:
 Scale: one Spark partition per Kafka partition; ``maxOffsetsPerTrigger``
 is the backpressure knob (the Kafka analog of O20's concurrency cap);
 offsets live in the checkpoint for exactly-once source accounting.
+
+TESTED BOUNDARY: only layer 2 (``decode_envelope``) is integration-
+tested in this repo — there is no broker and no ``spark-sql-kafka``
+jar in the sandbox, so layer 1 is covered for configuration shape
+only (tests/test_kafka_source.py).  A deployment needs (a) the
+``org.apache.spark:spark-sql-kafka-0-10_2.13`` package matching the
+cluster's Spark version on the driver+executor classpath (e.g. via
+``spark.jars.packages``), (b) a reachable broker in
+``bootstrap_servers``, and (c) a durable checkpoint location for the
+offset log.  Everything downstream of ``decode_envelope`` (routing,
+upsert, windowed rollups) is broker-agnostic and fully tested on file
+streams, which exercise the identical envelope schema.
 """
 
 from __future__ import annotations

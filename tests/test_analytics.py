@@ -167,6 +167,14 @@ class TestJsonQuarantine:
         df = spark.createDataFrame([(1, '{"k": 1}')], "id long, payload string")
         assert "Exchange" not in _plan(parse_json_quarantine(df, "payload", "k bigint"))
 
+    def test_corrupt_field_name_collision_rejected(self, spark):
+        df = spark.createDataFrame([(1, '{"k": 1}')], "id long, payload string")
+        with pytest.raises(ValueError, match="_corrupt"):
+            parse_json_quarantine(df, "payload", "k bigint, _corrupt string")
+        # substring of a longer identifier is NOT a collision
+        out = parse_json_quarantine(df, "payload", "_corrupted bigint")
+        assert out.collect()[0]["quarantined"] is False
+
 
 class TestLinearAttribution:
     def _ev(self, spark, rows):

@@ -70,6 +70,10 @@ def normalize(df):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
+    # Centralized cache cleanup (mirrors __spark_entry__._fresh_cache):
+    # drop the previous query's persisted blocks so a full-registry
+    # sweep in one session doesn't accumulate storage until eviction.
+    spark.catalog.clearCache()
     result = QUERIES[name](spark, SF_DIR_ORACLE).toPandas()
     if name not in ORACLES:
         assert len(result) >= 0  # rows-only check: runs, stable schema

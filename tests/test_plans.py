@@ -429,3 +429,11 @@ def test_plan_audit_scan_facts(spark, tmp_path):
     a = plan_audit(q)
     assert any("EqualTo(k,2" in f for f in a["pushed_filters"])
     assert all("s:" not in rs for rs in a["read_schemas"])  # pruned
+
+    # an IN-list filter contains `]` inside the bracket — the capture
+    # must run to end-of-line, not stop at the first `]` (ADVICE r5)
+    q_in = spark.read.parquet(p).where(F.col("k").isin(1, 2, 3)).select("id")
+    a_in = plan_audit(q_in)
+    assert any("In(k, [1,2,3])" in f for f in a_in["pushed_filters"]), a_in[
+        "pushed_filters"
+    ]

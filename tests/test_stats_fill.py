@@ -161,6 +161,53 @@ def test_cusum_skips_null_values(spark):
     assert out["final_stat"] == 2 * (10000 - 5500)  # null didn't advance S
 
 
+def test_cusum_oracle_matches_on_nulls(spark):
+    """The registered DuckDB oracle must replicate the operator's
+    null-skip contract (carry S unchanged, no alarm on a null step) —
+    the events fixture has no nulls, so the driver gate alone would
+    never catch oracle drift here (ADVICE r5)."""
+    import datetime as dt
+
+    import duckdb
+
+    from eventbridge_etl_spark.operators.changepoint import cusum_alarms
+    from eventbridge_etl_spark.queries import ORACLES, load_all
+
+    load_all()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # key 1: alarm raised, then a null while S is above the bound —
+        # the null row must NOT count as a second alarm
+        (1, t0, 1, "x", 300.0),                             # s=24500 ALARM
+        (2, t0 + dt.timedelta(minutes=1), 1, "x", None),    # carry, no alarm
+        (3, t0 + dt.timedelta(minutes=2), 1, "x", 60.0),    # s=25000 ALARM
+        # key 2: leading null (S starts at 0, not GREATEST(0, NULL)-luck)
+        (4, t0, 2, "x", None),
+        (5, t0 + dt.timedelta(minutes=1), 2, "x", 100.0),   # s=4500
+        # key 3: all null — final/max stay 0
+        (6, t0, 3, "x", None),
+        (7, t0 + dt.timedelta(minutes=1), 3, "x", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["n_alarms"], r["max_stat"], r["final_stat"])
+        for r in cusum_alarms(df).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    exp = {
+        int(u): (int(n), int(a), int(mx), int(fs))
+        for u, n, a, mx, fs in con.execute(ORACLES["events_cusum_alarms"]).fetchall()
+    }
+    con.close()
+    assert got == exp
+    assert got[1] == (3, 2, 25000, 25000)  # null mid-alarm not re-counted
+    assert got[3] == (2, 0, 0, 0)
+
+
 def test_cusum_string_keys(spark):
     import datetime as dt
     from eventbridge_etl_spark.operators.changepoint import cusum_alarms
