@@ -3,10 +3,14 @@
 extraction runs as Arrow-batched pandas transforms (``mapInPandas``).
 
 Codecs: formats parseable with the stdlib decode FOR REAL —
-netpbm images (P6 PPM / P5 PGM, the uncompressed interchange format)
-and 16-bit PCM WAV (stdlib ``wave``) — including a real
-nearest-neighbor resize for netpbm.  Compressed formats (JPEG/PNG/
-MP3/H.264) have no codec in this container: ``decode_media`` raises
+netpbm images (P6 PPM / P5 PGM, the uncompressed interchange format),
+16-bit PCM WAV (stdlib ``wave``), and 8-bit non-interlaced PNG (pure
+stdlib: zlib inflate + scanline unfilter incl. Sub/Up/Average/Paeth,
+color types 0/2/3/4/6, CRC-checked — see ``_make_png_pixels``) —
+including real nearest-neighbor resizes for netpbm and PNG (the PNG
+one re-encodes with stdlib zlib).  Remaining compressed formats
+(JPEG/MP3/H.264, 16-bit or interlaced PNG) have no codec in this
+container: ``decode_media`` raises
 ``NotImplementedError`` for those mimes unless ``fake=True``, which
 substitutes a deterministic byte-level "decode" (byte histogram
 features).  Swapping in PIL/librosa/pyav extends the same dispatch
@@ -76,7 +80,156 @@ def _byte_histogram(data: bytes, n_buckets: int) -> list[int]:
 #: truth for dispatch in decode AND resize.
 NETPBM_MIMES = ("image/x-portable-pixmap", "image/x-portable-graymap")
 WAV_MIMES = ("audio/wav", "audio/x-wav")
-REAL_DECODE_MIMES = NETPBM_MIMES + WAV_MIMES
+PNG_MIMES = ("image/png",)
+REAL_DECODE_MIMES = NETPBM_MIMES + WAV_MIMES + PNG_MIMES
+
+
+def _make_png_pixels():
+    """Build the pure-stdlib PNG decoder as a LOCAL function.
+
+    Factory, not a module-level helper, on purpose: the mapInPandas
+    closures capture the returned function as a local, so cloudpickle
+    ships it BY VALUE alongside the closure (a module-level function
+    would pickle by reference and drag this package onto executor
+    PYTHONPATHs — see the self-containment note in ``decode_media``).
+
+    Coverage: 8-bit-depth, non-interlaced PNGs of color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — zlib
+    inflate + per-scanline unfilter including Sub/Up/Average/Paeth,
+    with chunk CRCs verified.  16-bit and Adam7-interlaced files
+    raise (rare in training corpora; a PIL-backed build extends the
+    same dispatch).  Returns ``(pixels h*w*ch uint8, color_type)``;
+    palette indices are expanded to RGB so callers always see
+    samples, never indices.
+    """
+
+    def png_pixels(data):
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as _np
+
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG (bad signature)")
+        pos, ihdr, idat, plte = 8, None, [], None
+        while pos + 12 <= len(data):
+            (length,) = _struct.unpack(">I", data[pos : pos + 4])
+            ctag = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if len(body) != length:
+                raise ValueError("truncated PNG chunk")
+            (crc,) = _struct.unpack(
+                ">I", data[pos + 8 + length : pos + 12 + length]
+            )
+            if _zlib.crc32(ctag + body) & 0xFFFFFFFF != crc:
+                raise ValueError("PNG chunk CRC mismatch")
+            if ctag == b"IHDR":
+                ihdr = body
+            elif ctag == b"IDAT":
+                idat.append(body)
+            elif ctag == b"PLTE":
+                plte = body
+            elif ctag == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or not idat:
+            raise ValueError("PNG missing IHDR or IDAT")
+        w, h, depth, ctype, comp, filt, interlace = _struct.unpack(
+            ">IIBBBBB", ihdr
+        )
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            raise ValueError(
+                f"unsupported PNG variant (bit depth {depth}, "
+                f"interlace {interlace}) — only 8-bit non-interlaced "
+                "is decodable without an external codec"
+            )
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if ch is None:
+            raise ValueError(f"unsupported PNG color type {ctype}")
+        raw = _zlib.decompress(b"".join(idat))
+        stride = w * ch
+        if len(raw) != (stride + 1) * h or h == 0 or w == 0:
+            raise ValueError("PNG pixel data length mismatch")
+        out = _np.empty((h, stride), dtype=_np.uint8)
+        prev = _np.zeros(stride, dtype=_np.uint8)
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            line = _np.frombuffer(
+                raw, _np.uint8, stride, y * (stride + 1) + 1
+            ).copy()
+            if f == 0:
+                pass
+            elif f == 2:  # Up — uint8 addition wraps mod 256 per spec
+                line += prev
+            elif f == 1:  # Sub — cumulative sum per byte lane
+                line = (
+                    _np.cumsum(line.reshape(-1, ch), axis=0, dtype=_np.int64)
+                    .astype(_np.uint8)
+                    .reshape(-1)
+                )
+            elif f in (3, 4):  # Average / Paeth — inherently sequential
+                li = line.astype(_np.int32)
+                pr = prev.astype(_np.int32)
+                for i in range(stride):
+                    a = int(li[i - ch]) if i >= ch else 0
+                    b = int(pr[i])
+                    if f == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        c = int(pr[i - ch]) if i >= ch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    li[i] = (li[i] + pred) & 0xFF
+                line = li.astype(_np.uint8)
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            out[y] = line
+            prev = out[y]
+        px = out.reshape(h, w, ch)
+        if ctype == 3:
+            if plte is None:
+                raise ValueError("paletted PNG missing PLTE")
+            pal = _np.frombuffer(plte, _np.uint8)
+            if pal.size % 3 or int(px.max(initial=0)) >= pal.size // 3:
+                raise ValueError("PNG palette index out of range")
+            px = pal.reshape(-1, 3)[px[:, :, 0]]
+        return px, ctype
+
+    return png_pixels
+
+
+def _make_png_encode():
+    """Local-function PNG encoder (same by-value shipping rationale as
+    ``_make_png_pixels``): 8-bit non-interlaced, filter 0 on every
+    scanline, channel count picks the color type (1→gray, 2→gray+alpha,
+    3→RGB, 4→RGBA).  Output round-trips through ``_make_png_pixels``."""
+
+    def png_encode(px):
+        import struct as _struct
+        import zlib as _zlib
+
+        h, w, ch = px.shape
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+        def chunk(tag, body):
+            return (
+                _struct.pack(">I", len(body))
+                + tag
+                + body
+                + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    return png_encode
 
 
 def decode_media(
@@ -91,7 +244,10 @@ def decode_media(
     Output schema: (id, mime, n_bytes, features array<double>[n_buckets]).
 
     Real path (``fake=False``): netpbm images (P6/P5) decode to a
-    normalized pixel-intensity histogram over [0, maxval]; 16-bit PCM
+    normalized pixel-intensity histogram over [0, maxval]; 8-bit PNG
+    decodes (stdlib inflate+unfilter) to the same histogram over its
+    color samples with alpha dropped, so an RGBA re-save of an RGB
+    image featurizes identically; 16-bit PCM
     WAV decodes to a normalized amplitude histogram over the int16
     range.  Mimes outside ``REAL_DECODE_MIMES`` raise
     ``NotImplementedError`` at execution time — the honest marker that
@@ -110,8 +266,10 @@ def decode_media(
     # NB: the closure must stay self-contained (no references to this
     # module's globals) so cloudpickle ships it by value — executors then
     # need only pandas/numpy, not this package on their PYTHONPATH.
-    # Mime dispatch tuples are captured as plain locals for that reason.
-    netpbm_mimes, wav_mimes = NETPBM_MIMES, WAV_MIMES
+    # Mime dispatch tuples are captured as plain locals for that reason;
+    # the PNG decoder comes from a factory so it is a local function too.
+    netpbm_mimes, wav_mimes, png_mimes = NETPBM_MIMES, WAV_MIMES, PNG_MIMES
+    png_pixels = _make_png_pixels()
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -172,6 +330,21 @@ def decode_media(
                     feats = [c / total for c in counts]
                 elif mime in netpbm_mimes:
                     feats = [float(x) for x in _netpbm_hist(data)]
+                elif mime in png_mimes:
+                    px, ctype = png_pixels(data)
+                    # intensity histogram over COLOR samples — drop the
+                    # alpha channel so RGBA matches its RGB twin (same
+                    # semantics as P6 vs P5)
+                    if ctype == 6:
+                        px = px[:, :, :3]
+                    elif ctype == 4:
+                        px = px[:, :, :1]
+                    flat = px.reshape(-1).astype(_np.int64)
+                    idx = flat * n_buckets // 256
+                    counts = _np.bincount(idx, minlength=n_buckets)[:n_buckets]
+                    feats = [
+                        float(x) for x in counts / max(float(flat.size), 1.0)
+                    ]
                 elif mime in wav_mimes:
                     feats = [float(x) for x in _wav_hist(data)]
                 else:
@@ -204,8 +377,11 @@ def resize_media(
 
     Real path (``fake=False``): netpbm payloads (P6 PPM / P5 PGM)
     decode, nearest-neighbor resample (vectorized numpy row/column
-    gather), and re-encode as valid netpbm bytes of the same format.
-    Other mimes raise NotImplementedError (no compressed-format codec
+    gather), and re-encode as valid netpbm bytes of the same format;
+    8-bit PNG decodes through the stdlib codec, resamples the same
+    way (alpha preserved), and re-encodes as a valid PNG (paletted
+    input comes back as plain RGB).  Other mimes raise
+    NotImplementedError (no compressed-format codec
     in this container); a PIL-backed build extends the same dispatch.
     ``fake=True`` keeps the deterministic byte-stride "resample"
     (keep every ceil(len/target_area)-th byte) — schema-correct and
@@ -221,7 +397,9 @@ def resize_media(
         ]
     )
     target_area = max(target_width * target_height, 1)
-    netpbm_mimes = NETPBM_MIMES  # captured by value (see decode_media)
+    # captured by value (see decode_media)
+    netpbm_mimes, png_mimes = NETPBM_MIMES, PNG_MIMES
+    png_pixels, png_encode = _make_png_pixels(), _make_png_encode()
 
     def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math as _math
@@ -264,6 +442,13 @@ def resize_media(
                     out = data[::stride]
                 elif mime in netpbm_mimes:
                     out = _netpbm_resize(data)
+                elif mime in png_mimes:
+                    px, _ctype = png_pixels(data)
+                    ys = _np.arange(target_height) * px.shape[0] // target_height
+                    xs = _np.arange(target_width) * px.shape[1] // target_width
+                    # paletted input re-encodes as plain RGB (palette
+                    # expansion happened in the decoder); alpha survives
+                    out = png_encode(_np.ascontiguousarray(px[ys][:, xs]))
                 else:
                     raise NotImplementedError(
                         f"no codec for mime {mime!r} in this environment; "
@@ -322,9 +507,10 @@ def perceptual_hash(
     within a few Hamming bits of each other, where byte hashes see
     nothing.
 
-    Real path: netpbm images decode, grayscale (channel mean),
-    nearest-neighbor 8x8 downsample, threshold each cell against the
-    cell mean -> 64 bits packed MSB-first row-major (signed int64,
+    Real path: netpbm and 8-bit PNG images decode, grayscale (channel
+    mean, PNG alpha excluded so an RGBA re-save hashes like its RGB
+    twin), nearest-neighbor 8x8 downsample, threshold each cell against
+    the cell mean -> 64 bits packed MSB-first row-major (signed int64,
     two's complement).  16-bit PCM WAV uses 64 contiguous sample-block
     means thresholded the same way (the audio analog).  Other mimes
     raise NotImplementedError unless ``fake=True`` (64 byte-block
@@ -339,7 +525,8 @@ def perceptual_hash(
     out_schema = T.StructType(
         [T.StructField("id", T.LongType()), T.StructField("phash", T.LongType())]
     )
-    netpbm_mimes, wav_mimes = NETPBM_MIMES, WAV_MIMES
+    netpbm_mimes, wav_mimes, png_mimes = NETPBM_MIMES, WAV_MIMES, PNG_MIMES
+    png_pixels = _make_png_pixels()
 
     def _hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -407,6 +594,17 @@ def perceptual_hash(
                     ph = _cells_hash(_np.frombuffer(data, dtype=_np.uint8))
                 elif mime in netpbm_mimes:
                     ph = _netpbm_hash(data)
+                elif mime in png_mimes:
+                    px, ctype = png_pixels(data)
+                    if ctype == 6:
+                        px = px[:, :, :3]
+                    elif ctype == 4:
+                        px = px[:, :, :1]
+                    gray = px.astype(_np.float64).mean(axis=2)
+                    ys = (_np.arange(8) * gray.shape[0]) // 8
+                    xs = (_np.arange(8) * gray.shape[1]) // 8
+                    cells = gray[ys][:, xs].ravel()
+                    ph = _pack(cells > cells.mean())
                 elif mime in wav_mimes:
                     ph = _wav_hash(data)
                 else:

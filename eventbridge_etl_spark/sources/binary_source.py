@@ -22,9 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Extension → mime for the stdlib-decodable formats plus common
-#: compressed ones (which decode_media honestly rejects without
-#: fake=True).
+#: Extension → mime for the stdlib-decodable formats (netpbm, WAV, and
+#: 8-bit PNG) plus common compressed ones (which decode_media honestly
+#: rejects without fake=True).
 EXT_MIME = {
     "ppm": "image/x-portable-pixmap",
     "pgm": "image/x-portable-graymap",

@@ -67,8 +67,9 @@ def test_decode_media_fake_histogram(spark):
 
 
 def test_decode_media_real_path_is_honest_stub(spark):
+    # JPEG stays honestly undecodable (PNG became a real codec in r6)
     df = spark.createDataFrame([(1, "data")], ["doc_id", "text"])
-    wrapped = attach_payload(df, "text", mime="image/png")
+    wrapped = attach_payload(df, "text", mime="image/jpeg")
     with pytest.raises(Exception) as exc:
         decode_media(wrapped, "doc_id", fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
@@ -184,6 +185,136 @@ def test_resize_media_real_ppm_nearest_neighbor(spark):
     # resized payload parses through the real decoder (valid netpbm out)
     decoded = decode_media(out, "id", fake=False, n_buckets=4).collect()[0]
     assert decoded["n_bytes"] == len(data) and len(decoded["features"]) == 4
+
+
+class TestRealPngCodec:
+    """Pure-stdlib PNG decode (zlib inflate + scanline unfilter incl.
+    Paeth) through the REAL mapInPandas path — the committed fixtures
+    encode the SAME rasters as the netpbm fixtures with scanline
+    filters cycling through all five types, so parity with the netpbm
+    decode proves every unfilter branch pixel-exact end to end."""
+
+    def test_png_histogram_matches_netpbm_twin(self, spark):
+        ppm, _ = _payload_df(
+            spark, "fixture_gradient.ppm", "image/x-portable-pixmap"
+        )
+        png, _ = _payload_df(spark, "fixture_rgb.png", "image/png")
+        a = decode_media(ppm, "doc_id", fake=False, n_buckets=8).collect()[0]
+        b = decode_media(png, "doc_id", fake=False, n_buckets=8).collect()[0]
+        assert a["features"] == b["features"]
+
+        pgm, _ = _payload_df(
+            spark, "fixture_gray.pgm", "image/x-portable-graymap"
+        )
+        gpng, _ = _payload_df(spark, "fixture_gray.png", "image/png")
+        a = decode_media(pgm, "doc_id", fake=False, n_buckets=8).collect()[0]
+        b = decode_media(gpng, "doc_id", fake=False, n_buckets=8).collect()[0]
+        assert a["features"] == b["features"]
+
+    def test_rgba_alpha_dropped(self, spark):
+        rgb, _ = _payload_df(spark, "fixture_rgb.png", "image/png")
+        rgba, _ = _payload_df(spark, "fixture_rgba.png", "image/png")
+        a = decode_media(rgb, "doc_id", fake=False, n_buckets=8).collect()[0]
+        b = decode_media(rgba, "doc_id", fake=False, n_buckets=8).collect()[0]
+        assert a["features"] == b["features"]
+
+    def test_paletted_decode(self, spark):
+        pal, _ = _payload_df(spark, "fixture_pal.png", "image/png")
+        row = decode_media(pal, "doc_id", fake=False, n_buckets=4).collect()[0]
+        palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (255, 255, 255)]
+        vals = [
+            c
+            for y in range(6)
+            for x in range(8)
+            for c in palette[(x + y) % 4]
+        ]
+        counts = [0] * 4
+        for v in vals:
+            counts[v * 4 // 256] += 1
+        assert row["features"] == [c / len(vals) for c in counts]
+
+    def test_phash_matches_netpbm_twin(self, spark):
+        from eventbridge_etl_spark.operators.multimodal import perceptual_hash
+
+        def ph(fname, mime):
+            wrapped, _ = _payload_df(spark, fname, mime)
+            return perceptual_hash(wrapped, "doc_id").collect()[0]["phash"]
+
+        assert ph("fixture_rgb.png", "image/png") == ph(
+            "fixture_gradient.ppm", "image/x-portable-pixmap"
+        )
+        # alpha excluded -> RGBA re-save hashes like its RGB twin
+        assert ph("fixture_rgba.png", "image/png") == ph(
+            "fixture_rgb.png", "image/png"
+        )
+
+    def test_resize_reencodes_valid_png(self, spark):
+        from eventbridge_etl_spark.operators.multimodal import resize_media
+
+        wrapped, _ = _payload_df(spark, "fixture_rgb.png", "image/png")
+        out = resize_media(
+            wrapped, "doc_id", target_width=4, target_height=3, fake=False
+        )
+        row = out.collect()[0]
+        data = bytes(row["payload"]["data"])
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert row["payload"]["meta"]["width"] == 4
+
+        # pixel-exact: decode the re-encoded bytes with an independent
+        # instantiation of the decoder and compare to the direct gather
+        from eventbridge_etl_spark.operators.multimodal import _make_png_pixels
+
+        px, ctype = _make_png_pixels()(data)
+        assert ctype == 2 and px.shape == (3, 4, 3)
+        for yi, y in enumerate((0 * 12 // 3, 1 * 12 // 3, 2 * 12 // 3)):
+            for xi, x in enumerate((0, 16 // 4, 2 * 16 // 4, 3 * 16 // 4)):
+                assert tuple(int(v) for v in px[yi, xi]) == (
+                    (x * 16) % 256, (y * 21) % 256, (x * y) % 256
+                )
+        # and the resized payload decodes through the operator path too
+        decoded = decode_media(out, "id", fake=False, n_buckets=4).collect()[0]
+        assert len(decoded["features"]) == 4
+
+    def test_malformed_and_unsupported_png_raise(self, spark):
+        import struct
+        import zlib
+
+        # bad CRC: flip a byte inside the committed fixture's IDAT
+        with open(
+            __import__("os").path.join(FIXTURE_DIR, "fixture_rgb.png"), "rb"
+        ) as f:
+            good = bytearray(f.read())
+        good[-20] ^= 0xFF
+        df = spark.createDataFrame(
+            [(1, bytearray(good))], "doc_id long, raw binary"
+        )
+        with pytest.raises(Exception) as e1:
+            decode_media(
+                attach_payload(df, "raw", mime="image/png"), "doc_id", fake=False
+            ).collect()
+        assert "CRC" in str(e1.value) or "PNG" in str(e1.value)
+
+        # 16-bit depth: honestly unsupported, not silently wrong
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+        raw = b"\x00" + b"\x00\x01\x00\x02"
+        deep = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+        df2 = spark.createDataFrame(
+            [(1, bytearray(deep))], "doc_id long, raw binary"
+        )
+        with pytest.raises(Exception) as e2:
+            decode_media(
+                attach_payload(df2, "raw", mime="image/png"), "doc_id", fake=False
+            ).collect()
+        assert "unsupported PNG" in str(e2.value)
 
 
 def test_frame_sample(spark):
@@ -335,21 +466,26 @@ def test_binary_source_to_real_decode_end_to_end(spark):
     df = read_binary_files(spark, FIXTURE_DIR, glob="fixture_*")
     rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
     assert set(rows) == {
-        "fixture_gradient.ppm", "fixture_gray.pgm", "fixture_tone.wav"
+        "fixture_gradient.ppm", "fixture_gray.pgm", "fixture_tone.wav",
+        "fixture_rgb.png", "fixture_rgba.png", "fixture_gray.png",
+        "fixture_pal.png",
     }
     assert rows["fixture_gradient.ppm"]["payload"]["meta"]["mime"] == (
         "image/x-portable-pixmap"
     )
     assert rows["fixture_tone.wav"]["payload"]["meta"]["mime"] == "audio/wav"
+    assert rows["fixture_rgb.png"]["payload"]["meta"]["mime"] == "image/png"
 
     decoded = {
-        r["mime"]: r
+        r["id"]: r
         for r in decode_media(df, "length", fake=False, n_buckets=8).collect()
     }
-    assert set(decoded) == {
-        "image/x-portable-pixmap", "image/x-portable-graymap", "audio/wav"
+    assert {d["mime"] for d in decoded.values()} == {
+        "image/x-portable-pixmap", "image/x-portable-graymap", "audio/wav",
+        "image/png",
     }
     # agree with the direct-attach decode of the same bytes
+    decoded = {d["mime"]: d for d in decoded.values() if d["mime"] != "image/png"}
     for fname, mime in (
         ("fixture_gradient.ppm", "image/x-portable-pixmap"),
         ("fixture_tone.wav", "audio/wav"),
