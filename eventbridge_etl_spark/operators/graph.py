@@ -45,18 +45,37 @@ def pagerank(
     distinct src or dst; initial rank 1/N; update
     ``rank' = (1-d)/N + d * Σ_in rank * w/out_w``.
     """
+    from pyspark import StorageLevel
+
     src, dst = F.col(src_col), F.col(dst_col)
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
-    e = edges.select(src.alias("_src"), dst.alias("_dst"), w.alias("_w"))
+    # weight contract: transition probabilities need POSITIVE weights.
+    # Nonpositive-weight edges are dropped up front — without this, a
+    # source whose weights sum to 0 divides 0/0 into NaN fractions,
+    # which Spark's decimal cast silently nulls (rank mass vanishes)
+    # while a replicating SQL engine hard-errors on the cast.  The
+    # node set is therefore defined by the POSITIVE-weight graph: a
+    # node whose every incident edge is dropped leaves the graph; a
+    # source with no surviving OUT-edges is dangling (documented leak).
+    e = edges.select(src.alias("_src"), dst.alias("_dst"), w.alias("_w")).filter(
+        F.col("_w") > 0
+    )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # iteration-invariant edge fraction w / out_w (pure double divide)
+    # iteration-invariant edge fraction w / out_w (pure double divide);
+    # persisted with the node set: the unrolled plan reads each of them
+    # once PER ITERATION, and without the persist every iteration
+    # re-scans edges and re-aggregates out-weights unless ReuseExchange
+    # happens to dedupe all the copies
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
-    frac = e.join(out_w, "_src").select(
-        "_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_frac")
+    frac = (
+        e.join(out_w, "_src")
+        .select("_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_frac"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.agg(F.count("*").alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
@@ -109,9 +128,16 @@ def transition_edges(
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    lagged = events.select(
-        F.lag(label_col).over(w).alias("src"), F.col(label_col).alias("dst")
-    ).filter(F.col("src").isNotNull())
+    # null labels are non-observations, dropped BEFORE the lag: with
+    # them in the window, [A, NULL, B] would emit a phantom (A, NULL)
+    # edge and lose the true A->B transition entirely
+    lagged = (
+        events.filter(F.col(label_col).isNotNull())
+        .select(
+            F.lag(label_col).over(w).alias("src"), F.col(label_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull())
+    )
     return lagged.groupBy("src", "dst").agg(F.count("*").alias("n"))
 
 
@@ -140,7 +166,11 @@ def triangle_count(
     a, b = F.col(a_col), F.col(b_col)
     # normalized edge list and oriented edge list are each read by
     # multiple downstream consumers — persist them so the census costs
-    # one wedge join, not three recomputations of the whole prefix
+    # one wedge join, not three recomputations of the whole prefix.
+    # Deliberately NOT unpersisted here: the returned one-row frame is
+    # lazy and still references both.  Callers running many queries in
+    # one session reclaim the blocks via the registry's centralized
+    # clearCache hook (__spark_entry__._fresh_cache) or their own.
     e = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
@@ -225,6 +255,12 @@ def bfs_hops(
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
+            # frontier PRUNE: drop already-visited nodes.  Without it a
+            # cycle re-expands the entire reachable set at every level
+            # (O(reachable-edges) redundant shuffle per hop); with it
+            # each level is proportional to newly discovered nodes and
+            # the min-hop result is identical.
+            .join(dist.select("node"), "node", "left_anti")
         )
         dist = dist.unionByName(nxt.select("node", F.lit(h).alias("hop")))
         frontier = nxt

@@ -51,7 +51,13 @@ def grouped_ols(
     ``(group, n, slope, intercept, r2)`` with slope/intercept in the
     ORIGINAL y units (divided by ``y_scale``), rounded to 6 decimals;
     groups with zero x-variance get null slope/intercept/r2.
+
+    Rows where either coordinate is null are excluded BEFORE the
+    aggregate — including them would count toward ``n`` while the sums
+    skipped them, mixing inconsistent sufficient statistics into a
+    mathematically invalid fit (review finding r6).
     """
+    df = df.filter(x.isNotNull() & y_scaled.isNotNull())
     xl = x.cast("long")
     yl = y_scaled.cast("long")
     # products are formed with a DECIMAL(38,0) left operand so squares
@@ -101,6 +107,9 @@ def jackknife_mean(
     SE = sqrt((k-1)/k · Σ(θ_i − θ̄)²).
 
     Returns ``(group, n, mean, jk_se)``, all floats rounded to 6.
+    Null observations are excluded up front; a group whose rows all
+    hash into a single fold has no leave-one-out estimate and returns
+    a null ``jk_se`` (mean and n still populated).
 
     Shape: one hash aggregate keyed on (group, fold) — the exchange
     carries k rows per group — then a k-row window per group for the
@@ -111,6 +120,10 @@ def jackknife_mean(
     """
     from pyspark.sql import Window
 
+    # null observations carry no mean information: drop them up front
+    # so n, the fold sums, and the fold counts all describe the same
+    # rows (counting them while the sums skipped them biased the mean)
+    df = df.filter(F.col(value_col).isNotNull())
     fold = (
         F.expr(
             f"conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10)"
@@ -125,9 +138,14 @@ def jackknife_mean(
     tot = per_fold.withColumn("_st", F.sum("_s").over(w)).withColumn(
         "_nt", F.sum("_n").over(w)
     )
-    theta_i = (
+    # a group whose rows all land in ONE fold has no leave-one-out
+    # complement (nt == n): theta is undefined, not 0/0 -> NaN (which
+    # Spark's decimal cast would silently null while DuckDB errors);
+    # null theta propagates to a null jk_se for that group
+    theta_i = F.when(
+        F.col("_nt") != F.col("_n"),
         (F.col("_st") - F.col("_s")).cast("double")
-        / (F.col("_nt") - F.col("_n")).cast("double")
+        / (F.col("_nt") - F.col("_n")).cast("double"),
     )
     # theta_i rounded to 12 BEFORE any cross-fold summation; the fold
     # mean and the squared deviations both decimal-sum rounded images so

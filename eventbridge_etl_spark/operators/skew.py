@@ -51,6 +51,15 @@ def salted_join(
         raise ValueError(
             f"salted_join supports inner/left joins (skewed side preserved); got {how!r}"
         )
+    if n_salts < 1:
+        # explode of an empty array would silently DROP every `other`
+        # row (empty inner join / all-null left join) — error instead
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if SALT_COL in skewed.columns or SALT_COL in other.columns:
+        raise ValueError(
+            f"input already has a {SALT_COL!r} column; rename it — the "
+            "salting would overwrite and then drop it"
+        )
     on = list(on)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     s = skewed.withColumn(SALT_COL, salt)
@@ -62,13 +71,18 @@ def salted_join(
 
 def top_keys(df: DataFrame, keys: Sequence[str], n: int = 20) -> DataFrame:
     """Diagnostic: the ``n`` heaviest key groups with their row counts and
-    share of the table — run this before deciding to salt."""
+    share of the table — run this before deciding to salt.
+
+    One scan: the table total is the sum of the per-key counts the
+    aggregate already computes (a scalar-subquery-shaped broadcast
+    join), not a separate eager ``count()`` job over the input."""
     keys = list(keys)
-    total = df.count()
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = per_key.agg(F.sum("n_rows").alias("_total"))
     return (
-        df.groupBy(*keys)
-        .agg(F.count("*").alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
+        .drop("_total")
         .orderBy(F.col("n_rows").desc(), *keys)
         .limit(n)
     )

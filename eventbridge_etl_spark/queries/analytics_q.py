@@ -33,6 +33,9 @@ def _t(spark, sf_dir, name):
              date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS x,
              CAST(round(o_totalprice * 100) AS BIGINT) AS y
       FROM orders
+      -- null-coordinate rows are excluded on both sides (operator
+      -- filters them before the aggregate)
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
     ),
     s AS (
       SELECT grp, COUNT(*) AS n,
@@ -697,6 +700,7 @@ def events_interp_fill(spark, sf_dir):
                % 20 AS fold,
              value
       FROM events
+      WHERE value IS NOT NULL  -- operator drops null observations
     ),
     pf AS (
       SELECT grp, fold,
@@ -709,9 +713,12 @@ def events_interp_fill(spark, sf_dir):
       FROM pf GROUP BY grp
     ),
     ti AS (
+      -- single-occupied-fold groups (nt = n) have no leave-one-out
+      -- estimate: ti is NULL, so jk_se aggregates to NULL below
       SELECT pf.grp,
-             round(CAST(tot.st - pf.s AS DOUBLE)
-                   / CAST(tot.nt - pf.n AS DOUBLE), 12) AS ti,
+             CASE WHEN tot.nt <> pf.n
+                  THEN round(CAST(tot.st - pf.s AS DOUBLE)
+                             / CAST(tot.nt - pf.n AS DOUBLE), 12) END AS ti,
              tot.st, tot.nt, tot.kk
       FROM pf JOIN tot ON tot.grp = pf.grp
     ),

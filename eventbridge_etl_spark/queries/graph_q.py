@@ -30,6 +30,7 @@ def _pagerank_oracle(damping: float, iterations: int) -> str:
                                    ORDER BY ts, event_id) AS src,
              event_type AS dst
       FROM events
+      WHERE event_type IS NOT NULL  -- operator drops null labels pre-lag
     ),
     e AS (
       SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
@@ -93,6 +94,7 @@ def _bfs_oracle(max_hops: int, source_type: str) -> str:
                                    ORDER BY ts, event_id) AS src,
              event_type AS dst
       FROM events
+      WHERE event_type IS NOT NULL  -- operator drops null labels pre-lag
     ),
     e AS (SELECT DISTINCT src, dst FROM lagged WHERE src IS NOT NULL),
     f0 AS (SELECT '{source_type}' AS node)"""
@@ -137,6 +139,7 @@ def graph_bfs_hops(spark, sf_dir):
                                    ORDER BY ts, event_id) AS src,
              event_type AS dst
       FROM events
+      WHERE event_type IS NOT NULL  -- operator drops null labels pre-lag
     ),
     e AS (
       SELECT src, dst, COUNT(*) AS n FROM lagged

@@ -174,3 +174,58 @@ class TestEntropyRate:
         # all mass on a->b and b->a, each conditional prob 1 -> ln 1 = 0
         assert e.count() == 2
         assert e.agg(F.sum("n")).collect()[0][0] == 19
+
+
+def test_transition_edges_skip_null_labels(spark):
+    """[A, NULL, B] must yield the true A->B transition, not a phantom
+    (A, NULL) edge plus a lost successor (r6 review finding)."""
+    import datetime as dt
+
+    from eventbridge_etl_spark.operators.graph import transition_edges
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "A", 1.0),
+        (2, t0 + dt.timedelta(minutes=1), 1, None, 1.0),
+        (3, t0 + dt.timedelta(minutes=2), 1, "B", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    got = {(r["src"], r["dst"]): r["n"] for r in transition_edges(df).collect()}
+    assert got == {("A", "B"): 1}
+
+
+def test_pagerank_drops_nonpositive_weights(spark):
+    """A source whose out-weights sum to zero must not inject NaN into
+    the rank mass (r6 review finding): zero-weight edges drop, the
+    node dangles, and every rank stays finite and non-null."""
+    from eventbridge_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.0), ("a", "c", 0.0), ("b", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    out = {r["node"]: r["rank"] for r in
+           pagerank(edges, weight_col="w", iterations=2).collect()}
+    # the node set is defined by the POSITIVE-weight graph: a's only
+    # edges are zero-weight, so a leaves the graph entirely
+    assert set(out) == {"b", "c"}
+    assert all(v is not None and v == v for v in out.values())
+    assert out["c"] > out["b"]
+
+
+def test_bfs_frontier_prunes_visited(spark):
+    """On a cycle the pruned frontier must empty once everything is
+    visited — the level-3 expansion joins zero rows instead of
+    re-expanding the whole component (r6 review finding); results
+    unchanged."""
+    from eventbridge_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, src, 5).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}

@@ -70,3 +70,29 @@ def test_top_keys_diagnostic(spark):
     assert len(rows) == 5
     assert rows[0]["n_rows"] >= rows[-1]["n_rows"]
     assert 0 < rows[0]["share"] < 1
+
+
+def test_salted_join_rejects_bad_n_salts_and_salt_collision(spark):
+    """r6 review findings: n_salts<=0 silently dropped every `other`
+    row (explode of an empty array), and a pre-existing `_salt` column
+    was overwritten then dropped — both must raise instead."""
+    od, li = _orders_lineitem(spark)
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(li, od, ["o_orderkey"], n_salts=0)
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(li.withColumn(SALT_COL, F.lit(1)), od, ["o_orderkey"])
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(li, od.withColumn(SALT_COL, F.lit(1)), ["o_orderkey"])
+
+
+def test_top_keys_single_scan(spark):
+    """The table total comes from the aggregate's own counts — no
+    separate eager count() job, one scan (shared-subplan shape)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    top = top_keys(li, ["l_orderkey"], n=3)
+    rows = top.collect()  # finalize the adaptive plan first
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 1 or "ReusedExchange" in plan, plan
+    # share still correct: uses the true table total
+    total = li.count()
+    assert rows[0]["share"] == round(rows[0]["n_rows"] / total, 6)
