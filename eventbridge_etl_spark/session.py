@@ -36,6 +36,15 @@ ENGINE_CONF: dict[str, str] = {
     # and with the UTC session zone the wall-clock values are identical
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MiB
+    # Local mode runs driver and executors in ONE JVM whose heap
+    # defaults to 1 GiB — enough for sf0.1, but the first sf1-scale
+    # broadcast build dies with "Not enough memory to build and
+    # broadcast" (measured in the r6 scaling runs).  Size the heap to
+    # the box (128 GiB here); on a real cluster spark-submit's
+    # --driver-memory/--executor-memory override this.  Only effective
+    # for the process's FIRST session (the JVM is already up after
+    # that), which is how every harness here runs.
+    "spark.driver.memory": "48g",
     "spark.sql.session.timeZone": "UTC",
     # Runtime filters: a semi-join bloom filter built from the small side
     # of a large shuffle join is pushed into the probe side's SCAN — at
