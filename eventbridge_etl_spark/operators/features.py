@@ -55,7 +55,7 @@ def robust_scale(
     _guard_temp_columns(df, ["_med", "_iqr"])
     # one shared percentile buffer for all three quantiles (three
     # separate percentile() aggregates would each buffer the group)
-    q = F.expr(f"percentile({value_col}, array(0.5, 0.75, 0.25))")
+    q = F.expr(f"percentile(`{value_col}`, array(0.5, 0.75, 0.25))")
     stats = df.groupBy(group_col).agg(
         q.getItem(0).alias("_med"),
         (q.getItem(1) - q.getItem(2)).alias("_iqr"),
@@ -96,7 +96,7 @@ def equidepth_bins(
     qcols = [f"_q{i}" for i in range(1, n_bins)]
     _guard_temp_columns(df, qcols)
     fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
-    q = F.expr(f"percentile({value_col}, array({fracs}))")  # one buffer
+    q = F.expr(f"percentile(`{value_col}`, array({fracs}))")  # one buffer
     stats = df.groupBy(group_col).agg(
         *[q.getItem(i).alias(c) for i, c in enumerate(qcols)]
     )

@@ -48,6 +48,8 @@ def funnel_steps(
     ``(key, step_1_ts, ..., step_N_ts, n_steps)`` with nulls from the
     first uncompleted step onward.
     """
+    if not steps:
+        raise ValueError("steps must name at least one event type")
     w = Window.partitionBy(key_col)
     ts, typ = F.col(ts_col), F.col(type_col)
     df = events.select(key_col, ts.alias("_ts"), typ.alias("_tp"))
@@ -171,7 +173,11 @@ def linear_attribution(
     from pyspark import StorageLevel
 
     # pairs feeds three consumers (count agg, credit agg, direct
-    # anti-join); persist so the user-key join runs once, not three times
+    # anti-join); persist so the user-key join runs once, not three
+    # times.  Deliberately NOT unpersisted here — the returned frame is
+    # lazy and still references it; long-lived sessions reclaim blocks
+    # via the registry's centralized clearCache hook
+    # (__spark_entry__._fresh_cache) or their own cleanup.
     pairs = conv.join(touch, "_u").where(
         (F.col("_tus") >= F.col("_cus") - w_us) & (F.col("_tus") < F.col("_cus"))
     ).persist(StorageLevel.MEMORY_AND_DISK)

@@ -28,7 +28,16 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def tokens(text: Column | str, lowercase: bool = True) -> Column:
-    """Whitespace tokenization to an array column."""
+    """Whitespace tokenization to an array column.
+
+    CONVENTION: empty or whitespace-only text yields ``['']`` — one
+    empty-string token — because ``split('', '\\s+')`` does in BOTH
+    Java and RE2, and every DuckDB oracle in the registry tokenizes
+    with the same ``regexp_split_to_array`` expression.  Blank
+    documents therefore count 1 token engine-wide (consistently on
+    both sides of every gate); filter them upstream if exact
+    zero-counts matter to a pipeline.
+    """
     col = F.col(text) if isinstance(text, str) else text
     if lowercase:
         col = F.lower(col)
@@ -58,6 +67,10 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     return {
         "n_chars": n_chars,
         "n_tokens": n_tok,
+        # separator-normalized APPROXIMATION: assumes single-space
+        # separators and trimmed text (irregular whitespace inflates
+        # it); mirrored verbatim by the gate oracle.  gopher_flags
+        # computes the exact per-token mean where precision matters.
         "mean_token_len": (n_chars - (n_tok - 1)) / n_tok,
         "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
         "distinct_token_ratio": F.size(F.array_distinct(toks)) / n_tok,
@@ -216,7 +229,10 @@ def document_frequency(df, text_col: str = "text", id_col: str = "doc_id"):
 PII_PATTERNS: dict[str, str] = {
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    "PHONE": r"\+\d{7,15}",
+    # unbounded upper end on purpose: a capped {7,15} left digits 16+
+    # of a longer run RAW in the "redacted" text (review finding r6);
+    # greedy \d{7,} consumes the whole run in both Java and RE2
+    "PHONE": r"\+\d{7,}",
 }
 
 
@@ -472,7 +488,10 @@ def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
     exact integer, rounded to 6 and decimal-summed; the final entropy
     rounds to 4.
 
-    Returns (id, n_chars, entropy).  Empty documents report entropy 0.
+    Returns (id, n_chars, entropy).  Empty documents produce NO row
+    (their zero characters never reach the per-character aggregate) —
+    left-join back onto the corpus and coalesce to 0 if every id must
+    appear.
     """
     chars = df.select(
         F.col(id_col).alias("id"),
@@ -580,7 +599,10 @@ def ngram_novelty(
     )
     from pyspark import StorageLevel
 
-    # per feeds the gram-frequency aggregate AND the join back; persist
+    # per feeds the gram-frequency aggregate AND the join back; persist.
+    # Not unpersisted here (the returned frame still references it) —
+    # the registry's centralized clearCache hook reclaims it between
+    # queries (__spark_entry__._fresh_cache).
     # so the gram explode+hash runs once per action tree
     per = df.select(F.col(id_col), F.explode(gs).alias("_g")).persist(
         StorageLevel.MEMORY_AND_DISK

@@ -79,7 +79,7 @@ def gap_fill_hourly(
         .groupBy(k.alias(key_col), hour.alias("hour"))
         .agg(
             F.count("*").alias("n_events"),
-            F.expr(f"max_by({value_col}, _ok)").alias("last_value"),
+            F.expr(f"max_by(`{value_col}`, _ok)").alias("last_value"),
         )
     )
     joined = grid.join(observed, [key_col, "hour"], "left").withColumn(
@@ -138,12 +138,15 @@ def ohlc_bars(
             F.date_trunc(granularity, F.col(ts_col)).alias("bucket"),
         )
         .agg(
-            F.expr(f"min_by({value_col}, _ok)").alias("open"),
+            F.expr(f"min_by(`{value_col}`, _ok)").alias("open"),
             F.max(v).alias("high"),
             F.min(v).alias("low"),
-            F.expr(f"max_by({value_col}, _ok)").alias("close"),
+            F.expr(f"max_by(`{value_col}`, _ok)").alias("close"),
             F.count("*").alias("n_events"),
-            F.round(F.sum(v), 2).alias("volume"),
+            # decimal-summed like every other cross-engine sum in this
+            # module: round(sum(double), 2) was the one remaining
+            # order-dependent IEEE accumulation (review finding r6)
+            F.round(F.sum(_dec(v)).cast("double"), 2).alias("volume"),
         )
     )
 
@@ -220,6 +223,7 @@ def rolling_zscore(
     lookback: int = 20,
     min_obs: int = 10,
     threshold: float = 3.0,
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Flag observations whose value deviates > ``threshold`` sigma from
     the trailing ``lookback``-row mean (current row excluded).
@@ -232,12 +236,23 @@ def rolling_zscore(
     — exact for |value| <= 1e16, which already exceeds the range where
     a double holds integers exactly (2^53).  Rows with fewer than
     ``min_obs`` trailing observations or zero variance get ``zscore``
-    null / ``is_anomaly`` false.
+    null / ``is_anomaly`` false.  Null observations get a null zscore
+    and ``is_anomaly`` FALSE (never null), and do not count into any
+    frame's statistics.  The frame order is (ts, tiebreak) — the same
+    explicit-tiebreak determinism contract as every sibling here: a
+    ts-only order would make frame contents (and therefore zscores)
+    depend on arbitrary row order whenever timestamps tie.
     """
+    if tiebreak_col not in events.columns:
+        raise ValueError(
+            f"tiebreak column {tiebreak_col!r} not in input; pass a unique "
+            "column that breaks timestamp ties (determinism requires a "
+            "total order)"
+        )
     v = F.col(value_col)
     frame = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col)
+        .orderBy(ts_col, tiebreak_col)
         .rowsBetween(-lookback, -1)
     )
     n = F.count(value_col).over(frame)
@@ -255,7 +270,13 @@ def rolling_zscore(
         ts_col,
         value_col,
         F.when(ok, F.round(z, 4)).alias("zscore"),
-        F.when(ok, F.abs(z) > threshold).otherwise(F.lit(False)).alias("is_anomaly"),
+        # coalesce, not otherwise: a NULL value with a valid frame makes
+        # the when-branch itself NULL (when(true, NULL)), which
+        # .otherwise() would NOT catch — the oracle's COALESCE(.., FALSE)
+        # semantics require it here too
+        F.coalesce(F.when(ok, F.abs(z) > threshold), F.lit(False)).alias(
+            "is_anomaly"
+        ),
     )
 
 

@@ -101,6 +101,15 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_sentence_spans",
     # --- the single new round-6 gate (VERDICT r5 item 3) ---
     "dedup_tfidf_cosine_capped",
+    # --- code or oracle CHANGED in round 6, must re-verify: zscore
+    # gained the explicit tiebreak + null-anomaly coalesce (operator
+    # AND oracle), OHLC volume moved to decimal summation (both
+    # sides), and the PII phone pattern lost its 15-digit cap (shared
+    # constant).  These displace the last three r2-stale TPC-H rows
+    # (q17/q18/q19), which now lead the r7 overflow instead.
+    "events_anomaly_zscore",
+    "events_ohlc_hourly",
+    "text_pii_redact",
     # --- r2-stale, oldest-evidence first (last green CORRECTNESS_r02;
     # code untouched since) — 26 of 38 fit this window ---
     "fn_higher_order_surface",
@@ -126,12 +135,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q14_promo_effect",
     "q15_top_supplier",
     "q16_supplier_part_counts",
+    # ============== OVERFLOW (position 51+) — LEADS ROUND 7 ============
+    # The 15 remaining r2-stale rows (q17/q18/q19 displaced by the
+    # three round-6 changed gates above); after r6 these are the ONLY
+    # queries with evidence older than r3 and MUST head the r7 window.
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicates",
-    # ============== OVERFLOW (position 51+) — LEADS ROUND 7 ============
-    # The 12 remaining r2-stale rows; after r6 these are the ONLY
-    # queries with evidence older than r3 and MUST head the r7 window.
     "q21_waiting_orders",
     "q22_dormant_customers",
     "q13_customer_distribution",
@@ -164,7 +174,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_quantize_int8",
     "text_chunk_windows",
     "text_document_frequency",
-    "text_pii_redact",
+    # (text_pii_redact moved into the r6 changed-gate head above)
     "dedup_contamination_flag",
     "sample_source_cap",
     "text_repetition_stats",

@@ -79,7 +79,7 @@ def events_gap_fill(spark, sf_dir):
              CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
                AS s2
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     ),
     m AS (
@@ -119,7 +119,8 @@ def events_anomaly_zscore(spark, sf_dir):
            min(value) AS low,
            arg_max(value, ok) AS close,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS volume
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
+             AS volume
     FROM k GROUP BY event_type, bucket
     """,
 )

@@ -290,3 +290,13 @@ def test_ols_large_y_square_does_not_overflow(spark):
     assert out["slope"] == pytest.approx(1.0)
     assert out["intercept"] == pytest.approx(4_000_000_000.0)
     assert out["r2"] is None or 0 <= out["r2"] <= 1 + 1e-6
+
+
+def test_funnel_rejects_empty_steps(spark):
+    from eventbridge_etl_spark.operators.funnel import funnel_steps
+
+    df = spark.createDataFrame(
+        [(1, None)], "user_id long, ts timestamp"
+    ).withColumn("event_type", F.lit("x"))
+    with pytest.raises(ValueError, match="steps"):
+        funnel_steps(df, steps=())

@@ -535,3 +535,15 @@ def test_decode_media_rejects_samples_above_maxval(spark):
     with pytest.raises(Exception) as ei:
         decode_media(wrapped, "doc_id", fake=False).collect()
     assert "maxval" in str(ei.value)
+
+
+def test_pii_phone_redacts_whole_digit_run(spark):
+    """A >15-digit run must redact entirely — the capped {7,15} left
+    digits 16+ raw in the 'redacted' text (r6 review finding)."""
+    from eventbridge_etl_spark.operators.text import pii_columns
+
+    df = spark.createDataFrame(
+        [(1, "call +1234567890123456789 now")], ["doc_id", "text"]
+    )
+    out = df.select(pii_columns("text")["redacted"].alias("red")).collect()[0]
+    assert out["red"] == "call <PHONE> now"

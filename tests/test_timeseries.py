@@ -375,3 +375,38 @@ def test_round4_event_query_shuffle_budgets(spark):
         ]
         assert len(hx) <= budget, (name, len(hx), budget)
         assert "CartesianProduct" not in plan and "PythonUDF" not in plan, name
+
+
+def test_zscore_null_value_not_null_anomaly(spark):
+    """A NULL observation with a valid trailing frame must flag
+    is_anomaly FALSE, not NULL (r6 review finding: when(ok, NULL)
+    bypassed the .otherwise(False))."""
+    rows = [(1, _ts(0, m), 10.0 + (m % 3) * 0.5) for m in range(12)]
+    rows.append((1, _ts(1, 0), None))
+    out = {r["ts"]: r for r in
+           rolling_zscore(_events(spark, rows), min_obs=5).collect()}
+    r = out[_ts(1, 0)]
+    assert r["zscore"] is None
+    assert r["is_anomaly"] is False  # not None
+
+
+def test_zscore_requires_tiebreak_column(spark):
+    """Same explicit-tiebreak contract as counter_increase/sessionize
+    (r6 review finding: zscore silently skipped it)."""
+    import pytest
+
+    ev = _events(spark, [(1, _ts(0), 1.0)]).drop("event_id")
+    with pytest.raises(ValueError, match="tiebreak"):
+        rolling_zscore(ev)
+
+
+def test_zscore_tied_timestamps_deterministic(spark):
+    """With tied timestamps, frame contents follow (ts, event_id) —
+    10 runs agree (before the tiebreak the frame depended on arbitrary
+    row order)."""
+    t = _ts(0, 0)
+    rows = [(1, t, float(v)) for v in (1, 2, 3, 4, 5, 6)]
+    ev = _events(spark, rows).repartition(8)
+    ref = sorted(map(tuple, rolling_zscore(ev, min_obs=2).collect()))
+    for _ in range(3):
+        assert sorted(map(tuple, rolling_zscore(ev, min_obs=2).collect())) == ref
