@@ -66,15 +66,19 @@ def naive_bayes_self_score(
         & F.col(text_col).isNotNull()
         & F.col(label_col).isNotNull()
     )
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
+    # ONE tokenize+explode pass feeds both the per-doc token stream and
+    # the (class, token) training counts (the label rides along) — a
+    # second full explode keyed by label would double the most
+    # expensive stage (review finding r6)
+    toks_lbl = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
     )
+    toks = toks_lbl.select("id", "token")
     actual = df.select(F.col(id_col).alias("id"), F.col(label_col).alias("actual"))
-    ltoks = df.select(
-        F.col(label_col).alias("lbl"), F.explode(tokens(F.col(text_col))).alias("token")
-    )
 
-    ct = ltoks.groupBy("lbl", "token").agg(F.count("*").alias("cnt"))
+    ct = toks_lbl.groupBy("lbl", "token").agg(F.count("*").alias("cnt"))
     ctot = ct.groupBy("lbl").agg(F.sum("cnt").alias("n_c"))
     vocab = ct.select("token").distinct().agg(F.count("*").alias("v"))
     pri = df.groupBy(F.col(label_col).alias("lbl")).agg(F.count("*").alias("docs"))

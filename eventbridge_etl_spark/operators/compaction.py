@@ -11,14 +11,16 @@ exposes via `input_file_name`/listing tables, or a catalog's files
 view) — the plan itself never touches file contents, so it runs
 anywhere the inventory fits a scan.
 
-Deterministic next-fit packing: within a partition, files are ordered
-by name (stable under re-listing) and accumulate into a bin until the
-running total reaches the target; a file at or above the target gets a
-bin of its own by construction.  ``bin = floor(preceding_bytes /
-target)`` over the name-ordered running sum — one window over the
-partition key, one aggregate; both shuffles key on the partition
-column, so planning parallelism = partition count (the natural unit of
-a rewrite job).
+Deterministic next-fit packing: within a partition, files below the
+target accumulate into bins by ``floor(preceding_small_bytes /
+target)`` over the name-ordered running sum of SMALL files only, and
+every file at or above the target gets a bin of its own in a disjoint
+id range past the small bins (r6 review fix: with one shared running
+sum, an oversized file landed in the same bin as the small files
+preceding it — a needless oversized rewrite group that also unflagged
+the already-compact file).  One window partitioning + one aggregate;
+both shuffles key on the partition column, so planning parallelism =
+partition count (the natural unit of a rewrite job).
 """
 
 from __future__ import annotations
@@ -42,18 +44,37 @@ def plan_compaction(
     """
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
-    w = (
+    prec = (
         Window.partitionBy("partition")
         .orderBy("file")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    assigned = files.select(
+    whole = (
+        Window.partitionBy("partition")
+        .orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    sized = files.select(
         F.col(partition_col).alias("partition"),
         F.col(file_col).alias("file"),
         F.col(size_col).cast("long").alias("size"),
-    ).withColumn(
+    )
+    small = F.when(F.col("size") < target_bytes, F.col("size")).otherwise(F.lit(0))
+    is_large = (F.col("size") >= target_bytes).cast("long")
+    # small files: next-fit over the small-only running sum; large
+    # files: one bin each, ids offset past every possible small bin
+    small_bin = F.floor(
+        F.coalesce(F.sum(small).over(prec), F.lit(0)) / F.lit(target_bytes)
+    )
+    large_bin = (
+        F.floor(F.sum(small).over(whole) / F.lit(target_bytes))
+        + 1
+        + F.coalesce(F.sum(is_large).over(prec), F.lit(0))
+    )
+    assigned = sized.withColumn(
         "bin",
-        (F.coalesce(F.sum("size").over(w), F.lit(0)) / F.lit(target_bytes))
+        F.when(F.col("size") >= target_bytes, large_bin)
+        .otherwise(small_bin)
         .cast("long"),
     )
     return (

@@ -29,7 +29,13 @@ _DENOM = float(2**32)
 
 
 def hash_fraction(key: Column | str) -> Column:
-    """Uniform [0,1) value derived from md5 of the key (engine-portable)."""
+    """Uniform [0,1) value derived from md5 of the key (engine-portable).
+
+    NULL keys hash to NULL, which every comparison treats as unknown —
+    so a filter on this column DROPS null-key rows, a when() routes
+    them to the otherwise() branch, and a window ORDER BY sorts them
+    first.  Each caller documents which of those it means.
+    """
     col = F.col(key) if isinstance(key, str) else key
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
         "double"
@@ -38,7 +44,9 @@ def hash_fraction(key: Column | str) -> Column:
 
 def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash — stable across
-    runs, partitionings, and engines."""
+    runs, partitionings, and engines.  NULL-key rows are never kept at
+    any fraction (null hash fails the filter); assign surrogate keys
+    first if they must participate."""
     return df.filter(hash_fraction(key) < fraction)
 
 
@@ -72,7 +80,11 @@ def train_test_split(
 ) -> DataFrame:
     """Tag each row 'train' or 'test' by key hash.  A key's assignment
     never changes as the corpus grows — the property that keeps test
-    sets uncontaminated across dataset versions."""
+    sets uncontaminated across dataset versions.  NULL-key rows all
+    land in 'train' (null hash routes to the otherwise branch) — the
+    conservative side, since an unidentifiable row in the test set
+    could silently duplicate training text; note the asymmetry with
+    ``deterministic_sample``, which DROPS null keys."""
     return df.withColumn(
         split_col,
         F.when(hash_fraction(key) < test_fraction, "test").otherwise("train"),
@@ -138,6 +150,10 @@ def temperature_resample(
     against a joined column and cannot push down on its own — verified
     in the physical plan.)
     """
+    # a null source would contribute tempered mass to the normalizer
+    # and then vanish at the quota equi-join (null never equi-joins),
+    # silently deflating every real source's quota — drop it up front
+    df = df.filter(F.col(group_col).isNotNull())
     d = F.pow(F.col("_n").cast("double"), F.lit(alpha)).cast("decimal(18,6)")
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n")).select(
         group_col, d.alias("_d")
@@ -206,6 +222,17 @@ def weighted_systematic_sample(
             f"weight column {weight_col!r} must be integral, got {dtype}; "
             "round or rescale weights to integers first"
         )
+    # PPS contract: inclusion probability ∝ weight, so nonpositive
+    # weights select nothing BY DEFINITION — but left in the frame a
+    # negative weight makes the running sum non-monotone (intervals
+    # overlap, grid points double-select) and a null KEY feeds phantom
+    # mass into the bucket offsets that the _bkt equi-join then drops.
+    # Both are excluded up front; an all-filtered input returns empty.
+    df = df.filter(
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & F.col(key_col).isNotNull()
+    )
     key, w = F.col(key_col), F.col(weight_col).cast("long")
     # points_below(x) = ceil(x*k/total) via integer arithmetic only;
     # _w is the SAME long image used in the running sum, so the lower
@@ -310,6 +337,11 @@ def balanced_class_sample(
     — the full per-class rank is computed, one key shuffle, which is
     the honest cost of an exact data-dependent quota.
     """
+    # null is NOT a class: a handful of unlabeled rows would otherwise
+    # become the smallest "class" and cap every real class at their
+    # count, collapsing the output (and hash_fraction(null) sorts
+    # first, preferentially retaining null keys) — drop both up front
+    df = df.filter(F.col(class_col).isNotNull() & F.col(key).isNotNull())
     sizes = df.groupBy(class_col).agg(F.count("*").alias("_cn"))
     min_n = sizes.agg(F.min("_cn").alias("_min_n"))
     w = Window.partitionBy(class_col).orderBy(

@@ -41,8 +41,11 @@ def heavy_hitters(
     threshold_ratio: float = 0.005,
     sketch_counters: int | None = None,
 ) -> DataFrame:
-    """Exact values whose count exceeds ``threshold_ratio`` of all rows,
-    found with bounded memory.
+    """Exact values whose count exceeds ``threshold_ratio`` of the
+    NON-NULL observations of ``value_col`` (nulls are not values: they
+    neither count as candidates nor inflate the denominator — on a
+    sparse column the share is "of what was observed", so gate on row
+    coverage separately if absolute frequency matters).
 
     Returns ``(value, n, share)`` — share rounded to 6 decimals.
     ``sketch_counters`` defaults to ``ceil(2 / threshold_ratio)``,
@@ -50,7 +53,13 @@ def heavy_hitters(
     """
     if not 0 < threshold_ratio < 1:
         raise ValueError(f"threshold_ratio must be in (0, 1), got {threshold_ratio}")
-    k = sketch_counters or max(int(2.0 / threshold_ratio) + 1, 8)
+    if sketch_counters is None:
+        k = max(int(2.0 / threshold_ratio) + 1, 8)
+    elif sketch_counters < 1:
+        # `or` would silently swap 0 for the default and let -1 through
+        raise ValueError(f"sketch_counters must be >= 1, got {sketch_counters}")
+    else:
+        k = sketch_counters
     if threshold_ratio < 1.0 / (k + 1):
         raise ValueError(
             f"sketch_counters={k} too small for threshold {threshold_ratio}: "

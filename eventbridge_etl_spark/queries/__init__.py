@@ -110,6 +110,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_anomaly_zscore",
     "events_ohlc_hourly",
     "text_pii_redact",
+    # compaction bin rule changed (oversized files now bin alone,
+    # operator AND oracle) — output VALUES change, so it re-verifies
+    # here and displaces q16 to the r7 overflow
+    "compaction_plan_events",
     # --- r2-stale, oldest-evidence first (last green CORRECTNESS_r02;
     # code untouched since) — 26 of 38 fit this window ---
     "fn_higher_order_surface",
@@ -134,11 +138,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q12_priority_shipping",
     "q14_promo_effect",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
     # ============== OVERFLOW (position 51+) — LEADS ROUND 7 ============
-    # The 15 remaining r2-stale rows (q17/q18/q19 displaced by the
-    # three round-6 changed gates above); after r6 these are the ONLY
+    # The 16 remaining r2-stale rows (q16-q19 displaced by the four
+    # round-6 changed gates above); after r6 these are the ONLY
     # queries with evidence older than r3 and MUST head the r7 window.
+    "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicates",

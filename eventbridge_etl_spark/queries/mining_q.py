@@ -400,12 +400,26 @@ def dedup_source_overlap(spark, sf_dir):
       FROM events GROUP BY 1, 2
     ),
     assigned AS (
+      -- small files: next-fit over the small-only running sum; files
+      -- >= target get one bin each in a disjoint id range (mirrors
+      -- operators/compaction.py, r6 fix)
       SELECT partition, file, size,
-             CAST(floor(COALESCE(SUM(size) OVER (
-               PARTITION BY partition ORDER BY file
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ), 0) / 16384.0) AS BIGINT) AS bin
+             CASE WHEN size >= 16384 THEN
+               CAST(floor(SUM(CASE WHEN size < 16384 THEN size ELSE 0 END)
+                          OVER whole / 16384.0) AS BIGINT) + 1
+               + COALESCE(SUM(CASE WHEN size >= 16384 THEN 1 ELSE 0 END)
+                          OVER prec, 0)
+             ELSE
+               CAST(floor(COALESCE(SUM(CASE WHEN size < 16384 THEN size
+                                        ELSE 0 END) OVER prec, 0)
+                          / 16384.0) AS BIGINT)
+             END AS bin
       FROM inv
+      WINDOW prec AS (PARTITION BY partition ORDER BY file
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             whole AS (PARTITION BY partition ORDER BY file
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
     )
     SELECT partition, bin, COUNT(*) AS n_files,
            CAST(SUM(size) AS BIGINT) AS total_bytes,

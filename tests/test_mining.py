@@ -413,20 +413,36 @@ from eventbridge_etl_spark.operators.compaction import plan_compaction
 
 
 def test_compaction_next_fit_bins(spark):
-    """Files fill a bin until the preceding total crosses the target."""
+    """Small files fill a bin until the preceding small total crosses
+    the target; every oversized file gets a bin of its own in a
+    disjoint id range."""
     rows = [
         ("p1", "a", 40), ("p1", "b", 40), ("p1", "c", 40),  # 0,0,0 (prec 0,40,80<100)
-        ("p1", "d", 40),                                     # prec 120 -> bin 1
+        ("p1", "d", 40),                                     # small prec 120 -> bin 1
         ("p2", "x", 250),                                    # oversized alone
-        ("p2", "y", 10),                                     # prec 250 -> bin 2
+        ("p2", "y", 10),                                     # small prec 0 -> bin 0
     ]
     df = spark.createDataFrame(rows, ["pt", "f", "sz"])
     out = {(r.partition, r.bin): r for r in
            plan_compaction(df, "pt", "f", "sz", target_bytes=100).collect()}
     assert out[("p1", 0)].n_files == 3 and out[("p1", 0)].total_bytes == 120
     assert out[("p1", 1)].files == ["d"]
-    assert out[("p2", 0)].files == ["x"] and out[("p2", 0)].already_compact
-    assert out[("p2", 2)].files == ["y"] and not out[("p2", 2)].already_compact
+    assert out[("p2", 0)].files == ["y"] and not out[("p2", 0)].already_compact
+    # large bin id = floor(total_small/target)+1 + preceding larges = 1
+    assert out[("p2", 1)].files == ["x"] and out[("p2", 1)].already_compact
+
+
+def test_compaction_oversized_never_shares_a_bin(spark):
+    """r6 review fix: an oversized file PRECEDED by small files used to
+    share their bin (floor(10/100)=0), producing an oversized rewrite
+    group containing an already-compact file."""
+    rows = [("p", "a", 10), ("p", "x", 250), ("p", "z", 10)]
+    df = spark.createDataFrame(rows, ["pt", "f", "sz"])
+    out = {tuple(r.files): r for r in
+           plan_compaction(df, "pt", "f", "sz", target_bytes=100).collect()}
+    assert ("x",) in out and out[("x",)].already_compact
+    assert ("a", "z") in out  # smalls pack together, skipping over x
+    assert len(out) == 2
 
 
 def test_compaction_rejects_bad_target(spark):

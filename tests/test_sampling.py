@@ -86,3 +86,63 @@ def test_cap_per_group_keeps_n_and_is_deterministic(spark):
     }
     with pytest.raises(ValueError, match="cap"):
         cap_per_group(doc, "source", ["doc_id"], 0)
+
+
+def test_pps_excludes_nonpositive_weights_and_null_keys(spark):
+    """r6 review fix: a negative weight made the running sum
+    non-monotone (double-selection), and a null key fed phantom mass
+    into the ungrouped bucket offsets."""
+    from eventbridge_etl_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    rows = [(f"k{i}", 10) for i in range(20)]
+    rows += [("neg", -50), ("zero", 0), (None, 1000)]
+    df = spark.createDataFrame(rows, "k string, w int")
+    out = weighted_systematic_sample(df, "k", "w", k=5)
+    got = {r["k"] for r in out.collect()}
+    assert len(got) == 5
+    assert "neg" not in got and "zero" not in got and None not in got
+    # grouped path applies the same contract
+    from pyspark.sql import functions as F
+
+    df2 = df.withColumn("g", F.lit("g1"))
+    got2 = {r["k"] for r in
+            weighted_systematic_sample(df2, "k", "w", k=5, group_col="g").collect()}
+    assert len(got2) == 5 and "neg" not in got2 and None not in got2
+
+
+def test_balanced_classes_ignore_null_class(spark):
+    """r6 review fix: two null-class rows must not cap every real class
+    at 2."""
+    from eventbridge_etl_spark.operators.sampling import balanced_class_sample
+
+    rows = [(f"a{i}", "A") for i in range(10)]
+    rows += [(f"b{i}", "B") for i in range(6)]
+    rows += [("n1", None), ("n2", None)]
+    df = spark.createDataFrame(rows, "k string, cls string")
+    out = balanced_class_sample(df, "cls", "k").groupBy("cls").count().collect()
+    counts = {r["cls"]: r["count"] for r in out}
+    assert counts == {"A": 6, "B": 6}  # min over REAL classes only
+
+
+def test_temperature_resample_null_source_not_in_normalizer(spark):
+    """r6 review fix: null-source mass deflated every real source's
+    quota and then vanished at the equi-join."""
+    from eventbridge_etl_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "A") for i in range(100)]
+    rows += [(1000 + i, None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, "source", "doc_id", alpha=0.5, total=50)
+    assert out.count() == 50  # full budget goes to the one real source
+
+
+def test_heavy_hitters_rejects_bad_counter_count(spark):
+    import pytest
+
+    from eventbridge_etl_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError, match="sketch_counters"):
+        heavy_hitters(df, "v", sketch_counters=0)
