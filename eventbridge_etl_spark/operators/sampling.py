@@ -154,7 +154,14 @@ def temperature_resample(
     # and then vanish at the quota equi-join (null never equi-joins),
     # silently deflating every real source's quota — drop it up front
     df = df.filter(F.col(group_col).isNotNull())
-    d = F.pow(F.col("_n").cast("double"), F.lit(alpha)).cast("decimal(18,6)")
+    # alpha=0.5 routes through F.sqrt, not pow: Math.pow is specified
+    # only to 1 ulp and does not special-case y=0.5, while the oracle's
+    # sqrt is correctly rounded — a 1-ulp gap landing on a
+    # DECIMAL(18,6) half-boundary would flip a source's quota by one
+    base = F.col("_n").cast("double")
+    d = (
+        F.sqrt(base) if alpha == 0.5 else F.pow(base, F.lit(alpha))
+    ).cast("decimal(18,6)")
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n")).select(
         group_col, d.alias("_d")
     )

@@ -187,19 +187,19 @@ def graph_triangle_census(spark, sf_dir):
     y = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b")
     )
-    edges = x.join(y, "ok").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    # no query-level .distinct(): triangle_count normalizes and
+    # distincts its edge input internally, so deduping here would just
+    # add a second full exchange over the largest intermediate
+    edges = x.join(y, "ok").filter(F.col("a") < F.col("b")).select("a", "b")
     return triangle_count(edges)
 
 
 # --------------------------------------------- perceptual-hash dedup
 
-import os as _os
-
-_PINNED_DIR = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "tests",
-    "data",
-)
+# single source of truth for the pinned-oracle directory (corpus_q
+# documents and derives it); re-deriving it here risked the two copies
+# drifting if the directory ever moves
+from eventbridge_etl_spark.queries.corpus_q import _PINNED_DIR
 
 
 @query(
@@ -587,6 +587,10 @@ def window_rolling_median(spark, sf_dir):
     arr = F.array_sort(F.collect_list("value").over(w))
     n = F.size(arr)
     mid_odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    # even-frame midpoint MUST stay in the (lo + hi)/2 sum form:
+    # empirically probed (r6) — DuckDB's median returns exactly
+    # (lo + hi)/2 on pairs where the lerp form lo + (hi - lo)/2
+    # differs by 1 ulp, so switching forms would INTRODUCE the flake
     mid_even = (
         F.element_at(arr, (n / 2).cast("int"))
         + F.element_at(arr, (n / 2 + 1).cast("int"))

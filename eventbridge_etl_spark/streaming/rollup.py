@@ -13,8 +13,8 @@ per-aggregate-state granularity.
 At scale: per epoch the work is delta partials + a state-cardinality
 aggregate (buckets, not history — see operators/incremental.py); the
 state directory is bucket-count rows of parquet, trivially re-read
-each epoch.  The epoch chain is pruned opportunistically (keep last
-``keep_epochs``).
+each epoch.  The epoch chain is pruned opportunistically (the newest
+``keep_epochs`` prior epochs plus the current one are retained).
 """
 
 from __future__ import annotations
@@ -59,12 +59,32 @@ def make_rollup_sink(state_dir: str, keep_epochs: int = 3):
 
     Replay-safe: epoch N always merges (state from the latest epoch
     < N) with batch N and overwrites ``epoch=N`` — re-running a failed
-    epoch reproduces the identical directory.  Epochs older than
-    ``keep_epochs`` behind are pruned after a successful commit."""
+    epoch reproduces the identical directory.  Retention: the newest
+    ``keep_epochs`` PRIOR epochs plus the just-written one stay on
+    disk (keep_epochs+1 directories steady-state); older ones are
+    pruned after a successful commit.  A state_dir containing epochs
+    AHEAD of the current one (fresh checkpoint pointed at an old
+    directory) raises instead of double-merging stale state."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        prior = [e for e in _committed_epochs(state_dir) if e < epoch_id]
+        committed = _committed_epochs(state_dir)
+        # A committed epoch AHEAD of this one means the state_dir
+        # belongs to a different checkpoint generation (fresh
+        # checkpoint, old state_dir): merging would silently serve the
+        # old run's state and later double-count it — fail loudly.
+        # e == epoch_id is fine: that is the idempotent replay of a
+        # sink that committed before its checkpoint did.
+        ahead = [e for e in committed if e > epoch_id]
+        if ahead:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} has committed epochs {ahead} "
+                f"ahead of current epoch {epoch_id}; it belongs to a "
+                "previous run's checkpoint — point the restarted query "
+                "at a fresh state_dir (or restore the matching "
+                "checkpoint) instead of double-merging stale state"
+            )
+        prior = [e for e in committed if e < epoch_id]
         if prior:
             prev = spark.read.parquet(os.path.join(state_dir, f"epoch={prior[-1]}"))
             state = merge_rollup_state(prev, batch_df)

@@ -81,9 +81,16 @@ def _make_handler(timeout_ms: int | None):
         for pdf in pdfs:
             n += len(pdf)
             s += float(pdf["value"].fillna(0.0).sum())
-            if len(pdf):
-                mx = max(mx, int(pdf["ts_us"].max()))
-        state.update((n, round(s, 9), mx))
+            # all-null ts_us arrives as NaN; int(NaN) would kill the
+            # query, and pandas max already skips mixed-in NaN
+            ts = pdf["ts_us"].dropna()
+            if len(ts):
+                mx = max(mx, int(ts.max()))
+        # store s RAW: doubles round-trip Arrow state exactly, while a
+        # round(s, 9) in state drifted the emitted sum from a straight
+        # fold by up to 5e-10 per micro-batch (and made the timeout row
+        # emit a differently-rounded value than the update row)
+        state.update((n, s, mx))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
@@ -165,12 +172,16 @@ def _make_ewma_handler(num: int, den: int):
         n, ew, last_ts, last_id = (
             state.get if state.exists else (0, 0, -1, -1)
         )
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts_us", "event_id"])
+        # a key's micro-batch rows arrive as MULTIPLE Arrow chunks in
+        # arbitrary order (maxRecordsPerBatch-sized) — sorting each
+        # chunk independently would fold across chunks in arrival
+        # order, breaking the (ts_us, event_id) contract for keys with
+        # more rows than one chunk; concat first, sort ONCE
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            merged = pd.concat(chunks).sort_values(["ts_us", "event_id"])
             for x_raw, ts_us, eid in zip(
-                pdf["value"], pdf["ts_us"], pdf["event_id"]
+                merged["value"], merged["ts_us"], merged["event_id"]
             ):
                 x = math.floor(float(x_raw) * 100 + 0.5) if x_raw == x_raw else 0
                 if n == 0:
