@@ -783,3 +783,102 @@ def test_enrichment_accepts_bare_string_key(spark, tmp_path, event_stream):
     drain(enriched, tmp_path, "enriched_strkey")
     out = spark.sql("select * from enriched_strkey")
     assert out.where(F.col("tier") == "gold").count() == 4
+
+
+def test_rollup_sink_refuses_stale_state_dir(spark, tmp_path):
+    """r6 review fix: a state_dir holding epochs AHEAD of the current
+    one (fresh checkpoint pointed at an old run's directory) must raise
+    instead of silently serving and later double-merging stale state —
+    while same-epoch replay stays legal (tested above)."""
+    from eventbridge_etl_spark.streaming.rollup import make_rollup_sink
+
+    state_dir = str(tmp_path / "stale_state")
+    batch = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "click", 1.0)],
+        "ts string, event_type string, value double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type", "value")
+    sink = make_rollup_sink(state_dir)
+    sink(batch, 5)  # old run committed epoch 5
+    with pytest.raises(RuntimeError, match="ahead of current epoch"):
+        sink(batch, 0)  # new run restarts at epoch 0
+    sink(batch, 5)  # same-epoch replay still allowed
+    sink(batch, 6)  # and the old run's continuation still works
+
+
+def test_ewma_multi_chunk_batch_respects_global_order(spark, tmp_path):
+    """r6 review fix: with Arrow chunks forced tiny, a key whose batch
+    spans MANY chunks must still fold in global (ts_us, event_id)
+    order — the old per-chunk sort folded in shuffle arrival order."""
+    import json
+
+    from eventbridge_etl_spark.streaming.stateful import ewma_smoothing
+
+    land = str(tmp_path / "ewma_chunks")
+    os.makedirs(land, exist_ok=True)
+    # one user, 50 rows, descending file order vs ascending ts; values
+    # chosen so order matters to the integer fold
+    rows = [
+        {"user_id": 1, "value": float((i * 37) % 100), "ts_us": 1_000_000 + i,
+         "event_id": i}
+        for i in range(50)
+    ]
+    with open(os.path.join(land, "batch.jsonl"), "w") as f:
+        for r in reversed(rows):  # file order reversed vs event time
+            f.write(json.dumps(r) + "\n")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, value double, ts_us long, event_id long"
+        ).json(land)
+        q = (
+            ewma_smoothing(stream, num=1, den=4)
+            .writeStream.format("memory").queryName("ewma_chunked")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ec"))
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT ewma_scaled FROM ewma_chunked ORDER BY n_events DESC LIMIT 1"
+        ).collect()[0][0]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    # reference fold in true (ts_us, event_id) order
+    import math
+    ew = n = 0
+    for r in rows:
+        x = math.floor(r["value"] * 100 + 0.5)
+        ew = x if n == 0 else math.floor((1 * x + 3 * ew) / 4.0)
+        n += 1
+    assert got == ew
+
+
+def test_running_totals_all_null_ts_chunk(spark, tmp_path):
+    """r6 review fix: an all-null ts_us chunk used to die on int(NaN)."""
+    import json
+
+    from eventbridge_etl_spark.streaming.stateful import running_totals
+
+    land = str(tmp_path / "rt_nullts")
+    os.makedirs(land, exist_ok=True)
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(json.dumps({"user_id": 1, "value": 2.5, "ts_us": None}) + "\n")
+        f.write(json.dumps({"user_id": 1, "value": 1.5, "ts_us": None}) + "\n")
+    stream = spark.readStream.schema(
+        "user_id long, value double, ts_us long"
+    ).json(land)
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory").queryName("rt_nullts")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nt"))
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    r = spark.sql("SELECT * FROM rt_nullts").collect()[0]
+    assert r["n_events"] == 2 and r["sum_value"] == 4.0
+    assert r["max_ts_us"] == 0  # initial state, never advanced
