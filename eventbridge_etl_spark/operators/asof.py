@@ -46,12 +46,23 @@ def asof_join(
     from ``ts_col``.  Ties on (key, ts) inside ``right`` resolve to the
     row latest in the (ts, payload) sort — pin a unique tiebreak column
     into ``right`` if that matters.
+
+    NULL semantics (SQL/DuckDB ASOF parity, review finding r6): right
+    rows with a NULL timestamp or NULL key can never be "the latest
+    at-or-before" anything — they are excluded up front (an unfiltered
+    NULL ts would sort FIRST in the ascending window and hand its
+    payload to left rows that have no real match, and NULL keys would
+    spuriously match each other through the window partitioning).
+    Left rows with NULL keys come back unmatched.
     """
     on = list(on)
     rts = right_ts_col or ts_col
     payload_cols = [c for c in right.columns if c not in on and c != rts]
 
-    r = right.select(
+    r_clean = right.filter(F.col(rts).isNotNull())
+    for k in on:
+        r_clean = r_clean.filter(F.col(k).isNotNull())
+    r = r_clean.select(
         *[F.col(k) for k in on],
         F.col(rts).alias("_ts"),
         F.lit(0).alias("_tag"),

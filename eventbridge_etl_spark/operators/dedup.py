@@ -47,8 +47,10 @@ def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).withColumn("_n", F.size("_toks"))
 
 
-def _token_sets_int(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Token sets dictionary-encoded to 64-bit ids (xxhash64 per token).
+def _int_encode(token_sets: DataFrame) -> DataFrame:
+    """Dictionary-encode a token-set frame's ``_toks`` to 64-bit ids
+    (xxhash64 per token) — the ONE implementation every verify path
+    uses (review r6: this body was inlined three times).
 
     Pair-verification (array_intersect over millions of candidate pairs)
     is ~20% faster end-to-end on long-array comparisons when the
@@ -58,8 +60,7 @@ def _token_sets_int(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     realistic vocabulary.  xxhash64 (not a row_number dictionary) keeps
     the encoding shuffle-free and scale-safe: no global sort, no
     broadcast of a 100 TB corpus's vocabulary."""
-    t = _token_sets(df, id_col, text_col)
-    return t.withColumn(
+    return token_sets.withColumn(
         "_toks", F.transform("_toks", lambda tok: F.xxhash64(tok))
     )
 
@@ -70,8 +71,23 @@ def exact_dedup(
     """Exact dedup by content digest: one representative id per distinct
     content (md5 over the concatenated columns), plus the duplicate
     count.  The digest shuffle carries ~48 bytes/row however wide the
-    payload is."""
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    payload is.
+
+    NULL columns encode as a \\x00 sentinel before concatenation —
+    bare ``concat_ws`` SKIPS nulls, which would collide ('x', NULL)
+    with (NULL, 'x') and merge distinct contents (review finding r6).
+    A payload containing the literal sentinel/separator bytes can
+    still alias; binary-clean payloads should digest a struct hash
+    instead."""
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in content_cols
+            ],
+        )
+    )
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     return (
         df.withColumn("_digest", digest)
@@ -94,9 +110,15 @@ def jaccard_pairs_prefix_filtered(
     # rank tokens per doc by ascending global df (rare first), tie on token
     w = Window.partitionBy("_id").orderBy("_df", "_tok")
     ranked = ex.join(dfreq, "_tok").withColumn("_rn", F.row_number().over(w))
-    # prefix length n - ceil(tau*n) + 1
+    # prefix length n - ceil(tau*n) + 1.  The epsilon keeps the ceil
+    # EXACT-boundary-safe in IEEE: 0.9*10 evaluates to
+    # 9.000000000000002, whose bare ceil is 10 — one token short of a
+    # lossless prefix, silently dropping pairs with Jaccard exactly
+    # tau (review finding r6).  Subtracting 1e-9 can only LENGTHEN the
+    # prefix (more candidates, never fewer), preserving recall 1.0.
     prefix = ranked.filter(
-        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(tau) * F.col("_n")) + 1
+        F.col("_rn")
+        <= F.col("_n") - F.ceil(F.lit(tau) * F.col("_n") - F.lit(1e-9)) + 1
     )
     a = prefix.select(F.col("_id").alias("_ida"), "_tok")
     b = prefix.select(F.col("_id").alias("_idb"), "_tok")
@@ -106,10 +128,8 @@ def jaccard_pairs_prefix_filtered(
         .select("_ida", "_idb")
         .distinct()
     )
-    # verify on int-encoded sets (same sizes, faster intersects — see
-    # _token_sets_int)
-    t_int = t.withColumn("_toks", F.transform("_toks", lambda tok: F.xxhash64(tok)))
-    return _verify_jaccard(cand, t_int, tau)
+    # verify on int-encoded sets (same sizes, faster intersects)
+    return _verify_jaccard(cand, _int_encode(t), tau)
 
 
 def _verify_jaccard(cand: DataFrame, token_sets: DataFrame, tau: float) -> DataFrame:
@@ -124,9 +144,17 @@ def _verify_jaccard(cand: DataFrame, token_sets: DataFrame, tau: float) -> DataF
     # Lossless size prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
     # pair whose set sizes are too far apart can never reach tau — drop it
     # BEFORE the array_intersect (the expensive part of verification).
-    # The filter sits between the joins and the jaccard projection so
-    # codegen short-circuits on two int comparisons per pruned pair.
-    size_ok = F.least("_na", "_nb") >= tau * F.greatest("_na", "_nb")
+    # Compared in the SAME round-to-6 form as the final filter below:
+    # the raw `least >= tau*greatest` form rejected 9 >= 0.9*10
+    # (= 9.000000000000002 in IEEE) — a pair at exactly tau (review
+    # finding r6).  round(J,6) <= round(min/max,6) by monotonicity, so
+    # this prune can never drop a pair the final filter would keep.
+    size_ok = (
+        F.round(
+            F.least("_na", "_nb").cast("double") / F.greatest("_na", "_nb"), 6
+        )
+        >= tau
+    )
     return (
         cand.join(ta, "_ida")
         .join(tb, "_idb")
@@ -283,21 +311,13 @@ def _minhash_lsh_rep_pairs(
 ) -> DataFrame:
     """The banded-LSH core over an already-deduplicated ``(_id, _toks,
     _n)`` token-set frame."""
-    r = num_hashes // bands
-    signed = _sign_token_sets(rep_t, num_hashes)
-    # band bucket = the r signature ints joined verbatim — tuple equality
-    # needs no digest, so banding costs zero hash calls
-    band_cols = F.array(
-        *[
-            F.concat_ws(",", *[F.col("_sig")[b * r + i] for i in range(r)])
-            for b in range(bands)
-        ]
-    )
     from pyspark import StorageLevel
 
-    banded = signed.select(
-        "_id", F.posexplode(band_cols).alias("_band", "_bh")
-    )
+    # band encoding delegated to _band_rows — the SAME function the
+    # admission-index store builds with, so buckets collide identically
+    # by construction (review r6: this body was previously inlined
+    # here, leaving the shared-encoding invariant to a comment)
+    banded = _band_rows(rep_t, num_hashes, bands)
     # Persist the banded rows: the self-join otherwise evaluates the
     # signature subtree TWICE (once per branch).  Lazy persist — the
     # first action's left branch populates the cache, the right branch
@@ -319,8 +339,8 @@ def _minhash_lsh_rep_pairs(
         .distinct()
     )
     # int-encode the already-computed token sets for faster intersects
-    # (see _token_sets_int) — no re-tokenization
-    t_int = rep_t.withColumn("_toks", F.transform("_toks", lambda tok: F.xxhash64(tok)))
+    # — no re-tokenization
+    t_int = _int_encode(rep_t)
     return _verify_jaccard(cand, t_int, tau)
 
 
@@ -620,7 +640,11 @@ def chunk_dedup(
     all-pairs" rule for exact chunk matching.
     """
     c = chunk_tokens
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text coalesces to '' so the doc still ROUND-TRIPS (one empty
+    # chunk) — a NULL chunk key would never equi-join the winner table
+    # and the document would silently vanish from the output (review
+    # finding r6)
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n_chunks = F.greatest(
         F.ceil(F.size(toks) / F.lit(float(c))).cast("int"), F.lit(1)
     )
@@ -785,7 +809,18 @@ def incremental_dedup(
     never read, only its digest column — that is the point: ingest cost
     is O(batch + digest store), not O(corpus).
     """
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    # same null-sentinel encoding as exact_dedup (concat_ws skips
+    # nulls; the two operators MUST digest identically or an admitted
+    # row would not match its own exact_dedup digest in the store)
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in content_cols
+            ],
+        )
+    )
     batch = new_batch.withColumn("_digest", digest)
     # min-id representative per digest via one window on the digest key
     # (same shuffle a groupBy would take, no ambiguous self-join)
@@ -831,8 +866,11 @@ def containment_pairs(
     dfreq = ex.groupBy("_tok").agg(F.count("*").alias("_df"))
     w = Window.partitionBy("_id").orderBy("_df", "_tok")
     ranked = ex.join(dfreq, "_tok").withColumn("_rn", F.row_number().over(w))
+    # epsilon-guarded ceil: same IEEE boundary hazard (and fix) as
+    # jaccard_pairs_prefix_filtered — can only lengthen the prefix
     prefix = ranked.filter(
-        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(tau) * F.col("_n")) + 1
+        F.col("_rn")
+        <= F.col("_n") - F.ceil(F.lit(tau) * F.col("_n") - F.lit(1e-9)) + 1
     )
     ptoks = prefix.select("_tok").distinct()
     index_b = ex.join(ptoks, "_tok", "left_semi")
@@ -843,7 +881,7 @@ def containment_pairs(
         .select("_ida", "_idb")
         .distinct()
     )
-    t_int = t.withColumn("_toks", F.transform("_toks", lambda tok: F.xxhash64(tok)))
+    t_int = _int_encode(t)
     ta = t_int.select(
         F.col("_id").alias("_ida"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
     )

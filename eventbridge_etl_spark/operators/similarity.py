@@ -328,7 +328,13 @@ def label_centroids(
         import numpy as np
         import pandas as pd
 
-        out_schema = f"{label_col} int, centroid array<double>, n_vectors bigint"
+        # label type derives from the input schema — hardcoding `int`
+        # broke string-labeled corpora on this path while the builtin
+        # impl accepted them (review finding r6)
+        label_type = df.schema[label_col].dataType.simpleString()
+        out_schema = (
+            f"{label_col} {label_type}, centroid array<double>, n_vectors bigint"
+        )
 
         def _centroid(pdf: pd.DataFrame) -> pd.DataFrame:
             mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")

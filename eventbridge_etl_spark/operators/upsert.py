@@ -44,13 +44,21 @@ def upsert_by_key(
     inputs never sort.  Without it, ties break arbitrarily
     (``dropDuplicates`` semantics — matches the reference, where
     concurrent unordered writers race, README.md:42).
+
+    The ordering key is the version wrapped in a struct: a BARE null
+    version is ignored by ``max_by``, so a key whose rows were all
+    null-versioned collapsed to an all-NULL payload — real data
+    replaced by nulls (review finding r6).  Struct-wrapped, null
+    versions sort lowest (any versioned row wins over them) and an
+    all-null-version key keeps one of its rows arbitrarily, like the
+    no-version path.
     """
     if version_col is None:
         return df.dropDuplicates(list(keys))
     others = [c for c in df.columns if c not in keys]
     row = F.struct(*[F.col(c) for c in others])
     agg = df.groupBy(*[F.col(k) for k in keys]).agg(
-        F.max_by(row, F.col(version_col)).alias("_r")
+        F.max_by(row, F.struct(F.col(version_col))).alias("_r")
     )
     return agg.select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others])
 

@@ -160,7 +160,9 @@ def text_bigram_topk(spark, sf_dir):
     "dedup_chunk_level",
     oracle="""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      -- coalesce mirrors the operator's null-text round-trip contract
+      SELECT doc_id,
+             regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
       FROM documents
     ),
     c AS (

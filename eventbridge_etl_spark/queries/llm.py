@@ -154,10 +154,10 @@ def text_fingerprint(spark, sf_dir):
 @query(
     "dedup_exact",
     oracle="""
-    SELECT md5(text) AS content_digest, min(doc_id) AS doc_id,
+    SELECT md5(coalesce(text, chr(0))) AS content_digest, min(doc_id) AS doc_id,
            count(*) AS n_duplicates
     FROM documents
-    GROUP BY md5(text)
+    GROUP BY md5(coalesce(text, chr(0)))
     """,
 )
 def dedup_exact(spark, sf_dir):
@@ -813,9 +813,9 @@ def similarity_quantize_int8(spark, sf_dir):
       SELECT * FROM scored WHERE quality >= 700000 AND n_chars >= 100
     ),
     deduped AS (
-      SELECT md5(text) AS content_digest, min(doc_id) AS doc_id,
+      SELECT md5(coalesce(text, chr(0))) AS content_digest, min(doc_id) AS doc_id,
              count(*) AS n_duplicates
-      FROM admitted GROUP BY md5(text)
+      FROM admitted GROUP BY md5(coalesce(text, chr(0)))
     )
     SELECT d.doc_id, a.lang, a.quality, a.nt AS n_tokens, d.n_duplicates
     FROM deduped d JOIN admitted a ON a.doc_id = d.doc_id
@@ -1142,7 +1142,7 @@ def text_repetition_stats(spark, sf_dir):
     ),
     ded AS (
       SELECT min(doc_id) AS doc_id, count(*) AS n_duplicates
-      FROM adm GROUP BY md5(text)
+      FROM adm GROUP BY md5(coalesce(text, chr(0)))
     ),
     kept AS (
       SELECT a.doc_id, a.lang, a.source, a.quality, a.nt, d.n_duplicates

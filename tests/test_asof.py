@@ -72,3 +72,26 @@ def test_asof_one_shuffle_plan(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Join" not in plan  # union + window, not a join operator
     assert out.count() == 100
+
+
+def test_asof_ignores_null_right_timestamps_and_keys(spark):
+    """r6 review fix: a NULL-ts right row sorted FIRST in the window
+    and handed its payload to unmatched left rows; NULL keys matched
+    each other through the partition. SQL ASOF semantics: neither
+    participates."""
+    from eventbridge_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (None, 10, "Lnull")],
+        "k int, ts int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "early?"), (1, 20, "late"), (None, 5, "nullkey")],
+        "k int, ts int, rv string",
+    )
+    out = {r["lv"]: r for r in asof_join(left, right, ["k"], "ts").collect()}
+    # k=1 at ts=10: only right rows are (NULL ts) and ts=20>10 -> NO match
+    assert out["L1"]["rv_matched"] is None
+    assert out["L1"]["ts_matched"] is None
+    # NULL-key left row never matches the NULL-key right row
+    assert out["Lnull"]["rv_matched"] is None

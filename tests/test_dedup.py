@@ -202,3 +202,51 @@ class TestMinhashAdmission:
         idx = minhash_band_index(store, "doc_id", "text", bands=2)
         assert idx.columns == ["_band", "_bh"]  # no ids, no text
         assert idx.count() <= 20  # <= bands rows per doc, deduped
+
+
+def test_exact_dedup_null_columns_distinct(spark):
+    """r6 review fix: concat_ws SKIPS nulls, so ('x', NULL) and
+    (NULL, 'x') used to share a digest and merge."""
+    from eventbridge_etl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, "x", None)],
+        "id long, a string, b string",
+    )
+    out = exact_dedup(df, "id", ["a", "b"])
+    assert out.count() == 2  # rows 1+3 merge; row 2 is DIFFERENT content
+    by_id = {r["id"]: r["n_duplicates"] for r in out.collect()}
+    assert by_id == {1: 2, 2: 1}
+
+
+def test_jaccard_prefix_exact_tau_boundary(spark):
+    """r6 review fix: at tau=0.9 a 9-token subset of a 10-token doc has
+    Jaccard exactly 0.9 — the float ceil(0.9*10)=10 shortened the
+    prefix and the size prefilter rejected 9 >= 9.000000000000002,
+    losing the pair twice over."""
+    from eventbridge_etl_spark.operators.dedup import (
+        jaccard_pairs_prefix_filtered,
+    )
+
+    toks = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(toks[:9]))],
+        "doc_id long, text string",
+    )
+    out = jaccard_pairs_prefix_filtered(df, "doc_id", "text", tau=0.9).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == 0.9
+
+
+def test_chunk_dedup_null_text_round_trips(spark):
+    """r6 review fix: NULL-text docs used to vanish (NULL chunk key
+    never equi-joins); they now round-trip as empty."""
+    from eventbridge_etl_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_tokens=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["new_text"] == "a b c d"
+    assert out[2]["new_text"] == "" and out[2]["n_removed"] == 0

@@ -72,3 +72,18 @@ def test_duplicate_key_last_writer_wins_with_version(spark):
 
     out = {r["id"]: r["val"] for r in upsert_by_key(df, ["id"], "ver").collect()}
     assert out == {"1": "new", "2": "only"}
+
+
+def test_upsert_all_null_versions_keep_data(spark):
+    """r6 review fix: max_by ignored all-NULL version keys and replaced
+    real payloads with NULLs; struct-wrapped versions keep a row (and
+    any versioned row still beats null-versioned ones)."""
+    from eventbridge_etl_spark.operators.upsert import upsert_by_key
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (1, None, "b"), (2, 5, "x"), (2, None, "z")],
+        "k int, ver int, v string",
+    )
+    out = {r["k"]: r for r in upsert_by_key(df, ["k"], version_col="ver").collect()}
+    assert out[1]["v"] in ("a", "b")  # not NULL
+    assert out[2]["v"] == "x" and out[2]["ver"] == 5

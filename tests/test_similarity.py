@@ -152,3 +152,22 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
             continue
         for orig, qv in zip(r["embedding"], r["qvec"]):
             assert abs(float(orig) - qv / r["scale"]) <= 0.5 / r["scale"] + 1e-9
+
+
+def test_label_centroids_string_labels_both_impls(spark):
+    """r6 review fix: the arrow impl hardcoded `label int` in its
+    output schema, breaking string-labeled corpora."""
+    from eventbridge_etl_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [("news", [1.0, 3.0]), ("news", [3.0, 5.0]), ("spam", [0.0, 2.0])],
+        "label string, embedding array<double>",
+    )
+    a = {r["label"]: r for r in
+         label_centroids(df, "label", "embedding", impl="builtin").collect()}
+    b = {r["label"]: r for r in
+         label_centroids(df, "label", "embedding", impl="arrow").collect()}
+    assert set(a) == set(b) == {"news", "spam"}
+    for lbl in a:
+        assert list(a[lbl]["centroid"]) == list(b[lbl]["centroid"])
+        assert a[lbl]["n_vectors"] == b[lbl]["n_vectors"]
