@@ -55,6 +55,11 @@ def check_expectations(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
 
     Returns one row per rule: ``(rule, n_violations, passed)`` in a
     stable schema — the publish gate is ``passed`` being all-true."""
+    if not rules:
+        raise ValueError(
+            "rules must name at least one expectation (an empty contract "
+            "would vacuously pass — make that decision explicit upstream)"
+        )
     named = [_violations(r) for r in rules]
     one = df.agg(*[expr.alias(f"_v{i}") for i, (_, expr) in enumerate(named)])
     rows = F.array(

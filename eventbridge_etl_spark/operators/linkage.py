@@ -61,7 +61,9 @@ def fuzzy_match_blocked(
         a.join(c, (F.col("a._blk") == F.col("b._blk")) & (ta < tb))
         .filter(F.abs(F.length(ta) - F.length(tb)) <= max_dist)
         .withColumn("dist", F.levenshtein(ta, tb))
-        .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+        # dist >= 1 is structural: the join's ta < tb already excludes
+        # equal strings, so only the upper bound filters anything
+        .filter(F.col("dist") <= max_dist)
         .select(
             ta.alias("name_a"),
             tb.alias("name_b"),

@@ -127,14 +127,36 @@ def _alternative_predicate(col: Column, alt: Any) -> Column:
                     )
                 return ~_alternative_predicate(col, spec) | col.isNull()
             vals = spec if isinstance(spec, list) else [spec]
-            return ~col.isin(vals) | col.isNull()
+            # strip None from the exclusion list: a NULL inside isin()
+            # poisons the whole membership test to NULL, which used to
+            # flip the semantics to match ONLY null rows; the Python
+            # oracle (and EventBridge) never exclude null values here
+            non_null = [v for v in vals if v is not None]
+            if not non_null:
+                return F.lit(True)
+            return ~col.isin(non_null) | col.isNull()
         if "exists" in alt:
             return col.isNotNull() if alt["exists"] else col.isNull()
         if "numeric" in alt:
             spec = alt["numeric"]
+            if not isinstance(spec, list) or not spec or len(spec) % 2:
+                raise ValueError(
+                    f"numeric spec must be non-empty [op, value, ...] "
+                    f"pairs, got: {spec!r}"
+                )
+            for op in spec[::2]:
+                if op not in _NUMERIC_OPS:
+                    raise ValueError(
+                        f"unknown numeric operator {op!r} "
+                        f"(want one of {sorted(_NUMERIC_OPS)})"
+                    )
+            # try_cast, not cast: under ANSI a non-numeric field value
+            # would CRASH the query; EventBridge semantics are
+            # "non-matching, never an error" (null comparisons below
+            # propagate to a null AND-chain = non-match)
             pred = F.lit(True)
             for op, val in zip(spec[::2], spec[1::2]):
-                pred = pred & _NUMERIC_OPS[op](col.cast("double"), float(val))
+                pred = pred & _NUMERIC_OPS[op](col.try_cast("double"), float(val))
             return pred
         if "equals-ignore-case" in alt:
             return F.lower(col) == F.lit(str(alt["equals-ignore-case"]).lower())
@@ -178,6 +200,31 @@ def _alternative_predicate(col: Column, alt: Any) -> Column:
     return col == F.lit(alt)
 
 
+def _scalar_predicate(col: Column, dtype: str, alt: Any) -> Column:
+    """One scalar alternative, ANSI-crash-free (review finding r6).
+
+    - ``None`` matches null-valued fields (EventBridge ``[null]``).
+    - A numeric scalar against a STRING-typed field (JSON extraction)
+      compares through ``try_cast('double')`` — "42" matches 42, a
+      non-numeric value is non-matching instead of an ANSI
+      CAST_INVALID_INPUT crash.
+    - A string scalar against a non-string field compares against the
+      field's string image (never raises; "42" still matches long 42).
+    - Like-typed comparisons stay plain equality.
+    """
+    if alt is None:
+        return col.isNull()
+    if isinstance(alt, bool):
+        if dtype == "string":
+            return col == F.lit("true" if alt else "false")
+        return col == F.lit(alt)
+    if isinstance(alt, (int, float)) and dtype == "string":
+        return col.try_cast("double") == F.lit(float(alt))
+    if isinstance(alt, str) and dtype != "string":
+        return col.cast("string") == F.lit(alt)
+    return col == F.lit(alt)
+
+
 def compile_pattern(df: DataFrame, pattern: Mapping[str, Any]) -> Column:
     """Compile an event pattern dict into a single boolean Column."""
 
@@ -201,15 +248,32 @@ def compile_pattern(df: DataFrame, pattern: Mapping[str, Any]) -> Column:
                 term = walk(value, sub_path)
             else:
                 alts = value if isinstance(value, list) else [value]
+                if not alts:
+                    raise ValueError(
+                        f"empty alternatives list for field "
+                        f"{'.'.join(sub_path)!r} (EventBridge rejects "
+                        "empty arrays in patterns)"
+                    )
                 col = _field_column(df, sub_path)
-                # plain-scalar alternatives compile to one IN-list
+                dtype = df.select(col).schema[0].dataType.simpleString()
                 scalars = [a for a in alts if not isinstance(a, Mapping)]
                 ops = [a for a in alts if isinstance(a, Mapping)]
                 terms: list[Column] = []
+                # same-typed string scalars still compile to one
+                # IN-list; anything mixed routes through the typed
+                # per-scalar predicate (ANSI-safe, null-aware)
                 if scalars:
-                    terms.append(
-                        col == scalars[0] if len(scalars) == 1 else col.isin(scalars)
-                    )
+                    if dtype == "string" and all(
+                        isinstance(a, str) for a in scalars
+                    ):
+                        terms.append(
+                            col == scalars[0]
+                            if len(scalars) == 1
+                            else col.isin(scalars)
+                        )
+                    else:
+                        for a in scalars:
+                            terms.append(_scalar_predicate(col, dtype, a))
                 terms.extend(_alternative_predicate(col, a) for a in ops)
                 term = terms[0]
                 for t in terms[1:]:

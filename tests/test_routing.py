@@ -184,3 +184,68 @@ def test_or_branches(envelopes):
     assert detail_types(out) == ["data-loaded", "ecs-started", "transform"]
     with pytest.raises(ValueError, match=r"\$or"):
         compile_pattern(envelopes, {"$or": []})
+
+
+class TestAnsiSafetyAndNulls:
+    """r6 review fixes: EventBridge semantics are 'non-matching, never
+    an error' — under Spark 4's default ANSI mode several paths
+    crashed, and null pattern values inverted semantics."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "success", '{"status": "extracted", "n": "42"}'),
+                (2, None, '{"status": "loaded", "n": "abc"}'),
+            ],
+            "id long, state string, detail string",
+        )
+
+    def test_numeric_matcher_never_crashes_on_text(self, spark):
+        from eventbridge_etl_spark.operators.routing import route
+
+        df = self._df(spark)
+        # detail.status is "extracted"/"loaded" — non-numeric: simply no match
+        out = route(df, {"detail": {"status": [{"numeric": [">", 0]}]}})
+        assert out.count() == 0
+        # while a numeric-looking field matches
+        out2 = route(df, {"detail": {"n": [{"numeric": [">", 10]}]}})
+        assert [r["id"] for r in out2.collect()] == [1]
+
+    def test_scalar_int_vs_string_field_never_crashes(self, spark):
+        from eventbridge_etl_spark.operators.routing import route
+
+        df = self._df(spark)
+        assert route(df, {"state": [42]}).count() == 0  # used to crash
+        out = route(df, {"detail": {"n": [42]}})  # "42" matches 42
+        assert [r["id"] for r in out.collect()] == [1]
+
+    def test_null_scalar_matches_null_field(self, spark):
+        from eventbridge_etl_spark.operators.routing import route
+
+        df = self._df(spark)
+        out = route(df, {"state": [None]})
+        assert [r["id"] for r in out.collect()] == [2]
+        # null alongside values: match null OR the value
+        both = route(df, {"state": [None, "success"]})
+        assert sorted(r["id"] for r in both.collect()) == [1, 2]
+
+    def test_anything_but_with_null_keeps_other_rows(self, spark):
+        from eventbridge_etl_spark.operators.routing import route
+
+        df = self._df(spark)
+        # used to match ONLY the null row (isin poisoned by NULL)
+        out = route(df, {"state": [{"anything-but": [None, "failure"]}]})
+        assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+    def test_malformed_specs_raise_value_error(self, spark):
+        import pytest
+
+        from eventbridge_etl_spark.operators.routing import route
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="numeric"):
+            route(df, {"detail": {"n": [{"numeric": ["<"]}]}})  # odd length
+        with pytest.raises(ValueError, match="numeric operator"):
+            route(df, {"detail": {"n": [{"numeric": ["!=", 3]}]}})
+        with pytest.raises(ValueError, match="empty alternatives"):
+            route(df, {"state": []})
