@@ -404,7 +404,10 @@ def dedup_source_overlap(spark, sf_dir):
       -- >= target get one bin each in a disjoint id range (mirrors
       -- operators/compaction.py, r6 fix)
       SELECT partition, file, size,
-             CASE WHEN size >= 16384 THEN
+             -- outer BIGINT cast: the windowed SUM promotes to
+             -- HUGEINT, which pandas would surface as float64 and
+             -- fail the driver's type-tagged hash compare
+             CAST(CASE WHEN size >= 16384 THEN
                CAST(floor(SUM(CASE WHEN size < 16384 THEN size ELSE 0 END)
                           OVER whole / 16384.0) AS BIGINT) + 1
                + COALESCE(SUM(CASE WHEN size >= 16384 THEN 1 ELSE 0 END)
@@ -413,7 +416,7 @@ def dedup_source_overlap(spark, sf_dir):
                CAST(floor(COALESCE(SUM(CASE WHEN size < 16384 THEN size
                                         ELSE 0 END) OVER prec, 0)
                           / 16384.0) AS BIGINT)
-             END AS bin
+             END AS BIGINT) AS bin
       FROM inv
       WINDOW prec AS (PARTITION BY partition ORDER BY file
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
