@@ -78,6 +78,8 @@ def write_bucketed_table(
         writer = writer.option("path", path)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
+    if not bucket_cols:
+        raise ValueError("bucket_cols must name at least one column")
     first, *rest = list(bucket_cols)
     writer = writer.bucketBy(n_buckets, first, *rest)
     writer = writer.sortBy(*(sort_cols if sort_cols else bucket_cols))
@@ -113,11 +115,23 @@ def build_merge_sql(
         raise ValueError(f"key columns absent from batch: {missing}")
     if version_col is not None and version_col not in columns:
         raise ValueError(f"version column absent from batch: {version_col!r}")
-    on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+    # null-SAFE key equality: with plain `=`, a NULL-keyed row never
+    # matches its own previous insert and every at-least-once replay
+    # re-inserts it — upsert_by_key/KeyedParquetStore treat NULL keys
+    # as one group, and this MERGE twin must too (review finding r6)
+    on = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
     sets = ", ".join(f"t.`{c}` = s.`{c}`" for c in columns if c not in keys)
     ins_cols = ", ".join(f"`{c}`" for c in columns)
     ins_vals = ", ".join(f"s.`{c}`" for c in columns)
-    guard = f" AND s.`{version_col}` > t.`{version_col}`" if version_col else ""
+    # a null-versioned TARGET row must lose to any versioned source
+    # (upsert_by_key's struct-wrapped contract); bare `>` is NULL
+    # against a NULL target version and the stale row would win forever
+    guard = (
+        f" AND (s.`{version_col}` > t.`{version_col}` "
+        f"OR t.`{version_col}` IS NULL)"
+        if version_col
+        else ""
+    )
     # keys-only batch (presence set): nothing to update on match — a bare
     # "UPDATE SET" would be a parse error, so emit insert-only MERGE
     matched = f"WHEN MATCHED{guard} THEN UPDATE SET {sets} " if sets else ""

@@ -42,18 +42,25 @@ def read_binary_files(
     path: str,
     glob: str | None = None,
     stream: bool = False,
+    **options: str,
 ) -> DataFrame:
     """Read media objects as payload rows:
     ``(path, length, mod_time, payload struct<data, meta>)``.
 
     ``meta.mime`` derives from the file extension (unknown extensions
-    get ``application/octet-stream``); width/height/frames/rate stay
-    null until a decode pass fills them.  ``glob`` maps to
-    ``pathGlobFilter`` so pruning happens during listing, not after
-    content reads.
+    get ``application/octet-stream``); the remaining meta fields come
+    from ``operators.multimodal.MEDIA_META_SCHEMA`` (single source of
+    truth — this payload must stay union-compatible with
+    ``attach_payload``'s) and stay null until a decode pass fills
+    them.  ``glob`` maps to ``pathGlobFilter`` so pruning happens
+    during listing, not after content reads; ``**options`` passes
+    through to the reader for the knobs the module docstring
+    advertises (``modifiedAfter``, streaming ``maxFilesPerTrigger``).
     """
+    from eventbridge_etl_spark.operators.multimodal import MEDIA_META_SCHEMA
+
     reader = spark.readStream if stream else spark.read
-    reader = reader.format("binaryFile")
+    reader = reader.format("binaryFile").options(**options)
     if stream:
         # streaming sources require an explicit schema; binaryFile's is
         # fixed by the format
@@ -77,10 +84,11 @@ def read_binary_files(
             F.col("content").alias("data"),
             F.struct(
                 mime.alias("mime"),
-                F.lit(None).cast("int").alias("width"),
-                F.lit(None).cast("int").alias("height"),
-                F.lit(None).cast("int").alias("n_frames"),
-                F.lit(None).cast("int").alias("sample_rate"),
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in MEDIA_META_SCHEMA.fields
+                    if f.name != "mime"
+                ],
             ).alias("meta"),
         ).alias("payload"),
     )

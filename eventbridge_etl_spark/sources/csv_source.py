@@ -31,7 +31,10 @@ def read_csv_batch(
     (SURVEY §1.2); pass a schema (or use ``inferSchema``) to upgrade to
     typed columns at the boundary.
     """
-    reader = spark.read.options(header=True, **options)
+    # caller-supplied options OVERRIDE the header default — passing
+    # header as a Python kwarg alongside **options raised TypeError for
+    # anyone ingesting headerless CSVs (review finding r6)
+    reader = spark.read.options(**{"header": True, **options})
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(path)
@@ -56,7 +59,7 @@ def read_csv_stream(
     Streaming sources require an explicit schema (no header inference
     mid-stream) — infer once from a sample file if needed.
     """
-    reader = spark.readStream.options(header=True, **options)
+    reader = spark.readStream.options(**{"header": True, **options})
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.schema(schema).csv(landing_dir)
@@ -65,7 +68,9 @@ def read_csv_stream(
 def infer_csv_schema(spark: SparkSession, sample_path: str, **options: str) -> T.StructType:
     """Infer a schema from one sample file for use by the streaming reader."""
     return (
-        spark.read.options(header=True, inferSchema=True, **options).csv(sample_path).schema
+        spark.read.options(**{"header": True, "inferSchema": True, **options})
+        .csv(sample_path)
+        .schema
     )
 
 

@@ -39,11 +39,19 @@ def to_envelope(
     """Wrap each row of ``df`` into an envelope row.
 
     ``detail`` is the JSON serialization of the selected columns (all
-    columns by default) — the Spark analog of the reference's per-stage
-    re-emit (transform.ts:16-45).  Pure built-ins (``to_json(struct(...))``)
-    so the wrap stays inside whole-stage codegen.
+    columns when ``detail_cols`` is None) — the Spark analog of the
+    reference's per-stage re-emit (transform.ts:16-45).  Pure built-ins
+    (``to_json(struct(...))``) so the wrap stays inside whole-stage
+    codegen.  An explicitly EMPTY ``detail_cols`` raises — `or` used to
+    silently fall back to ALL columns, the opposite of a caller whose
+    dynamically-built allowlist came out empty (review finding r6).
     """
-    cols = detail_cols or df.columns
+    if detail_cols is not None and not detail_cols:
+        raise ValueError(
+            "detail_cols is empty: pass None to serialize every column, "
+            "or name the columns to include"
+        )
+    cols = df.columns if detail_cols is None else detail_cols
     return df.select(
         F.lit(source).alias("source"),
         F.lit(detail_type).alias("detail_type"),

@@ -32,7 +32,16 @@ def read_jsonl_batch(
 ) -> DataFrame:
     """Batch JSONL scan.  Without ``schema`` Spark samples to infer one
     (fine interactively; pin a schema for production scans so the input
-    is read once, not twice)."""
+    is read once, not twice).  ``keep_corrupt`` REQUIRES a schema — the
+    corrupt-record column only exists when the parser has a declared
+    shape to fail against, so the combination without one raises
+    instead of silently dropping the quarantine column (review r6)."""
+    if keep_corrupt and schema is None:
+        raise ValueError(
+            "keep_corrupt=True requires an explicit schema: with "
+            "inference there is no declared shape to fail against, so "
+            "no corrupt-record column would be materialized"
+        )
     reader = spark.read.options(**options)
     if schema is not None:
         if keep_corrupt:
@@ -80,6 +89,12 @@ def corrupt_records(df: DataFrame) -> DataFrame:
         raise ValueError(
             f"read with keep_corrupt=True to materialize {CORRUPT_COL}"
         )
+    if df.isStreaming:
+        # .cache() raises on streaming plans; the corrupt-only-column
+        # restriction the cache works around doesn't bite a filter
+        # that keeps every column (review r6: this helper crashed on
+        # the exact quarantine stream the module documents)
+        return df.filter(F.col(CORRUPT_COL).isNotNull())
     return df.cache().filter(F.col(CORRUPT_COL).isNotNull())
 
 

@@ -87,3 +87,42 @@ def test_json_field_typed_projection(spark):
         json_field("j", "$.missing").alias("m"),
     ).collect()[0]
     assert (out["b"], out["s"], out["m"]) == (7, "hi", None)
+
+
+def test_corrupt_records_streaming_branch(spark, tmp_path):
+    """r6 review fix: corrupt_records used to crash on streaming frames
+    (.cache() raises on streaming plans) — the exact quarantine flow
+    the module documents."""
+    import json
+    import os
+
+    from eventbridge_etl_spark.sources.json_source import (
+        corrupt_records,
+        read_jsonl_stream,
+    )
+
+    land = str(tmp_path / "jl")
+    os.makedirs(land, exist_ok=True)
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(json.dumps({"k": 1}) + "\n")
+        f.write("{{not json\n")
+    stream = read_jsonl_stream(spark, land, "k bigint", keep_corrupt=True)
+    bad = corrupt_records(stream)
+    assert bad.isStreaming
+    q = (
+        bad.writeStream.format("memory").queryName("quarantine_r6")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM quarantine_r6").collect()
+    assert len(rows) == 1 and "not json" in rows[0]["_corrupt_record"]
+
+
+def test_keep_corrupt_without_schema_raises(spark, tmp_path):
+    import pytest
+
+    from eventbridge_etl_spark.sources.json_source import read_jsonl_batch
+
+    with pytest.raises(ValueError, match="schema"):
+        read_jsonl_batch(spark, str(tmp_path), keep_corrupt=True)

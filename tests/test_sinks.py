@@ -180,9 +180,13 @@ def test_build_merge_sql_shape():
         "lake.events_latest", "src", ["user_id"],
         ["user_id", "ts", "value"], version_col="ts",
     )
+    # r6: null-SAFE key match (<=>) so replayed NULL-key rows stay
+    # idempotent, and a null-versioned target row loses to any
+    # versioned source (upsert_by_key's contract)
     assert sql == (
-        "MERGE INTO lake.events_latest t USING src s ON t.`user_id` = s.`user_id` "
-        "WHEN MATCHED AND s.`ts` > t.`ts` THEN UPDATE SET t.`ts` = s.`ts`, "
+        "MERGE INTO lake.events_latest t USING src s ON t.`user_id` <=> s.`user_id` "
+        "WHEN MATCHED AND (s.`ts` > t.`ts` OR t.`ts` IS NULL) "
+        "THEN UPDATE SET t.`ts` = s.`ts`, "
         "t.`value` = s.`value` "
         "WHEN NOT MATCHED THEN INSERT (`user_id`, `ts`, `value`) "
         "VALUES (s.`user_id`, s.`ts`, s.`value`)"
