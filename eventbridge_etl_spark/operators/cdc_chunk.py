@@ -7,7 +7,8 @@ mask — realign after edits, so shared runs between versions of a blob
 dedup regardless of offset.  This is the Gear/FastCDC family
 (public literature), reduced to its deterministic core.
 
-Cut rule: Gear rolling hash ``h = (h << 1 + gear[byte]) mod 2^64``;
+Cut rule: Gear rolling hash ``h = ((h << 1) + gear[byte]) mod 2^64``
+(shift FIRST, then add — the parenthesization is the spec);
 cut after a byte when ``h & mask == 0`` (mask = 2^bits - 1, average
 chunk ≈ 2^bits bytes) subject to [min_size, max_size] bounds.
 
@@ -108,7 +109,8 @@ def cdc_chunks(
                 if start < len(data) or not data:
                     bounds.append((start, len(data)))
                 for idx, (a, b) in enumerate(bounds):
-                    rows["id"].append(int(rid))
+                    # null-safe id pass-through (int(NaN) raises)
+                    rows["id"].append(None if rid != rid else int(rid))
                     rows["chunk_idx"].append(idx)
                     rows["offset"].append(a)
                     rows["size"].append(b - a)

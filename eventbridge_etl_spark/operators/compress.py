@@ -54,7 +54,9 @@ def compression_ratio(
             for rid, text in zip(pdf["_id"], pdf["_text"]):
                 raw = (text or "").encode("utf-8")
                 comp = zlib.compress(raw, level)
-                rows["doc_id"].append(int(rid))
+                # null id arrives as NaN through Arrow; int(NaN) would
+                # kill the job — pass the null through instead
+                rows["doc_id"].append(None if rid != rid else int(rid))
                 rows["n_bytes"].append(len(raw))
                 rows["n_compressed"].append(len(comp))
                 rows["ratio"].append(round(len(comp) / max(len(raw), 1), 4))

@@ -29,12 +29,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _guard_temp_columns(df: DataFrame, names: list[str]) -> None:
+def _guard_temp_columns(df: DataFrame, names: list[str], out_col: str) -> None:
     clash = sorted(set(names) & set(df.columns))
     if clash:
         raise ValueError(
             f"input columns {clash} collide with internal temp columns; "
             "rename them before calling this transform"
+        )
+    # transforms APPEND, never overwrite (review finding r6: an out_col
+    # equal to an input column was silently replaced, and one equal to
+    # a temp column was dropped from the output entirely)
+    if out_col in df.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists in the input; these "
+            "transforms append a new column — pick another name"
+        )
+    if out_col in names:
+        raise ValueError(
+            f"out_col {out_col!r} collides with an internal temp column"
         )
 
 
@@ -52,10 +64,11 @@ def robust_scale(
     (constant-ish value), null values, and null group keys all yield
     null rather than infinity, a dropped row, or a fabricated value.
     """
-    _guard_temp_columns(df, ["_med", "_iqr"])
+    _guard_temp_columns(df, ["_med", "_iqr"], out_col)
     # one shared percentile buffer for all three quantiles (three
     # separate percentile() aggregates would each buffer the group)
-    q = F.expr(f"percentile(`{value_col}`, array(0.5, 0.75, 0.25))")
+    vq = value_col.replace("`", "``")  # escape embedded backticks
+    q = F.expr(f"percentile(`{vq}`, array(0.5, 0.75, 0.25))")
     stats = df.groupBy(group_col).agg(
         q.getItem(0).alias("_med"),
         (q.getItem(1) - q.getItem(2)).alias("_iqr"),
@@ -94,9 +107,10 @@ def equidepth_bins(
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     qcols = [f"_q{i}" for i in range(1, n_bins)]
-    _guard_temp_columns(df, qcols)
+    _guard_temp_columns(df, qcols, out_col)
     fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
-    q = F.expr(f"percentile(`{value_col}`, array({fracs}))")  # one buffer
+    vq = value_col.replace("`", "``")  # escape embedded backticks
+    q = F.expr(f"percentile(`{vq}`, array({fracs}))")  # one buffer
     stats = df.groupBy(group_col).agg(
         *[q.getItem(i).alias(c) for i, c in enumerate(qcols)]
     )
@@ -140,16 +154,29 @@ def target_encode(
     aggregate + a 1-row global aggregate, both broadcast back; the
     encoding itself is map-only.
     """
-    _guard_temp_columns(df, ["_s", "_n", "_prior"])
+    _guard_temp_columns(df, ["_s", "_n", "_prior"], out_col)
     t = F.col(target_col).cast("decimal(28,6)")
     per_cat = df.groupBy(category_col).agg(
         F.sum(t).alias("_s"), F.count(target_col).alias("_n")
     )
-    overall = df.agg(
-        (F.sum(t).cast("double") / F.count(target_col)).alias("_prior")
+    # the global prior derives from the per-category decimal sums —
+    # bit-identical to a direct aggregate (exact decimal addition is
+    # associative) without a SECOND full scan of the fact table
+    # (review finding r6); per_cat includes the null-category group,
+    # so nothing is lost
+    overall = per_cat.agg(
+        (F.sum("_s").cast("double") / F.sum("_n")).alias("_prior")
+    )
+    # a MATCHED category whose targets are all null has _s NULL but
+    # _n = 0: the documented shrinkage formula gives exactly the
+    # prior, not NULL (unmatched null-category rows keep _n NULL and
+    # still encode null)
+    s_val = F.when(
+        F.col("_n").isNotNull(),
+        F.coalesce(F.col("_s").cast("double"), F.lit(0.0)),
     )
     enc = F.round(
-        (F.col("_s").cast("double") + F.col("_prior") * F.lit(smoothing))
+        (s_val + F.col("_prior") * F.lit(smoothing))
         / (F.col("_n") + F.lit(smoothing)),
         scale,
     )

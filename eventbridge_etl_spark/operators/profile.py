@@ -27,17 +27,7 @@ def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFra
     max_value)`` with min/max cast to string so heterogeneous column
     types share one schema.  ``n_distinct`` is exact and excludes
     nulls (SQL COUNT(DISTINCT) semantics in both engines)."""
-    cols = list(cols) if cols is not None else list(df.columns)
-    aggs = [F.count("*").alias("_n")]
-    for c in cols:
-        aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
-        ]
-    one = df.agg(*aggs)
-    return _to_long_form(one, cols)
+    return _profile(df, cols, lambda c: F.count_distinct(F.col(c)))
 
 
 def profile_columns_approx(
@@ -56,12 +46,24 @@ def profile_columns_approx(
     tests/test_plans.py.  Trade: ~rsd relative error on n_distinct;
     n_rows/n_nulls/min/max remain exact.
     """
+    return _profile(df, cols, lambda c: F.approx_count_distinct(F.col(c), rsd))
+
+
+def _profile(df: DataFrame, cols: Sequence[str] | None, nd_expr) -> DataFrame:
+    """Shared body of the exact/approx profiles — ONE place for the
+    metric set (review r6: the two variants duplicated everything but
+    the n_distinct expression and would drift)."""
     cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError(
+            "cols must name at least one column to profile (an empty "
+            "list would fail deep in analysis with a NullType explode)"
+        )
     aggs = [F.count("*").alias("_n")]
     for c in cols:
         aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{c}"),
-            F.approx_count_distinct(F.col(c), rsd).alias(f"_nd_{c}"),
+            nd_expr(c).alias(f"_nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
         ]

@@ -88,7 +88,11 @@ def doc_equidepth_bins(spark, sf_dir):
       FROM events
     )
     SELECT e.event_id, e.event_type,
-           ROUND((CAST(c.s AS DOUBLE) + prior.p * 20.0) / (c.n + 20.0), 6)
+           -- all-null-target categories encode as the prior, not NULL
+           -- (operator coalesces the decimal sum to 0 when n is known)
+           ROUND((CASE WHEN c.n IS NOT NULL
+                       THEN COALESCE(CAST(c.s AS DOUBLE), 0.0) END
+                  + prior.p * 20.0) / (c.n + 20.0), 6)
              AS encoded
     FROM events e LEFT JOIN cat c USING (event_type) CROSS JOIN prior
     """,

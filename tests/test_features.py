@@ -103,3 +103,72 @@ def test_features_reject_temp_column_collisions(spark):
     df2 = spark.createDataFrame([("a", 1.0, 5.0)], "g string, v double, _med double")
     with pytest.raises(ValueError, match="collide"):
         robust_scale(df2, "g", "v")
+
+
+def test_out_col_collisions_rejected(spark):
+    """r6 review fix: out_col equal to an input column silently
+    overwrote it; out_col equal to a temp column vanished entirely."""
+    import pytest
+
+    from eventbridge_etl_spark.operators.features import (
+        equidepth_bins,
+        robust_scale,
+        target_encode,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="out_col"):
+        robust_scale(df, "g", "v", out_col="v")
+    with pytest.raises(ValueError, match="out_col"):
+        robust_scale(df, "g", "v", out_col="_med")
+    with pytest.raises(ValueError, match="out_col"):
+        equidepth_bins(df, "g", "v", out_col="g")
+    with pytest.raises(ValueError, match="out_col"):
+        target_encode(df, "g", "v", out_col="_prior")
+
+
+def test_target_encode_all_null_category_gets_prior(spark):
+    """r6 review fix: a category whose targets are ALL null encoded
+    NULL instead of the documented shrink-to-prior."""
+    from eventbridge_etl_spark.operators.features import target_encode
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", None), (None, 5.0)],
+        "cat string, t double",
+    )
+    out = {(r["cat"], r["t"]): r["encoded"]
+           for r in target_encode(df, "cat", "t", smoothing=20.0).collect()}
+    prior = (10.0 + 20.0 + 5.0) / 3
+    assert out[("b", None)] == round((0 + prior * 20.0) / (0 + 20.0), 6)
+    assert out[(None, 5.0)] is None  # null category stays unmatched
+
+
+def test_profile_rejects_empty_cols(spark):
+    import pytest
+
+    from eventbridge_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="at least one column"):
+        profile_columns(df, cols=[])
+
+
+def test_compress_and_cdc_null_ids_pass_through(spark):
+    """r6 review fix: int(NaN) on a null id killed the whole job."""
+    from eventbridge_etl_spark.operators.cdc_chunk import cdc_chunks
+    from eventbridge_etl_spark.operators.compress import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (None, "orphan row")], "doc_id long, text string"
+    )
+    out = compression_ratio(df)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, None} and rows[None]["n_bytes"] == 10
+
+    bf = spark.createDataFrame(
+        [(1, bytearray(b"abcd" * 100)), (None, bytearray(b"xy"))],
+        "id long, data binary",
+    )
+    cout = cdc_chunks(bf, "id", "data")
+    ids = {r["id"] for r in cout.collect()}
+    assert ids == {1, None}
