@@ -338,7 +338,14 @@ def label_centroids(
 
         def _centroid(pdf: pd.DataFrame) -> pd.DataFrame:
             mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            cen = np.round(mat.mean(axis=0), decimals)
+            mean = mat.mean(axis=0)
+            # HALF_UP away from zero, matching Spark's F.round in the
+            # builtin impl and DuckDB's ROUND — np.round is half-EVEN
+            # and disagrees on exact half-boundary means (review r6;
+            # dyadic float32 embeddings with power-of-two counts can
+            # land exactly on .5 at the target decimal)
+            k = 10.0 ** decimals
+            cen = np.sign(mean) * np.floor(np.abs(mean) * k + 0.5) / k
             return pd.DataFrame(
                 {
                     label_col: [pdf[label_col].iloc[0]],

@@ -47,7 +47,7 @@ def _emb(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\\s+'))   AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS n_bpe_tokens,
            n_chars
     FROM documents
     """,
@@ -71,7 +71,7 @@ def text_token_stats(spark, sf_dir):
              length(text) AS nc,
              len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt,
              len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS ndt,
-             len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) AS np
+             len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\x0b\\f\\r]')) AS np
       FROM documents
     )
     SELECT doc_id,
@@ -356,6 +356,28 @@ def dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_near_dup_pairs(as_double, "vec_id", "embedding", COSINE_TAU)
 
 
+def _lsh_bucket_sql(vec: str, seed: int, n_planes: int) -> str:
+    """Render one LSH table's bucket id (hyperplane sign pattern packed
+    to an int) as DuckDB SQL with the seeded planes embedded as float
+    literals — the ONE renderer both LSH oracles use (review r6: it was
+    duplicated verbatim in each, leaving the shared-plane invariant to
+    luck)."""
+    from eventbridge_etl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ",".join(repr(x) for x in p)
+        dot = (
+            f"list_sum(list_transform(range(1,65), "
+            f"j -> {vec}[j]::DOUBLE * ([{lits}])[j]))"
+        )
+        terms.append(
+            f"(CASE WHEN {dot} >= 0 THEN {2 ** (n_planes - 1 - i)} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def _embedding_lsh_oracle_sql(
     tau: float, n_planes: int = 4, n_tables: int = 8
 ) -> str:
@@ -366,21 +388,8 @@ def _embedding_lsh_oracle_sql(
     assignment, the pair candidate join, and the within-bucket cosine
     verification exactly — even though the operator is probabilistic,
     both engines prune the same pairs."""
-    from eventbridge_etl_spark.operators.similarity import _hyperplanes
-
     def bucket(vec: str, seed: int) -> str:
-        planes = _hyperplanes(64, n_planes, seed)
-        terms = []
-        for i, p in enumerate(planes):
-            lits = ",".join(repr(x) for x in p)
-            dot = (
-                f"list_sum(list_transform(range(1,65), "
-                f"j -> {vec}[j]::DOUBLE * ([{lits}])[j]))"
-            )
-            terms.append(
-                f"(CASE WHEN {dot} >= 0 THEN {2 ** (n_planes - 1 - i)} ELSE 0 END)"
-            )
-        return "(" + " + ".join(terms) + ")"
+        return _lsh_bucket_sql(vec, seed, n_planes)
 
     cb = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, "
@@ -554,21 +563,8 @@ def _lsh_oracle_sql(n_planes: int = 4, n_tables: int = 8) -> str:
     float literals — the full multi-table bucket build, candidate join,
     and re-rank replicate exactly.  ~90 KB of SQL, machine-written here
     rather than hand-maintained."""
-    from eventbridge_etl_spark.operators.similarity import _hyperplanes
-
     def bucket(vec: str, seed: int) -> str:
-        planes = _hyperplanes(64, n_planes, seed)
-        terms = []
-        for i, p in enumerate(planes):
-            lits = ",".join(repr(x) for x in p)
-            dot = (
-                f"list_sum(list_transform(range(1,65), "
-                f"j -> {vec}[j]::DOUBLE * ([{lits}])[j]))"
-            )
-            terms.append(
-                f"(CASE WHEN {dot} >= 0 THEN {2 ** (n_planes - 1 - i)} ELSE 0 END)"
-            )
-        return "(" + " + ".join(terms) + ")"
+        return _lsh_bucket_sql(vec, seed, n_planes)
 
     cb = " UNION ALL ".join(
         f"SELECT vec_id AS neighbor_id, {t} AS tbl, "
@@ -630,7 +626,11 @@ def similarity_topk_lsh(spark, sf_dir):
            len(list_filter(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 4 = 2)) AS bucket_2,
            len(list_filter(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 4 = 3)) AS bucket_3
     FROM documents
-    WHERE doc_id < 200
+    -- ASCII-only pin (both sides): this oracle counts CODE POINTS while
+    -- the engine histograms UTF-8 BYTES; the two agree exactly iff the
+    -- text is pure ASCII, so the gate asserts that restriction instead
+    -- of silently assuming it of the fixture
+    WHERE doc_id < 200 AND regexp_matches(text, '^[\\x00-\\x7f]*$')
     """,
 )
 def multimodal_byte_histogram(spark, sf_dir):
@@ -639,7 +639,11 @@ def multimodal_byte_histogram(spark, sf_dir):
     via Arrow-batched mapInPandas into bucket-count features.  Proves
     the schema/batch/partition contract that a real codec would slot
     into (operators.multimodal)."""
-    doc = _doc(spark, sf_dir).filter(F.col("doc_id") < 200)
+    doc = _doc(spark, sf_dir).filter(
+        (F.col("doc_id") < 200)
+        # ASCII pin mirrored from the oracle (bytes == code points)
+        & F.col("text").rlike("^[\\x00-\\x7F]*$")
+    )
     wrapped = attach_payload(doc, "text", mime="text/plain")
     decoded = decode_media(wrapped, "doc_id", fake=True, n_buckets=4)
     # counts (exact ints) rather than ratios: cross-engine float-free
@@ -799,7 +803,7 @@ def similarity_quantize_int8(spark, sf_dir):
              length(text) AS nc,
              len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt,
              len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS ndt,
-             len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) AS np
+             len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\x0b\\f\\r]')) AS np
       FROM documents
     ),
     scored AS (
@@ -1124,7 +1128,7 @@ def text_repetition_stats(spark, sf_dir):
              regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
              len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt,
              len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS ndt,
-             len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) AS np
+             len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\x0b\\f\\r]')) AS np
       FROM documents
     ),
     scored AS (

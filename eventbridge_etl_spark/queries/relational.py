@@ -641,7 +641,10 @@ def set_intersect(spark, sf_dir):
 )
 def set_except(spark, sf_dir):
     (od,) = _t(spark, sf_dir, "orders")
-    return _year_customers(od, 1996).exceptAll(_year_customers(od, 1997)).distinct()
+    # subtract() IS SQL EXCEPT (distinct) — exceptAll().distinct() only
+    # coincided because the inputs were pre-distinct, and cost an extra
+    # aggregate exchange (review r6)
+    return _year_customers(od, 1996).subtract(_year_customers(od, 1997))
 
 
 @query(

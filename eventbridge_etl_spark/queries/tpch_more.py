@@ -37,9 +37,10 @@ from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
 
 
-def _t(spark, sf_dir, *names):
-    tabs = load_tables(spark, sf_dir, tuple(names))
-    return [tabs[n] for n in names]
+# shared with relational.py — one table-loading shim for the whole
+# TPC-H family (review r6: four copies risked drifting if loading ever
+# grows a table-specific rule)
+from eventbridge_etl_spark.queries.relational import _t  # noqa: E402,F401
 
 
 _TS = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
@@ -669,7 +670,12 @@ def q21_waiting_orders(spark, sf_dir):
     late = (
         li.join(od.filter(F.col("o_orderstatus") == "F"),
                 F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .filter(
+            # timestamp arithmetic, NOT date_add: date_add truncates to
+            # DATE, silently shifting the lateness cut for any
+            # non-midnight order timestamp (oracle adds an INTERVAL)
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
         .groupBy("l_orderkey")
         .agg(
             F.collect_set("l_suppkey").alias("_late_supps"),
@@ -808,7 +814,10 @@ def q12_priority_shipping(spark, sf_dir):
             & (F.col("l_shipdate") < _TS("1997-01-01"))
         )
         .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 20))
+        .filter(
+            # timestamp arithmetic, NOT date_add (see q21)
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 20 DAYS")
+        )
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
