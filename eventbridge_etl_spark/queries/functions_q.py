@@ -49,7 +49,9 @@ def fn_string_surface(spark, sf_dir):
         F.lower("p_brand").alias("brand_lower"),
         F.length("p_name").alias("name_len"),
         F.substring("p_name", 1, 4).alias("name_prefix"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        # F.concat (null-propagating) mirrors the oracle's `||`;
+        # concat_ws would silently SKIP a null side (review r6)
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
         F.trim(F.lpad("p_brand", 12, "*")).alias("brand_padded"),
         F.reverse("p_type").alias("type_rev"),
@@ -159,10 +161,22 @@ def fn_array_surface(spark, sf_dir):
     "fn_json_surface",
     oracle="""
     SELECT event_id,
-           json_extract_string(props, '$.k')                   AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INTEGER)  AS k_int,
-           json_extract_string(props, '$.missing') IS NULL     AS missing_is_null,
-           CAST(json_valid(props) AS BOOLEAN)                  AS is_valid_json
+           -- json_valid guards + TRY_CAST: the unguarded forms CRASH
+           -- the oracle on any malformed props or non-numeric $.k —
+           -- the very inputs a validity surface exists to classify
+           -- (review r6); Spark's get_json_object degrades to NULL
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END      AS k_str,
+           TRY_CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END
+                AS INTEGER)                                     AS k_int,
+           (CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.missing') END)
+               IS NULL                                          AS missing_is_null,
+           -- Spark's get_json_object($) is NULL for the valid JSON
+           -- document 'null' and for NULL input — mirror both
+           COALESCE(json_valid(props) AND trim(props) <> 'null', FALSE)
+                                                                AS is_valid_json
     FROM events
     WHERE event_id < 500
     """,
@@ -172,7 +186,9 @@ def fn_json_surface(spark, sf_dir):
     return ev.filter(F.col("event_id") < 500).select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        # try_cast: a non-numeric k must classify as null, not raise
+        # under ANSI (same contract as the routing DSL)
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
         F.get_json_object("props", "$").isNotNull().alias("is_valid_json"),
     )
@@ -232,9 +248,13 @@ def fn_hash_surface(spark, sf_dir):
     "fn_map_surface",
     oracle="""
     SELECT event_id,
-           len(json_keys(props))                                    AS n_keys,
-           list_aggregate(list_sort(json_keys(props)), 'string_agg', ',')
-                                                                    AS keys_sorted,
+           -- json_valid guard: bare json_keys ABORTS the oracle on one
+           -- malformed row while Spark's from_json yields a NULL map
+           len(CASE WHEN json_valid(props) THEN json_keys(props) END)
+                                                                    AS n_keys,
+           list_aggregate(list_sort(CASE WHEN json_valid(props)
+                                         THEN json_keys(props) END),
+                          'string_agg', ',')                        AS keys_sorted,
            json_extract_string(props, '$.k')                        AS k_value,
            CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
                 THEN 1 ELSE 0 END                                   AS has_k

@@ -190,8 +190,13 @@ def events_reconciliation(spark, sf_dir):
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value,
-           ROUND(AVG(value), 4) AS avg_value
+           -- decimal-summed like the streaming rollup oracles: plain
+           -- double SUM/AVG accumulate in engine-specific order and can
+           -- flip the final rounding at half boundaries (review r6)
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
+             AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(value), 4) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -206,8 +211,14 @@ def events_hourly_rollup(spark, sf_dir):
         F.col("event_type"),
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
+        ).alias("sum_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("value"),
+            4,
+        ).alias("avg_value"),
     )
 
 

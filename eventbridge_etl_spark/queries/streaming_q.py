@@ -54,6 +54,8 @@ def _event_stream(spark, sf_dir):
 
 
 def _drain(df, mode="append"):
+    import shutil
+
     name = "q_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="ssq_ckpt_")
     q = (
@@ -64,7 +66,20 @@ def _drain(df, mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        # awaitTermination returns False on timeout — proceeding would
+        # silently read a PARTIAL memory sink while the query races on
+        # (review finding r6); fail loudly instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"streaming drain {name!r} did not finish within 300s"
+            )
+    finally:
+        # the memory sink lives in the driver; the checkpoint is only
+        # needed while the query runs — reclaim it (review r6: each
+        # drain leaked a state-store dir per invocation)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.sql(f"select * from {name}")
 
 
@@ -306,8 +321,18 @@ def streaming_rollup_merge(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return publish_rollup(read_rollup_state(spark, state_dir))
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("rollup drain did not finish within 300s")
+    state = read_rollup_state(spark, state_dir)
+    if state is None:
+        raise RuntimeError(
+            f"no committed rollup epoch in {state_dir!r} — the "
+            "foreachBatch sink never reached its first _SUCCESS"
+        )
+    # NB: state is a LAZY reader over state_dir — the work dir must
+    # outlive the returned frame, so no cleanup here
+    return publish_rollup(state)
 
 
 @query(

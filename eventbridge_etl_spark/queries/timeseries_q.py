@@ -255,6 +255,11 @@ def events_retention_cohorts(spark, sf_dir):
              lag(event_type, 1) OVER w AS p1,
              lag(event_type, 2) OVER w AS p2
       FROM events
+      -- null labels dropped pre-lag on both sides (same contract as
+      -- transition_edges): Spark's null-skipping concat_ws would
+      -- otherwise fabricate 2-part "trigrams" where the oracle's
+      -- null-propagating || yields NULL paths
+      WHERE event_type IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT p2 || '>' || p1 || '>' || event_type AS path, COUNT(*) AS n
@@ -269,7 +274,7 @@ def events_path_trigrams(spark, sf_dir):
     (count desc, path asc) tie-break."""
     from pyspark.sql import Window
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(
         F.col("event_type"),
