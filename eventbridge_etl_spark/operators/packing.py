@@ -59,10 +59,18 @@ def shuffle_shards(
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    # null keys hash to NULL (NULL shard, arbitrary rank) — exclude
+    # them up front, same contract as the sampling family (review r6)
+    df = df.filter(F.col(key).isNotNull())
     k = F.col(key).cast("string")
     h = F.md5(F.concat(k, F.lit(f":{seed}")))
     out = df.withColumn("_h", h).withColumn(
-        shard_col, (_md5_u32(F.col(key), seed) % n_shards).cast("int")
+        # shard derives from the SAME _h expression (one md5 per row,
+        # one place for the salt format — review r6)
+        shard_col,
+        (
+            F.conv(F.substring("_h", 1, 8), 16, 10).cast("long") % n_shards
+        ).cast("int"),
     )
     w = Window.partitionBy(shard_col).orderBy(F.col("_h"), k)
     return out.withColumn(rank_col, F.row_number().over(w)).drop("_h")
@@ -91,12 +99,17 @@ def pack_sequences(
 
     Integer-exact (no float anywhere), one shuffle (hash by shard),
     one window per shard.  Deterministic because the within-shard
-    order is the key itself.
+    order is the key itself — which therefore MUST be unique: with
+    duplicate keys the relative order of the duplicates (and so their
+    offsets) would differ across runs, the exact failure the module
+    exists to prevent (review r6).  Null keys are excluded up front
+    (NULL shard + arbitrary rank otherwise).
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    df = df.filter(F.col(key).isNotNull())
     toks = F.col(token_count_col).cast("long")
     out = df.withColumn(
         "shard", (_md5_u32(F.col(key), seed) % n_shards).cast("int")

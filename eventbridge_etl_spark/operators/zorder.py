@@ -34,6 +34,11 @@ def interleave_bits(a: Column, b: Column, bits: int = 16) -> Column:
     the sign bit (z-values for bit positions >= 31 went negative and
     broke the Morton order).
     """
+    if not 0 < bits <= 31:
+        # bit 31's b-term shifts into the long sign bit at bits=32,
+        # silently inverting the Morton order for high values — the
+        # overflow class the long-cast fixed (review r6)
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
     a, b = a.cast("long"), b.cast("long")
     terms = []
     for i in range(bits):
@@ -59,6 +64,11 @@ def zorder_by(
     """Cluster ``df`` for writing: range-partition + locally sort on the
     Morton code of (a, b).  Write the result with any sink; each output
     file then covers a compact rectangle of the key space."""
+    if "_zv" in df.columns:
+        raise ValueError(
+            "input already has a '_zv' column; rename it — clustering "
+            "would overwrite and then drop it"
+        )
     zv = interleave_bits(a, b, bits).alias("_zv")
     return (
         df.withColumn("_zv", zv)

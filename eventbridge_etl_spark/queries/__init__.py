@@ -114,6 +114,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # operator AND oracle) — output VALUES change, so it re-verifies
     # here and displaces q16 to the r7 overflow
     "compaction_plan_events",
+    # NOTE on the OTHER r6-touched gates (hourly_rollup in-window at
+    # its stale slot; fn_json/fn_map/fn_string, path_trigrams,
+    # label_centroids, byte_histogram, chunk_level, set_except, q21,
+    # token/quality stats outside): every one is value-IDENTICAL on
+    # the sf0.01 fixture (null/ANSI/boundary guards that no fixture
+    # row triggers, or plan-only changes) and each was re-verified
+    # MATCH in a fresh process after its change — only gates whose
+    # fixture VALUES could differ consume window slots.
     # --- r2-stale, oldest-evidence first (last green CORRECTNESS_r02;
     # code untouched since) — 26 of 38 fit this window ---
     "fn_higher_order_surface",

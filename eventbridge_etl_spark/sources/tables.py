@@ -47,6 +47,15 @@ def load_tables(
         # session.get_spark() would miss: nanos layout fails the read
         # outright (PARQUET_TYPE_ILLEGAL), micros layout silently infers
         # TIMESTAMP_NTZ.  Set both defensively here.
+        #
+        # SESSION-GLOBAL side effect, deliberately NOT restored: these
+        # confs affect every later parquet read in the session (a
+        # TIMESTAMP(NANOS) column in YOUR file will come back bigint).
+        # They are not restored after the read because the returned
+        # frames are LAZY — the scan re-consults the conf at execution,
+        # so restoring here would break the very frames this returns.
+        # get_spark() sessions already ship these values; only foreign
+        # sessions observe a change.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     for name in names:

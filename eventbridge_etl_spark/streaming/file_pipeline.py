@@ -102,7 +102,7 @@ def windowed_counts(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             key_col,
-            *[a for a in ["n_events", "sum_value"] if value_col or a == "n_events"],
+            *(["n_events", "sum_value"] if value_col else ["n_events"]),
         )
     )
 

@@ -42,6 +42,20 @@ def interval_join_streams(
     """
     if left_ts == right_ts:
         raise ValueError("rename one side: timestamp columns must differ for the condition")
+    if not on:
+        # '' join keys would render a condition starting with ' AND' —
+        # a cryptic ParseException; interval joins also need equality
+        # keys to bound state (review r6)
+        raise ValueError("on must name at least one equality key column")
+    shared = sorted(
+        (set(left.columns) & set(right.columns)) - set(on)
+    )
+    if shared:
+        raise ValueError(
+            f"payload columns {shared} exist on BOTH sides; rename one "
+            "side — the joined output would carry two identically-named "
+            "columns and every downstream reference would be ambiguous"
+        )
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
     keys = " AND ".join(f"l.{k} = r.{k}" for k in on)
@@ -50,7 +64,12 @@ def interval_join_streams(
         f"AND r.{right_ts} >= l.{left_ts} - interval {lookback}"
     )
     joined = lw.alias("l").join(rw.alias("r"), F.expr(cond), how)
-    # project unambiguous columns: keys once, then both payloads
+    # keys once (coalesced: an OUTER variant's unmatched rows carry the
+    # key only on their own side — projecting l.k alone returned NULL
+    # keys for unmatched right rows, review r6), then both payloads
     lcols = [F.col(f"l.{c}") for c in left.columns if c not in on]
     rcols = [F.col(f"r.{c}") for c in right.columns if c not in on]
-    return joined.select(*[F.col(f"l.{k}").alias(k) for k in on], *lcols, *rcols)
+    key_cols = [
+        F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k) for k in on
+    ]
+    return joined.select(*key_cols, *lcols, *rcols)
