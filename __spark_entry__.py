@@ -61,16 +61,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _fresh_cache(fn: Callable[[SparkSession, str], DataFrame]):
-    """Drop the PREVIOUS query's persisted blocks before building the
-    next plan.  Several operators persist an intermediate consumed
-    twice within one action tree (tfidf weights, attribution paths,
-    n-gram tables); across a 204-query sweep in one long-lived session
-    those blocks would otherwise accumulate until LRU eviction.  The
-    clear happens at plan-BUILD time — nothing is in flight between
-    sweep iterations, and unpersisting never changes results."""
+    """Release the PREVIOUS query's engine-persisted blocks before
+    building the next plan.  Several operators persist an intermediate
+    consumed twice within one action tree (tfidf weights, attribution
+    paths, n-gram tables); across a 205-query sweep in one long-lived
+    session those blocks would otherwise accumulate until LRU eviction.
+
+    Scoped, not ``clearCache()``: only frames the engine itself
+    persisted (tracked in ``eventbridge_etl_spark.cache``) are
+    released, so a caller's own cached frames and harness-cached tables
+    survive — safe for build-all-then-evaluate callers too, EXCEPT that
+    a registry query built earlier but evaluated after a later build
+    loses its internal persist (it recomputes, correctly, just without
+    the cache).  The release happens at plan-BUILD time — nothing is in
+    flight between sweep iterations, and unpersisting never changes
+    results."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.catalog.clearCache()
+        from eventbridge_etl_spark.cache import release_tracked
+
+        release_tracked()
         return fn(spark, sf_dir)
 
     return run

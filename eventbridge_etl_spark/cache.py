@@ -1,0 +1,62 @@
+"""Tracked persist: scoped lifetime for operator-internal caches.
+
+Several operators persist an intermediate that is consumed more than
+once within one action tree (tf-idf weights, attribution paths, n-gram
+tables, LSH band tables).  They cannot unpersist before returning —
+the returned DataFrame still depends on the persisted plan — so the
+engine tracks every such frame here and the registry harness
+(``__spark_entry__._fresh_cache``) releases them between queries.
+
+Why not ``spark.catalog.clearCache()``: that unpersists ALL cached data
+session-wide, including frames the *caller* persisted from an earlier
+``queries()`` entry but has not evaluated yet, and any tables the
+harness itself cached.  Releasing only what the engine itself persisted
+keeps the cleanup hook safe for build-all-then-evaluate callers.
+
+Weak references: a tracked frame must not outlive its SparkSession or
+keep an otherwise-dead plan reachable; ``release_tracked`` tolerates
+frames whose session is already stopped.
+"""
+
+from __future__ import annotations
+
+import weakref
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+#: Live references to engine-persisted frames, in persist order.
+_TRACKED: list[weakref.ref[DataFrame]] = []
+
+
+def scoped_persist(
+    df: DataFrame,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """``df.persist(level)``, registered for later :func:`release_tracked`."""
+    df = df.persist(level)
+    _TRACKED.append(weakref.ref(df))
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every frame the engine persisted since the last call.
+
+    Blocking=False: eviction proceeds asynchronously; nothing is in
+    flight between registry queries, and unpersisting never changes
+    results.  Returns the number of frames released (garbage-collected
+    or session-stopped frames count as already released).
+    """
+    released = 0
+    for ref in _TRACKED:
+        df = ref()
+        if df is None:
+            continue
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:
+            # session stopped or block already dropped — already released
+            pass
+    _TRACKED.clear()
+    return released

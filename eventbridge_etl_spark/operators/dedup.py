@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from eventbridge_etl_spark.operators.partitioning import fan_out as _fan_out
+from eventbridge_etl_spark.cache import scoped_persist
 from eventbridge_etl_spark.operators.text import tokens
 
 
@@ -248,8 +249,6 @@ def minhash_lsh_pairs(
     duplication factor SQUARED per group pair, which is decisive on
     boilerplate-heavy corpora where the largest exact-dup cluster is
     10^2-10^4 documents (the common case in web-scale training data)."""
-    from pyspark import StorageLevel
-
     assert num_hashes % bands == 0
     df = _fan_out(df)
     t = _token_sets(df, id_col, text_col)
@@ -258,18 +257,15 @@ def minhash_lsh_pairs(
     set_key = F.md5(F.concat_ws("\x1f", F.array_sort("_toks")))
     # groups is read three times (rep selection + both expansion sides);
     # persist so the corpus is tokenized and the digest shuffled ONCE
-    groups = (
+    groups = scoped_persist(
         t.select("_id", set_key.alias("_k"))
         .groupBy("_k")
         .agg(F.min("_id").alias("_rep"), F.collect_list("_id").alias("_members"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # token-set rows of the representatives — the banding branch and both
     # verify branches (ta, tb) all read this frame, so persist it once:
     # tokenization and the rep join run a single time per action tree
-    rep_t = t.join(groups.select(F.col("_rep").alias("_id")), "_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    rep_t = scoped_persist(t.join(groups.select(F.col("_rep").alias("_id")), "_id"))
     rep_pairs = _minhash_lsh_rep_pairs(rep_t, tau, num_hashes, bands)
     # expansion: rep-level pair -> all member cross pairs (same jaccard);
     # groups with >1 member additionally emit their C(k,2) internal
@@ -311,8 +307,6 @@ def _minhash_lsh_rep_pairs(
 ) -> DataFrame:
     """The banded-LSH core over an already-deduplicated ``(_id, _toks,
     _n)`` token-set frame."""
-    from pyspark import StorageLevel
-
     # band encoding delegated to _band_rows — the SAME function the
     # admission-index store builds with, so buckets collide identically
     # by construction (review r6: this body was previously inlined
@@ -323,7 +317,7 @@ def _minhash_lsh_rep_pairs(
     # first action's left branch populates the cache, the right branch
     # reuses it.  Footprint is tiny (bands rows/doc x ~50 B) and
     # MEMORY_AND_DISK self-evicts.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = scoped_persist(banded)
     left = banded.select(F.col("_id").alias("_ida"), "_band", "_bh")
     right = banded.select(F.col("_id").alias("_idb"), "_band", "_bh")
     # The distinct's exchange does double duty: besides dedup it
@@ -383,7 +377,7 @@ def simhash_pairs(
     Candidates: exact match on any of the 4 bands (pigeonhole-lossless
     for max_hamming <= 3); verification compares the 32 fingerprint
     chars.  Returns (id_a, id_b, hamming)."""
-    fp = simhash(_fan_out(df), id_col, text_col).cache()
+    fp = scoped_persist(simhash(_fan_out(df), id_col, text_col))
     cands = None
     for b in range(4):
         left = fp.select(F.col(id_col).alias("_ida"), F.col(f"band_{b}").alias("_bh"))
@@ -808,6 +802,17 @@ def incremental_dedup(
     one under the runtime-filter confs.  The full history's CONTENT is
     never read, only its digest column — that is the point: ingest cost
     is O(batch + digest store), not O(corpus).
+
+    .. note:: **Digest format v2 (round 6).**  Null content columns now
+       digest through an explicit ``\\x00`` sentinel; the previous
+       format (plain ``concat_ws``, which *skips* nulls) produced a
+       different md5 for any row containing a NULL content column.  A
+       digest store persisted by the v1 code no longer matches those
+       rows' v2 digests, so previously-admitted null-containing rows
+       would be re-admitted once after upgrade.  Rebuild (or migrate
+       via one ``exact_dedup`` pass over the retained corpus) any
+       persisted digest store that may contain null-column rows before
+       resuming incremental ingest.
     """
     # same null-sentinel encoding as exact_dedup (concat_ws skips
     # nulls; the two operators MUST digest identically or an admitted
@@ -944,15 +949,13 @@ def tfidf_cosine_pairs(
             F.log(F.col("_n").cast("double") / F.col("_df").cast("double")), 6
         ).alias("_idf"),
     )
-    from pyspark import StorageLevel
-
     # w feeds both the norm aggregate and the unit-weight join; persist
     # so tokenization + the idf join run once per action tree
-    w = toks.join(idf, "_tok").select(
+    w = scoped_persist(toks.join(idf, "_tok").select(
         "_id",
         "_tok",
         F.round(F.col("_tf").cast("double") * F.col("_idf"), 6).alias("_w"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     norms = w.groupBy("_id").agg(
         F.sqrt(
             F.sum(F.round(F.col("_w") * F.col("_w"), 12).cast("decimal(38,12)")).cast(

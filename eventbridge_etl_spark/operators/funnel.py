@@ -30,6 +30,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
+from eventbridge_etl_spark.cache import scoped_persist
 
 
 def funnel_steps(
@@ -170,17 +171,15 @@ def linear_attribution(
         us.alias("_tus"),
     )
     w_us = window_hours * 3_600_000_000
-    from pyspark import StorageLevel
-
     # pairs feeds three consumers (count agg, credit agg, direct
     # anti-join); persist so the user-key join runs once, not three
     # times.  Deliberately NOT unpersisted here — the returned frame is
     # lazy and still references it; long-lived sessions reclaim blocks
     # via the registry's centralized clearCache hook
     # (__spark_entry__._fresh_cache) or their own cleanup.
-    pairs = conv.join(touch, "_u").where(
+    pairs = scoped_persist(conv.join(touch, "_u").where(
         (F.col("_tus") >= F.col("_cus") - w_us) & (F.col("_tus") < F.col("_cus"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     counted = pairs.join(
         pairs.groupBy("_cid").agg(F.count(F.lit(1)).alias("_n")), "_cid"
     )

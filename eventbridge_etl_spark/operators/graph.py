@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from eventbridge_etl_spark.cache import scoped_persist
 
 
 def pagerank(
@@ -45,8 +46,6 @@ def pagerank(
     distinct src or dst; initial rank 1/N; update
     ``rank' = (1-d)/N + d * Σ_in rank * w/out_w``.
     """
-    from pyspark import StorageLevel
-
     src, dst = F.col(src_col), F.col(dst_col)
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
     # weight contract: transition probabilities need POSITIVE weights.
@@ -60,11 +59,10 @@ def pagerank(
     e = edges.select(src.alias("_src"), dst.alias("_dst"), w.alias("_w")).filter(
         F.col("_w") > 0
     )
-    nodes = (
+    nodes = scoped_persist(
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # iteration-invariant edge fraction w / out_w (pure double divide);
     # persisted with the node set: the unrolled plan reads each of them
@@ -72,10 +70,9 @@ def pagerank(
     # re-scans edges and re-aggregates out-weights unless ReuseExchange
     # happens to dedupe all the copies
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
-    frac = (
+    frac = scoped_persist(
         e.join(out_w, "_src")
         .select("_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_frac"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.agg(F.count("*").alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
@@ -161,8 +158,6 @@ def triangle_count(
     normalized (min, max) and de-duplicated first.  Self-loops are
     dropped.  All joins key on node ids; nothing is collected.
     """
-    from pyspark import StorageLevel
-
     a, b = F.col(a_col), F.col(b_col)
     # normalized edge list and oriented edge list are each read by
     # multiple downstream consumers — persist them so the census costs
@@ -171,11 +166,10 @@ def triangle_count(
     # lazy and still references both.  Callers running many queries in
     # one session reclaim the blocks via the registry's centralized
     # clearCache hook (__spark_entry__._fresh_cache) or their own.
-    e = (
+    e = scoped_persist(
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -188,11 +182,11 @@ def triangle_count(
         .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
     )
     fwd = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
-    o = ed.select(
+    o = scoped_persist(ed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     o1 = o.select(
         F.col("src").alias("s"), F.col("dst").alias("v"), F.col("dd").alias("dv")
     )

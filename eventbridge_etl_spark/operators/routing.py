@@ -127,14 +127,20 @@ def _alternative_predicate(col: Column, alt: Any) -> Column:
                     )
                 return ~_alternative_predicate(col, spec) | col.isNull()
             vals = spec if isinstance(spec, list) else [spec]
-            # strip None from the exclusion list: a NULL inside isin()
-            # poisons the whole membership test to NULL, which used to
-            # flip the semantics to match ONLY null rows; the Python
-            # oracle (and EventBridge) never exclude null values here
-            non_null = [v for v in vals if v is not None]
-            if not non_null:
-                return F.lit(True)
-            return ~col.isin(non_null) | col.isNull()
+            # EventBridge rejects null inside anything-but, and a NULL
+            # inside isin() would poison the whole membership test to
+            # NULL (flipping the semantics to match ONLY null rows).
+            # Silently stripping None — the old behavior — compiled
+            # 'anything-but': [null] to always-true, hiding a malformed
+            # pattern; reject it loudly instead.
+            if any(v is None for v in vals):
+                raise ValueError(
+                    "anything-but does not accept null values "
+                    f"(EventBridge rejects them too), got: {vals!r}"
+                )
+            if not vals:
+                raise ValueError("anything-but requires at least one value")
+            return ~col.isin(vals) | col.isNull()
         if "exists" in alt:
             return col.isNotNull() if alt["exists"] else col.isNull()
         if "numeric" in alt:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from eventbridge_etl_spark.cache import scoped_persist
 
 #: BPE-ish token pattern: letter runs, digit runs, or single punctuation —
 #: a cheap proxy for subword tokenizers' pre-tokenization split.
@@ -597,16 +598,12 @@ def ngram_novelty(
             starts, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " "))
         )
     )
-    from pyspark import StorageLevel
-
     # per feeds the gram-frequency aggregate AND the join back; persist.
     # Not unpersisted here (the returned frame still references it) —
-    # the registry's centralized clearCache hook reclaims it between
-    # queries (__spark_entry__._fresh_cache).
-    # so the gram explode+hash runs once per action tree
-    per = df.select(F.col(id_col), F.explode(gs).alias("_g")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the registry's tracked-release hook reclaims it between queries
+    # (__spark_entry__._fresh_cache -> cache.release_tracked), so the
+    # gram explode+hash runs once per action tree
+    per = scoped_persist(df.select(F.col(id_col), F.explode(gs).alias("_g")))
     dfreq = per.groupBy("_g").agg(F.count(F.lit(1)).alias("_nd"))
     uniq = F.when(F.col("_nd") == 1, 1).otherwise(0)
     return (

@@ -223,7 +223,7 @@ def rolling_zscore(
     lookback: int = 20,
     min_obs: int = 10,
     threshold: float = 3.0,
-    tiebreak_col: str = "event_id",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Flag observations whose value deviates > ``threshold`` sigma from
     the trailing ``lookback``-row mean (current row excluded).
@@ -242,17 +242,40 @@ def rolling_zscore(
     explicit-tiebreak determinism contract as every sibling here: a
     ts-only order would make frame contents (and therefore zscores)
     depend on arbitrary row order whenever timestamps tie.
+
+    ``tiebreak_col=None`` (the default) auto-resolves: use
+    ``"event_id"`` when the frame has it (the engine's standard
+    tiebreak), else fall back to ts-only ordering with a
+    ``RuntimeWarning`` — results are then engine-order-dependent on
+    tied timestamps, but pre-existing callers keep working instead of
+    hitting a raise hidden behind a default argument.  Passing a name
+    explicitly enforces its presence.
     """
-    if tiebreak_col not in events.columns:
-        raise ValueError(
-            f"tiebreak column {tiebreak_col!r} not in input; pass a unique "
-            "column that breaks timestamp ties (determinism requires a "
-            "total order)"
+    if tiebreak_col is not None:
+        if tiebreak_col not in events.columns:
+            raise ValueError(
+                f"tiebreak column {tiebreak_col!r} not in input; pass a "
+                "unique column that breaks timestamp ties (determinism "
+                "requires a total order)"
+            )
+        order = [ts_col, tiebreak_col]
+    elif "event_id" in events.columns:
+        order = [ts_col, "event_id"]
+    else:
+        import warnings
+
+        warnings.warn(
+            "rolling_zscore: no tiebreak column — frame contents (and "
+            "zscores) are ambiguous wherever timestamps tie within a "
+            "key; pass tiebreak_col for deterministic output",
+            RuntimeWarning,
+            stacklevel=2,
         )
+        order = [ts_col]
     v = F.col(value_col)
     frame = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col, tiebreak_col)
+        .orderBy(*order)
         .rowsBetween(-lookback, -1)
     )
     n = F.count(value_col).over(frame)

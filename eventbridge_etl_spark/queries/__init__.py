@@ -68,88 +68,16 @@ def query(name: str, oracle: str | None = None):
 #: order.  Anything importing the registries directly without calling
 #: ``load_all()`` sees plain module-import registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-6 WINDOW (positions 1-50) =================
-    # Plan per VERDICT r5 "Next round #1": drain the evidence debt.
-    # Lead with the 23 round-5 session-3 gates that have NEVER been
-    # driver-checked (local 204/204 sweep evidence only, SCALE.md), then
-    # the one NEW gate this round (the max_df-capped tf-idf scale path,
-    # VERDICT item 3 — the only addition; the registry must not outrun
-    # the window again), then the 26 oldest r2-stale queries.
-    # --- 23 never driver-checked (round-5 session-3 additions) ---
-    "agg_ols_trend",
-    "events_latency_percentiles",
-    "events_prorate_hourly",
-    "skew_key_report",
-    "dedup_tfidf_cosine",
-    "pipeline_json_quarantine",
-    "dedup_minhash_admission",
-    "graph_bfs_hops",
-    "streaming_enriched_windows",
-    "events_attribution_linear",
-    "events_locf_fill",
-    "text_unigram_kl_drift",
-    "events_dau_wau",
-    "orders_psi_drift",
-    "events_interp_fill",
-    "agg_jackknife_mean",
-    "events_cusum_alarms",
-    "text_ngram_novelty",
-    "graph_entropy_rate",
-    "text_nb_confusion",
-    "parts_abc_classes",
-    "nation_supplier_hhi",
-    "text_sentence_spans",
-    # --- the single new round-6 gate (VERDICT r5 item 3) ---
-    "dedup_tfidf_cosine_capped",
-    # --- code or oracle CHANGED in round 6, must re-verify: zscore
-    # gained the explicit tiebreak + null-anomaly coalesce (operator
-    # AND oracle), OHLC volume moved to decimal summation (both
-    # sides), and the PII phone pattern lost its 15-digit cap (shared
-    # constant).  These displace the last three r2-stale TPC-H rows
-    # (q17/q18/q19), which now lead the r7 overflow instead.
-    "events_anomaly_zscore",
-    "events_ohlc_hourly",
-    "text_pii_redact",
-    # compaction bin rule changed (oversized files now bin alone,
-    # operator AND oracle) — output VALUES change, so it re-verifies
-    # here and displaces q16 to the r7 overflow
-    "compaction_plan_events",
-    # NOTE on the OTHER r6-touched gates (hourly_rollup in-window at
-    # its stale slot; fn_json/fn_map/fn_string, path_trigrams,
-    # label_centroids, byte_histogram, chunk_level, set_except, q21,
-    # token/quality stats outside): every one is value-IDENTICAL on
-    # the sf0.01 fixture (null/ANSI/boundary guards that no fixture
-    # row triggers, or plan-only changes) and each was re-verified
-    # MATCH in a fresh process after its change — only gates whose
-    # fixture VALUES could differ consume window slots.
-    # --- r2-stale, oldest-evidence first (last green CORRECTNESS_r02;
-    # code untouched since) — 26 of 38 fit this window ---
-    "fn_higher_order_surface",
-    "events_json_projection",
-    "events_validity_filter",
-    "events_reconciliation",
-    "events_hourly_rollup",
-    "pipeline_header_zip_rename",
-    "join_asof_attribution",
-    "join_semi",
-    "join_anti",
-    "join_left_outer_agg",
-    "join_range_nonequi",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    # ============== OVERFLOW (position 51+) — LEADS ROUND 7 ============
-    # The 16 remaining r2-stale rows (q16-q19 displaced by the four
-    # round-6 changed gates above); after r6 these are the ONLY
-    # queries with evidence older than r3 and MUST head the r7 window.
+    # ================= ROUND-7 WINDOW (positions 1-50) =================
+    # Plan per VERDICT r6 "Next round #1": no query's evidence may end
+    # the round older than r4.  Head: the 16 remaining r2-stale rows
+    # (4 rounds old — the only evidence older than r3).  Then the 9
+    # round-6-touched gates that were self-certified value-identical
+    # (VERDICT r6 "What's wrong #1" — they cycle through the normal
+    # window instead of staying permanently exempt).  Then the oldest
+    # 25 of the r3-evidence cohort in registration order.  NO new
+    # gates this round — the registry must not outrun the window.
+    # --- 16 r2-stale (last green CORRECTNESS_r02; code untouched) ---
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
@@ -166,12 +94,22 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_label_centroids",
     "agg_approx_distinct",
     "agg_approx_percentile",
-    # --- then the r3-evidence cohort (50 queries, two rounds old at r6
-    # close) in their registration order: the llm/text/dedup/similarity
-    # head, routing, TPC-H q1/q3/q5, set ops, streaming.  Listed so the
-    # re-check rotation stays deterministic for r7/r8 planning.
+    # --- 9 r6-touched gates self-certified as value-identical on the
+    # fixture (null/ANSI/boundary guards no fixture row triggers);
+    # driver re-check closes the self-certification loop.
+    # (similarity_label_centroids and q21_waiting_orders were also in
+    # that set and already occupy r2-stale slots above.) ---
+    "fn_json_surface",
+    "fn_map_surface",
+    "fn_string_surface",
+    "events_path_trigrams",
+    "multimodal_byte_histogram",
+    "dedup_chunk_level",
+    "set_except",
     "text_token_stats",
     "text_quality_score",
+    # --- 25 oldest r3-evidence rows (last green CORRECTNESS_r03),
+    # registration order ---
     "text_lang_scores",
     "text_fingerprint",
     "dedup_exact",
@@ -186,7 +124,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_quantize_int8",
     "text_chunk_windows",
     "text_document_frequency",
-    # (text_pii_redact moved into the r6 changed-gate head above)
     "dedup_contamination_flag",
     "sample_source_cap",
     "text_repetition_stats",
@@ -198,6 +135,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_unigram_logprob",
     "route_transform_rule",
     "route_cidr_classifier",
+    # ============== OVERFLOW (position 51+) — LEADS ROUND 8 ============
+    # The 21 remaining r3-evidence rows; they MUST head the r8 window
+    # (they will be three rounds stale by r8 close otherwise), followed
+    # by the oldest of the r4 cohort (42 rows) under the normal no-
+    # evidence-older-than-two-rounds rotation.
     "route_observe_tap",
     "events_keyed_upsert",
     "scan_projection_filter",
@@ -207,7 +149,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "join_broadcast_chain",
     "sort_multi_key_topk",
     "set_intersect",
-    "set_except",
     "set_union_distinct",
     "subquery_scalar_above_avg",
     "conditional_pivot",

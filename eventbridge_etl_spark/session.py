@@ -19,6 +19,37 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_driver_memory() -> str:
+    """Heap request sized to the host: min(48g, ~40% of detected RAM).
+
+    Local mode runs driver and executors in ONE JVM whose heap defaults
+    to 1 GiB — enough for sf0.1, but the first sf1-scale broadcast
+    build dies with "Not enough memory to build and broadcast"
+    (measured in the r6 scaling runs).  A fixed 48g request, though,
+    OOM-kills any consumer on a smaller host (CI container, laptop,
+    cgroup-limited pod), so derive it: ``SPARK_GRAFT_DRIVER_MEM`` wins
+    outright, else 40% of /proc/meminfo MemTotal capped at 48g, else a
+    conservative 2g when RAM is undetectable.  Only effective for the
+    process's FIRST session (the JVM is already up after that); on a
+    real cluster spark-submit's --driver-memory/--executor-memory
+    override this.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = next(
+                int(line.split()[1])
+                for line in fh
+                if line.startswith("MemTotal:")
+            )
+        gib = kb / (1024 * 1024)
+    except (OSError, StopIteration, ValueError, IndexError):
+        return "2g"
+    return f"{max(1, min(48, int(gib * 0.4)))}g"
+
 #: Defaults applied to every session this engine creates.  Each is safe at
 #: both local[32]/sf0.1 and cluster/100 TB scale (see module docstring).
 ENGINE_CONF: dict[str, str] = {
@@ -36,15 +67,10 @@ ENGINE_CONF: dict[str, str] = {
     # and with the UTC session zone the wall-clock values are identical
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MiB
-    # Local mode runs driver and executors in ONE JVM whose heap
-    # defaults to 1 GiB — enough for sf0.1, but the first sf1-scale
-    # broadcast build dies with "Not enough memory to build and
-    # broadcast" (measured in the r6 scaling runs).  Size the heap to
-    # the box (128 GiB here); on a real cluster spark-submit's
-    # --driver-memory/--executor-memory override this.  Only effective
-    # for the process's FIRST session (the JVM is already up after
-    # that), which is how every harness here runs.
-    "spark.driver.memory": "48g",
+    # Host-derived heap: min(48g, 40% of detected RAM), overridable via
+    # SPARK_GRAFT_DRIVER_MEM — see _default_driver_memory for why a
+    # fixed 48g is wrong on memory-limited hosts.
+    "spark.driver.memory": _default_driver_memory(),
     "spark.sql.session.timeZone": "UTC",
     # Runtime filters: a semi-join bloom filter built from the small side
     # of a large shuffle join is pushed into the probe side's SCAN — at

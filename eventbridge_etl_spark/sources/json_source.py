@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from eventbridge_etl_spark.cache import scoped_persist
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -95,7 +96,7 @@ def corrupt_records(df: DataFrame) -> DataFrame:
         # that keeps every column (review r6: this helper crashed on
         # the exact quarantine stream the module documents)
         return df.filter(F.col(CORRUPT_COL).isNotNull())
-    return df.cache().filter(F.col(CORRUPT_COL).isNotNull())
+    return scoped_persist(df).filter(F.col(CORRUPT_COL).isNotNull())
 
 
 def json_field(col: Column | str, path: str, dtype: str = "string") -> Column:

@@ -71,9 +71,13 @@ def normalize(df):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     # Centralized cache cleanup (mirrors __spark_entry__._fresh_cache):
-    # drop the previous query's persisted blocks so a full-registry
-    # sweep in one session doesn't accumulate storage until eviction.
-    spark.catalog.clearCache()
+    # release the previous query's engine-persisted blocks so a
+    # full-registry sweep in one session doesn't accumulate storage
+    # until eviction.  Scoped (not clearCache) — exercises the same
+    # tracked-release path the driver uses.
+    from eventbridge_etl_spark.cache import release_tracked
+
+    release_tracked()
     result = QUERIES[name](spark, SF_DIR_ORACLE).toPandas()
     if name not in ORACLES:
         assert len(result) >= 0  # rows-only check: runs, stable schema

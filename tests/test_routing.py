@@ -229,12 +229,22 @@ class TestAnsiSafetyAndNulls:
         both = route(df, {"state": [None, "success"]})
         assert sorted(r["id"] for r in both.collect()) == [1, 2]
 
-    def test_anything_but_with_null_keeps_other_rows(self, spark):
+    def test_anything_but_with_null_raises(self, spark):
+        import pytest
+
         from eventbridge_etl_spark.operators.routing import route
 
         df = self._df(spark)
-        # used to match ONLY the null row (isin poisoned by NULL)
-        out = route(df, {"state": [{"anything-but": [None, "failure"]}]})
+        # r6 stripped None (a NULL inside isin() poisons membership to
+        # NULL), but silently compiling 'anything-but': [null] to
+        # always-true hid a malformed pattern; EventBridge rejects null
+        # inside anything-but, so we do too (r7 advice).
+        with pytest.raises(ValueError, match="anything-but.*null"):
+            route(df, {"state": [{"anything-but": [None, "failure"]}]})
+        with pytest.raises(ValueError, match="anything-but.*null"):
+            route(df, {"state": [{"anything-but": [None]}]})
+        # the non-null form still excludes properly (null field matches)
+        out = route(df, {"state": [{"anything-but": ["failure"]}]})
         assert sorted(r["id"] for r in out.collect()) == [1, 2]
 
     def test_malformed_specs_raise_value_error(self, spark):

@@ -390,14 +390,27 @@ def test_zscore_null_value_not_null_anomaly(spark):
     assert r["is_anomaly"] is False  # not None
 
 
-def test_zscore_requires_tiebreak_column(spark):
-    """Same explicit-tiebreak contract as counter_increase/sessionize
-    (r6 review finding: zscore silently skipped it)."""
+def test_zscore_tiebreak_auto_and_explicit(spark):
+    """tiebreak_col=None auto-resolves (event_id when present, warn +
+    ts-only otherwise — pre-r6 callers keep working); an explicit name
+    still enforces presence (r7 advice: no raise hidden behind a
+    default argument)."""
+    import warnings
+
     import pytest
 
     ev = _events(spark, [(1, _ts(0), 1.0)]).drop("event_id")
     with pytest.raises(ValueError, match="tiebreak"):
-        rolling_zscore(ev)
+        rolling_zscore(ev, tiebreak_col="event_id")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = rolling_zscore(ev)  # no event_id: ts-only + RuntimeWarning
+        assert any("tiebreak" in str(w.message) for w in caught)
+    assert out.count() == 1
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rolling_zscore(_events(spark, [(1, _ts(0), 1.0)]))  # auto event_id
+        assert not caught
 
 
 def test_zscore_tied_timestamps_deterministic(spark):
