@@ -302,7 +302,15 @@ def label_centroids(
       logic that ISN'T expressible as built-ins; but a group = a task,
       so it carries skew risk the builtin path doesn't.  Kept as the
       reference implementation and exercised in tests/the oracle gate.
+
+    NULL-vector rows cannot contribute to a mean and are dropped up
+    front on BOTH impls (the builtin's posexplode silently dropped
+    them already while still not counting them; the arrow path crashed
+    in np.stack — r7 adversarial-fixture finding), so ``n_vectors``
+    uniformly counts contributing vectors.  A NULL *label* remains its
+    own group, as in any GROUP BY.
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     if impl == "builtin":
         per_pos = (
             df.select(

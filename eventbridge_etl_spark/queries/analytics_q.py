@@ -300,14 +300,35 @@ def dedup_tfidf_cosine_capped(spark, sf_dir):
              CASE WHEN event_id % 7 = 0 THEN '{{' || props
                   ELSE props END AS p
       FROM events
+    ),
+    q AS (
+      -- Spark PERMISSIVE from_json quarantine semantics (measured r7):
+      -- NULL and '' are NOT quarantined (nothing to parse); any other
+      -- payload is quarantined unless it is a JSON OBJECT whose k is
+      -- absent, null, or bigint-castable — so 'null'/'[]'/'3' (valid
+      -- JSON, wrong shape) and type-mismatched k ARE quarantined,
+      -- which plain NOT json_valid(p) missed
+      -- vj: NULL unless valid JSON (DuckDB's vectorized CASE does not
+      -- short-circuit, so json_type/json_extract must only ever see
+      -- pre-validated text)
+      SELECT event_type, p, vj,
+             CASE WHEN p IS NULL OR p = '' THEN FALSE
+                  WHEN json_type(vj) = 'OBJECT'
+                       AND (json_extract_string(vj, '$.k') IS NULL
+                            OR TRY_CAST(json_extract_string(vj, '$.k')
+                                        AS BIGINT) IS NOT NULL)
+                  THEN FALSE ELSE TRUE END AS quarantined
+      FROM (SELECT event_type, p,
+                   CASE WHEN json_valid(p) THEN p END AS vj FROM c)
     )
     SELECT event_type, COUNT(*) AS n_total,
-           CAST(SUM(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN quarantined THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_quarantined,
-           CAST(SUM(CASE WHEN json_valid(p)
-                         THEN CAST(json_extract(p, '$.k') AS BIGINT) END)
+           CAST(SUM(CASE WHEN NOT quarantined
+                         THEN TRY_CAST(json_extract_string(vj, '$.k')
+                                       AS BIGINT) END)
                 AS BIGINT) AS sum_k
-    FROM c GROUP BY event_type
+    FROM q GROUP BY event_type
     """,
 )
 def pipeline_json_quarantine(spark, sf_dir):

@@ -173,10 +173,12 @@ def fn_array_surface(spark, sf_dir):
            (CASE WHEN json_valid(props)
                 THEN json_extract_string(props, '$.missing') END)
                IS NULL                                          AS missing_is_null,
-           -- Spark's get_json_object($) is NULL for the valid JSON
-           -- document 'null' and for NULL input — mirror both
-           COALESCE(json_valid(props) AND trim(props) <> 'null', FALSE)
-                                                                AS is_valid_json
+           -- Spark's get_json_object($) returns the literal text for
+           -- ANY parseable JSON document — including the scalar
+           -- documents 'null', '3', '"s"' (measured r7; the r6 note
+           -- claiming 'null' maps to NULL was wrong and untriggered on
+           -- the clean fixture).  NULL input stays NULL -> FALSE.
+           COALESCE(json_valid(props), FALSE)                   AS is_valid_json
     FROM events
     WHERE event_id < 500
     """,
@@ -227,7 +229,10 @@ def fn_conditional_surface(spark, sf_dir):
     SELECT doc_id,
            md5(text)            AS text_md5,
            sha256(text)         AS text_sha256,
-           substr(hex(CAST(text AS BLOB)), 1, 16) AS hex_prefix
+           -- encode(), not CAST(text AS BLOB): the cast ABORTS on any
+           -- non-ascii character; encode is the UTF-8 bytes Spark's
+           -- cast-to-binary produces (r7 adversarial fixture: CJK/emoji)
+           substr(hex(encode(text)), 1, 16) AS hex_prefix
     FROM documents
     WHERE doc_id < 200
     """,
@@ -247,19 +252,25 @@ def fn_hash_surface(spark, sf_dir):
 @query(
     "fn_map_surface",
     oracle="""
+    WITH j AS (
+      -- OBJECT guard, not just json_valid: Spark's from_json(...,
+      -- 'map<...>') yields a NULL map for the valid-but-non-object
+      -- documents 'null', '[]', '3' (measured r7), while DuckDB's
+      -- json_keys returns [] for them; and bare json_extract ABORTS
+      -- on malformed text where from_json degrades to NULL
+      SELECT event_id,
+             CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+                  THEN props END AS obj
+      FROM events WHERE event_id < 500
+    )
     SELECT event_id,
-           -- json_valid guard: bare json_keys ABORTS the oracle on one
-           -- malformed row while Spark's from_json yields a NULL map
-           len(CASE WHEN json_valid(props) THEN json_keys(props) END)
-                                                                    AS n_keys,
-           list_aggregate(list_sort(CASE WHEN json_valid(props)
-                                         THEN json_keys(props) END),
+           len(json_keys(obj))                                      AS n_keys,
+           list_aggregate(list_sort(json_keys(obj)),
                           'string_agg', ',')                        AS keys_sorted,
-           json_extract_string(props, '$.k')                        AS k_value,
-           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+           json_extract_string(obj, '$.k')                          AS k_value,
+           CASE WHEN json_extract_string(obj, '$.k') IS NOT NULL
                 THEN 1 ELSE 0 END                                   AS has_k
-    FROM events
-    WHERE event_id < 500
+    FROM j
     """,
 )
 def fn_map_surface(spark, sf_dir):

@@ -908,16 +908,20 @@ def text_document_frequency(spark, sf_dir):
     WITH ex AS (
       SELECT label, generate_subscripts(embedding, 1) AS pos,
              unnest(embedding) AS val
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     pp AS (
       SELECT label, pos, ROUND(AVG(CAST(val AS DOUBLE)), 4) AS av
       FROM ex GROUP BY label, pos
     ),
-    cnt AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+    -- NULL-vector rows are dropped on the engine side too (they cannot
+    -- contribute to a mean); n_vectors counts contributing vectors
+    cnt AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings
+            WHERE embedding IS NOT NULL GROUP BY label)
     SELECT pp.label, CAST(pp.pos - 1 AS BIGINT) AS pos, pp.av AS centroid_val,
            cnt.n_vectors
-    FROM pp JOIN cnt USING (label)
+    -- null-safe join: a NULL label is a legitimate group on both sides
+    FROM pp JOIN cnt ON pp.label IS NOT DISTINCT FROM cnt.label
     ORDER BY pp.label, pos
     """,
 )

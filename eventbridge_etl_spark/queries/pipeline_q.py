@@ -29,7 +29,11 @@ def _events(spark, sf_dir):
     SELECT event_id, ts, user_id, event_type, value
     FROM events
     WHERE event_type IN ('click', 'purchase')
-      AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+      -- json_valid + TRY_CAST mirror the routing DSL's try_cast
+      -- numeric predicate (malformed = non-match, never an error)
+      AND TRY_CAST(CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END
+                   AS DOUBLE) > 50
     """,
 )
 def route_transform_rule(spark, sf_dir):
@@ -114,11 +118,17 @@ def route_observe_tap(spark, sf_dir):
 @query(
     "events_json_projection",
     oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
-           event_type
-    FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+    WITH j AS (
+      -- json_valid + TRY_CAST: malformed props degrade to NULL exactly
+      -- like Spark's get_json_object, never abort the oracle
+      SELECT event_id, event_type,
+             TRY_CAST(CASE WHEN json_valid(props)
+                           THEN json_extract_string(props, '$.k') END
+                      AS INTEGER) AS k_value
+      FROM events
+    )
+    SELECT event_id, k_value, event_type
+    FROM j WHERE k_value IS NOT NULL
     """,
 )
 def events_json_projection(spark, sf_dir):

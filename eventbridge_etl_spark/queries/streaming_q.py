@@ -223,9 +223,11 @@ def streaming_interval_join(spark, sf_dir):
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS sum_value,
-           MAX(epoch_us(ts)) AS max_ts_us,
+           COALESCE(MAX(epoch_us(ts)), 0) AS max_ts_us,
            TRUE AS state_sum_ok
-    FROM events GROUP BY user_id
+    -- null keys are excluded by contract (applyInPandasWithState
+    -- drops the null group; the operator filters them explicitly)
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     """,
 )
 def streaming_running_totals(spark, sf_dir):
@@ -343,7 +345,9 @@ def streaming_rollup_merge(spark, sf_dir):
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn,
              CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS x
-      FROM events
+      -- null keys dropped by the stateful-operator contract; a null
+      -- event time has no position in the order-dependent recurrence
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     rec AS (
       SELECT user_id, rn, x AS ew FROM ordered WHERE rn = 1

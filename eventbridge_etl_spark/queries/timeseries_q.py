@@ -440,14 +440,26 @@ def events_outlier_iqr(spark, sf_dir):
 @query(
     "agg_correlation",
     oracle="""
-    WITH t AS (
+    WITH p AS (
+      -- json_valid + TRY_CAST: malformed props must degrade to NULL k
+      -- exactly like Spark's get_json_object + try-ish cast, never
+      -- crash the oracle (r7 adversarial fixture)
       SELECT event_type, value,
-             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-             rank() OVER (PARTITION BY event_type ORDER BY value) AS rv,
-             rank() OVER (PARTITION BY event_type
-                          ORDER BY CAST(json_extract_string(props, '$.k')
-                                        AS INTEGER)) AS rk
+             TRY_CAST(CASE WHEN json_valid(props)
+                           THEN json_extract_string(props, '$.k') END
+                      AS INTEGER) AS k
       FROM events
+    ),
+    t AS (
+      -- NULLS FIRST: Spark ranks nulls first on ASC (its default);
+      -- DuckDB defaults NULLS LAST — alignment matters once null
+      -- values/k exist
+      SELECT event_type, value, k,
+             rank() OVER (PARTITION BY event_type
+                          ORDER BY value NULLS FIRST) AS rv,
+             rank() OVER (PARTITION BY event_type
+                          ORDER BY k NULLS FIRST) AS rk
+      FROM p
     )
     SELECT event_type,
            COUNT(*) AS n,

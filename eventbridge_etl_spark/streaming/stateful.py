@@ -27,6 +27,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -124,6 +125,11 @@ def running_totals(events: DataFrame, timeout_ms: int | None = None) -> DataFram
         if timeout_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout
     )
+    # NULL-key rows: Spark's applyInPandasWithState silently drops the
+    # null group (measured — 78 null-user events vanished in the r7
+    # adversarial sweep).  Filter explicitly so the exclusion is a
+    # documented contract, not an engine accident.
+    events = events.filter(F.col("user_id").isNotNull())
     return events.groupBy("user_id").applyInPandasWithState(
         _make_handler(timeout_ms),
         outputStructType=RUNNING_TOTALS_SCHEMA,
@@ -217,6 +223,14 @@ def ewma_smoothing(events: DataFrame, num: int = 1, den: int = 4) -> DataFrame:
     """
     if not (0 < num < den):
         raise ValueError(f"alpha must be a proper fraction, got {num}/{den}")
+    # NULL keys are dropped by applyInPandasWithState (see
+    # running_totals) and a NULL event time has no position in an
+    # order-dependent recurrence — exclude both explicitly; int(NaN)
+    # in the fold otherwise kills the streaming query (r7 adversarial
+    # sweep crash).
+    events = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts_us").isNotNull()
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         _make_ewma_handler(num, den),
         outputStructType=EWMA_SCHEMA,

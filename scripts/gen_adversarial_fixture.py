@@ -1,0 +1,183 @@
+"""Adversarial null/edge-injected fixture variant (VERDICT r6 item 2).
+
+The clean sf0.01 fixture has no NULLs, no empty strings, no tied
+timestamps and no malformed JSON, so an oracle that is wrong ONLY on
+such rows (the r6 CUSUM-null class: state dropped through a null
+instead of carried) still hash-matches every driver check.  This script
+derives two variants from a clean scale-factor directory:
+
+- ``<out>/adv``  — every table re-written with deterministic, hash-
+  selected perturbations: NULLs in measure/key/timestamp columns, empty
+  and whitespace-only strings, malformed JSON props, truncated-to-hour
+  timestamp ties, rounded-value ties, zero and NULL embedding vectors,
+  duplicate document texts.  Both engines then run on the SAME
+  perturbed parquet, so any sweep divergence is an operator-vs-oracle
+  disagreement on edge rows, never fixture noise.
+- ``<out>/empty`` — the same 10 tables with ZERO rows (schema intact):
+  a crash hunt for operators that assume a non-empty input (driver-side
+  collects of centroids, div-by-count, head-row seeds).
+
+Selection is seedless and reproducible: a row is perturbed when the
+first two hex chars of ``md5(key)`` fall in a per-column bucket list
+(each two-hex bucket = 1/256 of rows).  Perturbations never touch
+columns whose uniqueness is a documented operator precondition
+(``event_id``, ``doc_id``, ``vec_id``, the TPC-H keys) and never break
+referential structure (region/nation untouched).
+
+Usage::
+
+    python scripts/gen_adversarial_fixture.py [src_sf_dir] [out_dir]
+
+defaults: src=/root/testdata/sf0.01  out=/tmp/advfix
+Then sweep with ``SWEEP_SF=<out>/adv`` (see SCALE.md §"r7 adversarial
+fixture sweep").
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _b(key_expr: str, *buckets: str) -> str:
+    """True when md5(key) starts with one of the two-hex buckets."""
+    alts = ", ".join(f"'{b}'" for b in buckets)
+    return f"substr(md5(CAST({key_expr} AS VARCHAR)), 1, 2) IN ({alts})"
+
+
+#: per-table SELECT rewriting the clean fixture into the adversarial one
+ADV_SQL: dict[str, str] = {
+    # join-structure tables: untouched (their keys ARE the structure)
+    "region": "SELECT * FROM src",
+    "nation": "SELECT * FROM src",
+    "customer": f"""
+        SELECT c_custkey,
+               CASE WHEN {_b('c_custkey', '04')} THEN '' ELSE c_name END AS c_name,
+               c_nationkey,
+               CASE WHEN {_b('c_custkey', '00', '01', '02')} THEN NULL ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN {_b('c_custkey', '03')} THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        FROM src""",
+    "supplier": f"""
+        SELECT s_suppkey, s_name, s_nationkey,
+               CASE WHEN {_b('s_suppkey', '00', '01', '02', '03', '04')} THEN NULL ELSE s_acctbal END AS s_acctbal
+        FROM src""",
+    "part": f"""
+        SELECT p_partkey,
+               CASE WHEN {_b('p_partkey', '06')} THEN '' ELSE p_name END AS p_name,
+               p_brand,
+               CASE WHEN {_b('p_partkey', '00', '01')} THEN NULL ELSE p_type END AS p_type,
+               CASE WHEN {_b('p_partkey', '02', '03')} THEN NULL ELSE p_size END AS p_size,
+               CASE WHEN {_b('p_partkey', '04', '05')} THEN NULL ELSE p_retailprice END AS p_retailprice
+        FROM src""",
+    "orders": f"""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN {_b('o_orderkey', '08')} THEN '' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN {_b('o_orderkey', '00', '01')} THEN NULL
+                    WHEN {_b('o_orderkey', '03', '04', '05', '06')} THEN round(o_totalprice, -2)
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN {_b('o_orderkey', '02')} THEN NULL ELSE o_orderdate END AS o_orderdate,
+               CASE WHEN {_b('o_orderkey', '07')} THEN NULL ELSE o_orderpriority END AS o_orderpriority
+        FROM src""",
+    "lineitem": f"""
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               CASE WHEN {_b('l_orderkey * 10 + l_linenumber', '02')} THEN NULL ELSE l_quantity END AS l_quantity,
+               CASE WHEN {_b('l_orderkey * 10 + l_linenumber', '04')} THEN NULL ELSE l_extendedprice END AS l_extendedprice,
+               CASE WHEN {_b('l_orderkey * 10 + l_linenumber', '01')} THEN NULL ELSE l_discount END AS l_discount,
+               CASE WHEN {_b('l_orderkey * 10 + l_linenumber', '05')} THEN NULL ELSE l_tax END AS l_tax,
+               CASE WHEN {_b('l_orderkey * 10 + l_linenumber', '03')} THEN NULL ELSE l_returnflag END AS l_returnflag,
+               l_linestatus,
+               CASE WHEN {_b('l_orderkey * 10 + l_linenumber', '00')} THEN NULL ELSE l_shipdate END AS l_shipdate
+        FROM src""",
+    "events": f"""
+        SELECT event_id,
+               CASE WHEN {_b('event_id', '00')} THEN NULL
+                    WHEN {_b('event_id', '01', '02', '03')} THEN date_trunc('hour', ts)
+                    ELSE ts END AS ts,
+               CASE WHEN {_b('event_id', '04', '05')} THEN NULL ELSE user_id END AS user_id,
+               CASE WHEN {_b('event_id', '06')} THEN NULL
+                    WHEN {_b('event_id', '07')} THEN ''
+                    ELSE event_type END AS event_type,
+               CASE WHEN {_b('event_id', '08', '09', '0a', '0b')} THEN NULL
+                    WHEN {_b('event_id', '0c', '0d', '0e', '0f')} THEN round(value, 0)
+                    ELSE value END AS value,
+               CASE WHEN {_b('event_id', '10')} THEN NULL
+                    WHEN {_b('event_id', '11')} THEN ''
+                    WHEN {_b('event_id', '12')} THEN '{{"truncated'
+                    WHEN {_b('event_id', '13')} THEN 'null'
+                    WHEN {_b('event_id', '14')} THEN '[]'
+                    ELSE props END AS props
+        FROM src""",
+    # documents: perturb text FIRST, then recompute n_chars so the
+    # length column stays consistent with the text it describes
+    "documents": f"""
+        WITH perturbed AS (
+          SELECT doc_id,
+                 CASE WHEN {_b('doc_id', '00', '01')} THEN NULL
+                      WHEN {_b('doc_id', '02', '03')} THEN ''
+                      WHEN {_b('doc_id', '04')} THEN '   \n\t  '
+                      WHEN {_b('doc_id', '05')} THEN 'a'
+                      WHEN {_b('doc_id', '06')} THEN '!!! ??? ... ;;;'
+                      WHEN {_b('doc_id', '07')} THEN '\U0001F600\U0001F600 你好 world ω'
+                      WHEN {_b('doc_id', '08', '09')} THEN
+                        (SELECT min(text) FROM src)  -- exact duplicate block
+                      ELSE text END AS text,
+                 CASE WHEN {_b('doc_id', '0a')} THEN NULL ELSE lang END AS lang,
+                 CASE WHEN {_b('doc_id', '0b')} THEN NULL ELSE source END AS source
+          FROM src)
+        SELECT doc_id, text, lang, source, CAST(length(text) AS BIGINT) AS n_chars
+        FROM perturbed""",
+    "embeddings": f"""
+        SELECT vec_id,
+               CASE WHEN {_b('vec_id', '00')} THEN NULL
+                    WHEN {_b('vec_id', '01')} THEN
+                      list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                    ELSE embedding END AS embedding,
+               CASE WHEN {_b('vec_id', '02', '03')} THEN NULL ELSE label END AS label
+        FROM src""",
+}
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/advfix"
+    adv, empty = os.path.join(out, "adv"), os.path.join(out, "empty")
+    os.makedirs(adv, exist_ok=True)
+    os.makedirs(empty, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW src AS SELECT * FROM read_parquet('{src}/{t}.parquet')"
+        )
+        con.execute(
+            f"COPY ({ADV_SQL[t]}) TO '{adv}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"COPY (SELECT * FROM src LIMIT 0) TO '{empty}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n_src = con.execute(f"SELECT count(*) FROM src").fetchone()[0]
+        n_adv = con.execute(
+            f"SELECT count(*) FROM read_parquet('{adv}/{t}.parquet')"
+        ).fetchone()[0]
+        assert n_src == n_adv, (t, n_src, n_adv)
+        print(f"{t}: {n_adv} rows -> {adv}, 0 rows -> {empty}")
+    # visibility: how many perturbed cells per table (spot stats)
+    for t, col, pred in (
+        ("events", "value IS NULL", "value IS NULL"),
+        ("events", "ts IS NULL", "ts IS NULL"),
+        ("documents", "text IS NULL OR text = ''", "text IS NULL OR text = ''"),
+        ("lineitem", "l_quantity IS NULL", "l_quantity IS NULL"),
+    ):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{adv}/{t}.parquet') WHERE {pred}"
+        ).fetchone()[0]
+        print(f"  {t}: {col}: {n}")
+
+
+if __name__ == "__main__":
+    main()
