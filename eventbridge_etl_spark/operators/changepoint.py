@@ -61,7 +61,11 @@ def cusum_alarms(
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_us", "_tb"])
+        # na_position='first': a NULL event time sorts BEFORE all
+        # values (the suite-wide Spark ASC NULLS FIRST contract);
+        # pandas' default puts NaN last, silently reordering the fold
+        # (r7 adversarial-fixture finding)
+        pdf = pdf.sort_values(["_us", "_tb"], na_position="first")
         s = mx = alarms = 0
         for x in pdf["_x"]:
             if x != x:  # null value -> NaN through Arrow; skip, don't advance

@@ -48,9 +48,17 @@ def funnel_steps(
     Returns one row per key that completed step 1:
     ``(key, step_1_ts, ..., step_N_ts, n_steps)`` with nulls from the
     first uncompleted step onward.
+
+    A funnel requires an identity: NULL-key rows are excluded up front
+    — the window partitioning would otherwise fuse every anonymous
+    event into ONE pseudo-user that races through the funnel (r7
+    adversarial-fixture finding).  Rows with a NULL timestamp are
+    harmless either way: ``min(when(...))`` skips them and a null can
+    never satisfy the strictly-after comparison.
     """
     if not steps:
         raise ValueError("steps must name at least one event type")
+    events = events.filter(F.col(key_col).isNotNull())
     w = Window.partitionBy(key_col)
     ts, typ = F.col(ts_col), F.col(type_col)
     df = events.select(key_col, ts.alias("_ts"), typ.alias("_tp"))

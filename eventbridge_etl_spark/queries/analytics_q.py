@@ -449,7 +449,7 @@ def events_attribution_linear(spark, sf_dir):
     )
     SELECT event_id, user_id,
            last_value(v IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS filled_value
     FROM base
@@ -681,9 +681,9 @@ def orders_psi_drift(spark, sf_dir):
         first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
           OVER fwd AS nt
       FROM base
-      WINDOW back AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW back AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             fwd AS (PARTITION BY user_id ORDER BY ts, event_id
+             fwd AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_id, user_id,
@@ -741,7 +741,8 @@ def events_interp_fill(spark, sf_dir):
                   THEN round(CAST(tot.st - pf.s AS DOUBLE)
                              / CAST(tot.nt - pf.n AS DOUBLE), 12) END AS ti,
              tot.st, tot.nt, tot.kk
-      FROM pf JOIN tot ON tot.grp = pf.grp
+      -- null-safe: the NULL event_type group is a group like any other
+      FROM pf JOIN tot ON tot.grp IS NOT DISTINCT FROM pf.grp
     ),
     tb AS (
       SELECT grp,
@@ -758,7 +759,7 @@ def events_interp_fill(spark, sf_dir):
                                             * (ti.ti - tb.tbar), 12)
                                       AS DECIMAL(38,12))) AS DOUBLE)), 6)
              AS jk_se
-    FROM ti JOIN tb ON tb.grp = ti.grp
+    FROM ti JOIN tb ON tb.grp IS NOT DISTINCT FROM ti.grp
     GROUP BY ti.grp
     """,
 )
@@ -780,7 +781,7 @@ def agg_jackknife_mean(spark, sf_dir):
     WITH RECURSIVE ordered AS (
       SELECT user_id,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn,
+                                ORDER BY ts NULLS FIRST, event_id) AS rn,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
       FROM events
     ),
@@ -796,8 +797,9 @@ def agg_jackknife_mean(spark, sf_dir):
       SELECT o.user_id, o.rn, o.x,
              CASE WHEN o.x IS NULL THEN r.s
                   ELSE GREATEST(CAST(0 AS BIGINT), r.s + o.x - 5500) END
+      -- null-safe: the NULL user_id group recurses like any other
       FROM rec r JOIN ordered o
-        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        ON o.user_id IS NOT DISTINCT FROM r.user_id AND o.rn = r.rn + 1
     )
     SELECT user_id, COUNT(*) AS n_events,
            CAST(SUM(CASE WHEN x IS NOT NULL AND s > 20000

@@ -366,13 +366,13 @@ def fn_regex_surface(spark, sf_dir):
            ROUND(cume_dist()    OVER w, 6) AS cume,
            first_value(o_orderkey) OVER w  AS cheapest_key,
            nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
-                                          ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey
+                                          ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) NULLS FIRST, o_orderkey
                                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                                            AS second_cheapest_key
     FROM orders
     WHERE o_orderkey < 2000
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+                 ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) NULLS FIRST, o_orderkey)
     """,
 )
 def window_distribution(spark, sf_dir):

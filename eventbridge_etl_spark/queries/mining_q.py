@@ -559,7 +559,7 @@ def text_char_entropy(spark, sf_dir):
     SELECT event_id,
            user_id,
            round(median(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
            ), 6) AS rolling_median
     FROM events

@@ -163,7 +163,7 @@ def events_validity_filter(spark, sf_dir):
     oracle="""
     SELECT user_id, event_id, ts, event_type, value
     FROM events
-    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC) = 1
     """,
 )
 def events_keyed_upsert(spark, sf_dir):
@@ -271,11 +271,24 @@ def pipeline_header_zip_rename(spark, sf_dir):
 @query(
     "join_asof_attribution",
     oracle="""
+    WITH pur AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    clk AS (
+      -- right rows with NULL ts/key can never be 'latest at-or-before'
+      SELECT * FROM events WHERE event_type = 'click'
+        AND ts IS NOT NULL AND user_id IS NOT NULL
+    )
     SELECT p.event_id, p.user_id, p.ts, p.value,
            c.ts AS ts_matched, c.event_id AS event_id_matched
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM pur WHERE ts IS NOT NULL AND user_id IS NOT NULL) p
+    ASOF LEFT JOIN clk c
       ON p.user_id = c.user_id AND p.ts >= c.ts
+    UNION ALL
+    -- a left row without a timestamp or key has no 'most recent prior'
+    -- and comes back unmatched (DuckDB's bare ASOF instead matches a
+    -- NULL probe ts to the key's LAST right row — r7 adversarial find)
+    SELECT event_id, user_id, ts, value,
+           NULL AS ts_matched, NULL AS event_id_matched
+    FROM pur WHERE ts IS NULL OR user_id IS NULL
     """,
 )
 def join_asof_attribution(spark, sf_dir):
@@ -309,11 +322,11 @@ def join_asof_attribution(spark, sf_dir):
              CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS nr
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_type)
     ),
     r AS (
       SELECT user_id, ts, event_type,
-             SUM(nr) OVER (PARTITION BY user_id ORDER BY ts, event_type
+             SUM(nr) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_type
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS run
       FROM o

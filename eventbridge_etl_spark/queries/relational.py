@@ -520,7 +520,8 @@ def window_lag_gap(spark, sf_dir):
     oracle="""
     SELECT o_custkey, o_orderkey,
            ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate NULLS FIRST, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
              AS running_spend
     FROM orders
@@ -551,7 +552,7 @@ def window_running_total(spark, sf_dir):
     SELECT l_suppkey, l_orderkey, l_linenumber,
            ROUND(AVG(CAST(l_extendedprice AS DECIMAL(18,2)))
                  OVER (PARTITION BY l_suppkey
-                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
              AS price_ma3
     FROM lineitem
@@ -1032,11 +1033,13 @@ def set_except_all(spark, sf_dir):
              COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
              first_value(o_totalprice) OVER ord AS first_price,
              nth_value(o_totalprice, 2) OVER
-               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               (PARTITION BY o_custkey
+                ORDER BY o_orderdate NULLS FIRST, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                AS second_price
       FROM orders
-      WINDOW ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      WINDOW ord AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     )
     SELECT o_custkey, n_orders, first_price, second_price
     FROM w WHERE rn = 1

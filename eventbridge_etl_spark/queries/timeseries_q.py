@@ -48,8 +48,13 @@ def _events(spark, sf_dir):
     obs AS (
       SELECT user_id, date_trunc('hour', ts) AS hour,
              COUNT(*) AS n_events,
-             arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                            || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+             -- struct-wrapped arg_max: bare arg_max SKIPS rows whose
+             -- value is NULL, silently substituting an older
+             -- observation; the engine's max_by faithfully reports the
+             -- latest observation's NULL (r7 adversarial finding)
+             arg_max(struct_pack(v := value),
+                     lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 20, '0')).v
                AS last_value
       FROM events GROUP BY 1, 2
     )
@@ -79,7 +84,7 @@ def events_gap_fill(spark, sf_dir):
              CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
                AS s2
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     ),
     m AS (
@@ -114,10 +119,14 @@ def events_anomaly_zscore(spark, sf_dir):
       FROM events
     )
     SELECT event_type, bucket,
-           arg_min(value, ok) AS open,
+           -- struct-wrapped arg_min/arg_max: the bare forms SKIP rows
+           -- with a NULL value, substituting a neighboring observation
+           -- for open/close; the engine's min_by/max_by report the
+           -- true chronological endpoints, null value and all
+           arg_min(struct_pack(v := value), ok).v AS open,
            max(value) AS high,
            min(value) AS low,
-           arg_max(value, ok) AS close,
+           arg_max(struct_pack(v := value), ok).v AS close,
            COUNT(*) AS n_events,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
              AS volume
@@ -137,7 +146,7 @@ def events_ohlc_hourly(spark, sf_dir):
     WITH d AS (
       SELECT user_id,
              value - lag(value) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS d
+                                      ORDER BY ts NULLS FIRST, event_id) AS d
       FROM events
     )
     SELECT user_id,
@@ -167,11 +176,11 @@ def events_counter_increase(spark, sf_dir):
       SELECT *, CASE WHEN ep - lag(ep) OVER w IS NULL
                        OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
       FROM t
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ),
     s AS (
       SELECT *, CAST(SUM(is_new) OVER (
-        PARTITION BY user_id ORDER BY ts, event_id
+        PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         AS session_seq
       FROM g
@@ -198,8 +207,10 @@ def events_sessionize(spark, sf_dir):
     "events_funnel_conversion",
     oracle="""
     WITH s1 AS (
+      -- a funnel requires an identity: null-user rows excluded (the
+      -- operator filters them; one anonymous pseudo-user is not a user)
       SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY user_id
+      WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
     ),
     s2 AS (
       SELECT e.user_id, min(e.ts) AS t2
@@ -260,7 +271,7 @@ def events_retention_cohorts(spark, sf_dir):
       -- otherwise fabricate 2-part "trigrams" where the oracle's
       -- null-propagating || yields NULL paths
       WHERE event_type IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     )
     SELECT p2 || '>' || p1 || '>' || event_type AS path, COUNT(*) AS n
     FROM s WHERE p2 IS NOT NULL
@@ -344,7 +355,9 @@ def _morton_sql(a: str, b: str, bits: int = 8) -> str:
     )
     SELECT event_id, a, b, {_morton_sql('a', 'b')} AS zv
     FROM k
-    ORDER BY zv, event_id
+    -- NULLS FIRST: a null user_id makes zv null; Spark's ASC default
+    -- sorts nulls first, so they must make the top-200 cut here too
+    ORDER BY zv NULLS FIRST, event_id
     LIMIT 200
     """,
 )

@@ -252,10 +252,15 @@ def q8_market_share(spark, sf_dir):
 @query(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
+      -- decimal product, not double: the double-SUM's accumulation
+      -- order lands group sums on round-half edges (r7 adversarial
+      -- fixture hit one: .555 -> .55 vs .56); fixed-decimal inputs
+      -- multiplied in decimal leave nothing order-dependent to round
       SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS amount
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(8,6)) AS amount
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -288,8 +293,14 @@ def q9_product_profit(spark, sf_dir):
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_profit")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
         )
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
@@ -705,8 +716,10 @@ def q21_waiting_orders(spark, sf_dir):
     SELECT p_partkey, p_name, s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
     FROM (
       SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+             -- NULLS FIRST: Spark's min_by over a (s_acctbal, ...)
+             -- struct orders a NULL balance before every value
              row_number() OVER (PARTITION BY p_partkey
-                                ORDER BY s_acctbal, s_suppkey) AS rn
+                                ORDER BY s_acctbal NULLS FIRST, s_suppkey) AS rn
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -791,8 +804,12 @@ def q11_important_parts(spark, sf_dir):
     SELECT l_returnflag,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+           -- COALESCE: a NULL priority is 'not high' and counts LOW
+           -- (Spark's when(hi,1).otherwise(0) routes null to otherwise);
+           -- bare NOT IN would classify it as neither
+           CAST(SUM(CASE WHEN COALESCE(o_orderpriority IN ('1-URGENT', '2-HIGH'),
+                                       FALSE)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 20 DAY
       AND l_shipdate >= TIMESTAMP '1996-01-01'
