@@ -26,7 +26,14 @@ def hourly_rollup_state(events: DataFrame) -> DataFrame:
     """Partial-aggregate state of the hourly rollup:
     ``(hour, event_type, n_events, sum_value, min_value, max_value)``
     with the sum as DECIMAL(28,6).  This is both the publishable rollup
-    (cast/round at read time) and the mergeable state."""
+    (cast/round at read time) and the mergeable state.
+
+    NULL event times are excluded explicitly: a time-bucketed state has
+    no bucket for them, and the incremental split (`ts < cut` /
+    `ts >= cut`) would otherwise drop them from one path while a full
+    recompute fabricated a NULL-hour group in the other — the two would
+    silently disagree (r7 adversarial-fixture finding)."""
+    events = events.filter(F.col("ts").isNotNull())
     return events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
     ).agg(

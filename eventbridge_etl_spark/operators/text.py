@@ -275,8 +275,13 @@ def repetition_features(text: Column | str) -> dict[str, Column]:
                 lambda g: F.size(F.filter(arr, lambda x: x == g)),
             )
         )
-        return F.when(n > 0, F.round(top / n.cast("double"), 6)).otherwise(
-            F.lit(0.0)
+        # empty -> 0.0 (no repetition), NULL text -> NULL (no signal):
+        # a bare .otherwise(0.0) also caught the null case, making
+        # top_token_frac the only non-null measurement of a null
+        # document while every sibling ratio was NULL (r7 adversarial
+        # finding — the inconsistency flipped rep_ok to a hard True)
+        return F.when(n > 0, F.round(top / n.cast("double"), 6)).when(
+            n == 0, F.lit(0.0)
         )
 
     grams = F.when(
@@ -285,7 +290,7 @@ def repetition_features(text: Column | str) -> dict[str, Column]:
             F.sequence(F.lit(1), F.size(toks) - 1),
             lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).when(F.size(toks) >= 0, F.array().cast("array<string>"))
     return {
         "top_token_frac": mode_frac(toks),
         "top_bigram_frac": mode_frac(grams),

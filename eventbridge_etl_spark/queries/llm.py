@@ -103,7 +103,10 @@ def text_quality_score(spark, sf_dir):
       FROM toks
     )
     SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
-           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+           -- COALESCE: a NULL text yields NULL scores; every compare
+           -- in the chain is then NULL (falsy) and the bare CASE would
+           -- fall through to 'de' — the engine says 'und' (no signal)
+           CASE WHEN COALESCE(greatest(score_de, score_en, score_es, score_fr), 0) = 0 THEN 'und'
                 WHEN score_fr > score_es AND score_fr > score_en AND score_fr > score_de THEN 'fr'
                 WHEN score_es > score_en AND score_es > score_de THEN 'es'
                 WHEN score_en > score_de THEN 'en'
@@ -1091,20 +1094,22 @@ def sample_source_cap(spark, sf_dir):
     ),
     g AS (
       SELECT doc_id, t,
+             -- two-step CASE: empty -> [], NULL text -> NULL (a bare
+             -- ELSE would also catch the null case)
              CASE WHEN len(t) >= 2
                   THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-                  ELSE [] END AS gs
+                  WHEN len(t) >= 0 THEN [] END AS gs
       FROM tok
     )
     SELECT doc_id,
            CASE WHEN len(t) > 0 THEN round(
              list_max(list_transform(list_distinct(t),
                x -> len(list_filter(t, y -> y = x))))::DOUBLE / len(t), 6)
-           ELSE 0.0 END AS top_token_frac,
+           WHEN len(t) = 0 THEN 0.0 END AS top_token_frac,
            CASE WHEN len(gs) > 0 THEN round(
              list_max(list_transform(list_distinct(gs),
                x -> len(list_filter(gs, y -> y = x))))::DOUBLE / len(gs), 6)
-           ELSE 0.0 END AS top_bigram_frac
+           WHEN len(gs) = 0 THEN 0.0 END AS top_bigram_frac
     FROM g
     """,
 )

@@ -30,12 +30,22 @@ _TOKS = (
 @query(
     "text_naive_bayes_lang",
     oracle=f"""
-    WITH toks AS ({_TOKS}),
+    WITH nbdocs AS (
+      -- the classifier trains and scores only rows with an id, text,
+      -- and label (operators/classify.py filters all three up front)
+      SELECT * FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+    ),
+    toks AS (
+      SELECT doc_id AS id, lang AS actual,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM nbdocs
+    ),
     ct AS (SELECT actual AS lbl, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
     ctot AS (SELECT lbl, SUM(cnt) AS n_c FROM ct GROUP BY lbl),
     voc AS (SELECT COUNT(DISTINCT token) AS v FROM ct),
-    pri AS (SELECT lang AS lbl, COUNT(*) AS docs FROM documents GROUP BY 1),
-    tot AS (SELECT COUNT(*) AS ndocs FROM documents),
+    pri AS (SELECT lang AS lbl, COUNT(*) AS docs FROM nbdocs GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS ndocs FROM nbdocs),
     classes AS (
       SELECT p.lbl,
              CAST(round(ln(p.docs::DOUBLE / t.ndocs::DOUBLE), 6)
@@ -94,7 +104,10 @@ def text_naive_bayes_lang(spark, sf_dir):
     terms AS (SELECT token, df FROM dfreq ORDER BY df DESC, token ASC LIMIT 3),
     dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
     corpus AS (
-      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      -- N counts rankable docs: the operator drops null-id/null-text
+      -- rows up front, so they contribute no corpus statistics
+      SELECT (SELECT COUNT(*) FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL) AS n_docs,
              (SELECT AVG(dl::DOUBLE) FROM dl) AS avgdl
     ),
     tf AS (

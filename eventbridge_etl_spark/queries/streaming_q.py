@@ -142,7 +142,9 @@ def streaming_dedup(spark, sf_dir):
                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                           >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
-      FROM events
+      -- an event without a time belongs to no session window (Spark's
+      -- session_window generates zero rows for a NULL ts)
+      FROM events WHERE ts IS NOT NULL
     ),
     s AS (
       SELECT user_id,
@@ -280,7 +282,9 @@ def streaming_running_totals(spark, sf_dir):
              AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value
-    FROM events
+    -- a time-bucketed rollup has no bucket for a NULL event time
+    -- (hourly_rollup_state excludes them by contract)
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -306,8 +310,13 @@ def streaming_rollup_merge(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="roll_")
     landing = os.path.join(work, "landing")
     # split on a stable expression of the projected columns so the two
-    # halves are deterministic regardless of row order
-    half = F.crc32(F.col("event_type").cast("string")) + F.unix_micros("ts")
+    # halves are deterministic regardless of row order; coalesce both
+    # terms — a NULL event_type or ts would NULL the whole expression,
+    # fail BOTH half-predicates, and silently drop the row from the
+    # landing zone (r7 adversarial finding: 44 null-type groups vanished)
+    half = F.crc32(F.coalesce(F.col("event_type"), F.lit("\x00")).cast("string")) + F.coalesce(
+        F.unix_micros("ts"), F.lit(0)
+    )
     ev.filter(half % 2 == 0).coalesce(1).write.parquet(os.path.join(landing, "a"))
     ev.filter(half % 2 == 1).coalesce(1).write.parquet(os.path.join(landing, "b"))
     state_dir = os.path.join(work, "state")

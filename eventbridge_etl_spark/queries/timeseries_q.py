@@ -313,7 +313,9 @@ def events_path_trigrams(spark, sf_dir):
              AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value
-    FROM events
+    -- a time-bucketed rollup has no bucket for a NULL event time
+    -- (hourly_rollup_state excludes them by contract)
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -513,7 +515,10 @@ def agg_correlation(spark, sf_dir):
       SELECT event_type, value,
              unnest([date_trunc('hour', ts),
                      date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
-      FROM events
+      -- an event without a time belongs to no time window (Spark's
+      -- window() generates zero rows for a NULL ts; bare date_trunc
+      -- would fabricate a NULL-window group here)
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT event_type, win_start,
            win_start + INTERVAL 2 HOUR AS win_end,
