@@ -42,7 +42,16 @@ from eventbridge_etl_spark.operators.text import tokens
 
 
 def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
+    """Distinct-token set per doc.  NULL-text rows are excluded by
+    contract: they have no token set to compare, and keeping them made
+    the minhash exact-dup collapse fuse them with blank docs — a NULL
+    set and the legitimate ``['']`` set both ``concat_ws`` to the same
+    ``md5('')`` digest, so contentless docs emitted C(k,2) fabricated
+    jaccard-1.0 pairs (r7 adversarial-fixture finding).  Downstream
+    cluster queries still assign null-text docs their own singleton
+    (they start from the full doc table and left-join the pair graph).
+    """
+    return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(tokens(text_col)).alias("_toks"),
     ).withColumn("_n", F.size("_toks"))
@@ -1045,7 +1054,11 @@ def minhash_admission(
     Returns the batch's ``(id, admitted)`` verdict for every input row
     (order-free; join it back to the batch to route).  Batch-INTERNAL
     duplicates are out of scope by contract — run ``minhash_lsh_pairs``
-    or ``incremental_dedup`` within the batch first.
+    or ``incremental_dedup`` within the batch first.  Rows with NULL
+    text admit trivially — a content screen has no bands to collide for
+    a contentless row; pair with a validity filter upstream if absent
+    payloads must not pass (the verdict base is the BATCH, not the
+    token-set frame, so the contract above holds for them too).
     """
     assert num_hashes % bands == 0
     t = _token_sets(batch, id_col, text_col)
@@ -1057,7 +1070,7 @@ def minhash_admission(
         .withColumn("_rej", F.lit(True))
     )
     return (
-        t.select("_id")
+        batch.select(F.col(id_col).alias("_id"))
         .join(rejected, "_id", "left")
         .select(
             F.col("_id").alias(id_col),

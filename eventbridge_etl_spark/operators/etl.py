@@ -57,10 +57,23 @@ def splinter(df: DataFrame, headers: Sequence[str], delimiter: str = ",") -> Dat
     """Inverse of ``header_zip`` — re-encode typed columns as the
     reference's ``(headers, data)`` string pair (O10,
     container/s3DataExtractionTask/main.py:36-40).  Used to generate
-    envelope-parity streams for routing tests."""
+    envelope-parity streams for routing tests.
+
+    NULL columns encode as the empty string: ``concat_ws`` SKIPS nulls,
+    which would drop the delimiter too and shift every later value one
+    position left in the zip — the reference's own header/data
+    misalignment hazard (SURVEY §1.3), reproduced by the r7 adversarial
+    fixture.  The strings-only envelope cannot represent null at all
+    (the reference's DynamoDB sink is string-typed), so NULL -> '' is
+    the lossless-alignment encoding; a round-trip returns '' where the
+    source had NULL.
+    """
     return df.select(
         F.lit(delimiter.join(headers)).alias("headers"),
-        F.concat_ws(delimiter, *[F.col(h) for h in headers]).alias("data"),
+        F.concat_ws(
+            delimiter,
+            *[F.coalesce(F.col(h).cast("string"), F.lit("")) for h in headers],
+        ).alias("data"),
     )
 
 

@@ -407,7 +407,16 @@ def kmeans_assign(
     Map-only: no join, no shuffle; the centroid table rides along as a
     plan literal (fine for the k <= a few thousand of a coarse
     quantizer).  Adds ``cluster`` and ``sqdist`` (raw double) columns.
+
+    An EMPTY centroid list (k-means over an empty corpus — r7
+    empty-fixture crash: ``F.array()`` of zero structs cannot be
+    typed) assigns NULL cluster/sqdist to every row instead of
+    raising, so empty-input pipelines flow through to empty results.
     """
+    if not centroids:
+        return df.withColumn("cluster", F.lit(None).cast("int")).withColumn(
+            "sqdist", F.lit(None).cast("double")
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scored = F.transform(
         _centroid_struct_array(centroids),

@@ -27,7 +27,7 @@ def _pagerank_oracle(damping: float, iterations: int) -> str:
     sql = f"""
     WITH lagged AS (
       SELECT lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS src,
+                                   ORDER BY ts NULLS FIRST, event_id) AS src,
              event_type AS dst
       FROM events
       WHERE event_type IS NOT NULL  -- operator drops null labels pre-lag
@@ -91,7 +91,7 @@ def _bfs_oracle(max_hops: int, source_type: str) -> str:
     sql = f"""
     WITH lagged AS (
       SELECT lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS src,
+                                   ORDER BY ts NULLS FIRST, event_id) AS src,
              event_type AS dst
       FROM events
       WHERE event_type IS NOT NULL  -- operator drops null labels pre-lag
@@ -136,7 +136,7 @@ def graph_bfs_hops(spark, sf_dir):
     oracle="""
     WITH lagged AS (
       SELECT lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS src,
+                                   ORDER BY ts NULLS FIRST, event_id) AS src,
              event_type AS dst
       FROM events
       WHERE event_type IS NOT NULL  -- operator drops null labels pre-lag

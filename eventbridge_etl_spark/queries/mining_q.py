@@ -38,7 +38,7 @@ _TOKS = (
     ),
     toks AS (
       SELECT doc_id AS id, lang AS actual,
-             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
       FROM nbdocs
     ),
     ct AS (SELECT actual AS lbl, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
@@ -410,7 +410,10 @@ def dedup_source_overlap(spark, sf_dir):
       SELECT event_type AS partition,
              'part-' || CAST(ts::DATE AS VARCHAR) || '.parquet' AS file,
              COUNT(*) * 64 AS size
-      FROM events GROUP BY 1, 2
+      -- a null-ts event belongs to no daily file (same no-time-bucket
+      -- rule as the hourly rollup); a NULL file name would otherwise
+      -- bin nondeterministically across engines' null sort orders
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     assigned AS (
       -- small files: next-fit over the small-only running sum; files
@@ -458,6 +461,8 @@ def compaction_plan_events(spark, sf_dir):
     from eventbridge_etl_spark.sources.tables import load_tables
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # null-ts events belong to no daily file (no-time-bucket rule)
+    ev = ev.filter(F.col("ts").isNotNull())
     inv = ev.groupBy(
         F.col("event_type").alias("pt"),
         F.to_date("ts").alias("_d"),
@@ -750,13 +755,16 @@ def scd_snapshot_diff(spark, sf_dir):
       SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
       FROM customer GROUP BY 1, 2
     )
+    -- COALESCEs: an empty table is trivially k-anonymous (no group can
+    -- violate); bare SUM/MAX over zero groups would report NULLs where
+    -- the engine reports 0 / TRUE (r7 empty-fixture finding)
     SELECT CAST(5 AS BIGINT) AS k,
            COUNT(*) AS n_groups,
-           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS HUGEINT)::BIGINT
-             AS n_violating_groups,
-           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS HUGEINT)::BIGINT
-             AS n_rows_at_risk,
-           MAX(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS passed
+           COALESCE(CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                         AS HUGEINT)::BIGINT, 0) AS n_violating_groups,
+           COALESCE(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+                         AS HUGEINT)::BIGINT, 0) AS n_rows_at_risk,
+           COALESCE(MAX(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0, TRUE) AS passed
     FROM sizes
     """,
 )
@@ -774,7 +782,14 @@ def expect_k_anonymity(spark, sf_dir):
 @query(
     "sample_balanced_classes",
     oracle="""
-    WITH sizes AS (SELECT lang, COUNT(*) AS cn FROM documents GROUP BY lang),
+    WITH pool AS (
+      -- null is NOT a class (operator contract): a handful of
+      -- unlabeled rows would become the smallest class and cap every
+      -- real class at their count, collapsing the output
+      SELECT doc_id, lang FROM documents
+      WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    sizes AS (SELECT lang, COUNT(*) AS cn FROM pool GROUP BY lang),
     mn AS (SELECT MIN(cn) AS m FROM sizes),
     ranked AS (
       SELECT doc_id, lang,
@@ -784,7 +799,7 @@ def expect_k_anonymity(spark, sf_dir):
                              AS DOUBLE) / 4294967296.0,
                         doc_id
              ) AS rk
-      FROM documents
+      FROM pool
     )
     SELECT doc_id, lang FROM ranked CROSS JOIN mn WHERE rk <= mn.m
     """,
@@ -806,7 +821,11 @@ def sample_balanced_classes(spark, sf_dir):
     "dedup_incremental_admission",
     oracle="""
     WITH hist AS (
-      SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id < 250
+      -- sentinel digest mirrors the operator's v2 null encoding
+      -- (md5 over coalesce(text, NUL)); bare md5(NULL) = NULL would
+      -- also NULL-poison the NOT IN below into zero rows
+      SELECT DISTINCT md5(COALESCE(text, chr(0))) AS d
+      FROM documents WHERE doc_id < 250
     ),
     batch AS (
       SELECT doc_id, text FROM documents WHERE doc_id >= 250
@@ -816,7 +835,7 @@ def sample_balanced_classes(spark, sf_dir):
       UNION ALL
       SELECT doc_id + 2000, text FROM documents WHERE doc_id < 50
     ),
-    bd AS (SELECT doc_id, md5(text) AS d FROM batch),
+    bd AS (SELECT doc_id, md5(COALESCE(text, chr(0))) AS d FROM batch),
     self_kept AS (SELECT d, MIN(doc_id) AS doc_id FROM bd GROUP BY d)
     SELECT doc_id, d AS content_digest
     FROM self_kept WHERE d NOT IN (SELECT d FROM hist)

@@ -235,9 +235,12 @@ def events_hourly_rollup(spark, sf_dir):
 @query(
     "pipeline_header_zip_rename",
     oracle="""
-    SELECT CAST(doc_id AS VARCHAR) AS id,
-           lang                    AS language,
-           CAST(n_chars AS VARCHAR) AS chars
+    -- the strings-only envelope encodes NULL as '' (splinter contract:
+    -- alignment-preserving; the reference's string-typed sink has no
+    -- null), so the round-trip identity is COALESCE(col, '')
+    SELECT COALESCE(CAST(doc_id AS VARCHAR), '') AS id,
+           COALESCE(lang, '')                    AS language,
+           COALESCE(CAST(n_chars AS VARCHAR), '') AS chars
     FROM documents
     """,
 )

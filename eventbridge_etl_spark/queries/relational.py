@@ -99,6 +99,7 @@ def q1_pricing_summary(spark, sf_dir):
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    HAVING COUNT(*) > 0  -- see agg_cube: empty-input Spark parity
     """,
 )
 def agg_rollup(spark, sf_dir):
@@ -121,6 +122,12 @@ def agg_rollup(spark, sf_dir):
            ROUND(SUM(l_quantity), 2) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    -- HAVING COUNT(*) > 0: over an EMPTY input Spark's cube/rollup
+    -- emits ZERO rows while the SQL-standard grand-total grouping set
+    -- emits one all-NULL row (DuckDB follows the standard); the guard
+    -- is a no-op on any non-empty input since every real group has
+    -- >= 1 row (r7 empty-fixture finding)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_cube(spark, sf_dir):

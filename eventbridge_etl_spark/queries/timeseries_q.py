@@ -561,6 +561,7 @@ def events_hopping_windows(spark, sf_dir):
            ROUND(SUM(value), 2) AS sum_value
     FROM events
     GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    HAVING COUNT(*) > 0  -- see agg_cube: empty-input Spark parity
     """,
 )
 def events_time_hierarchy_rollup(spark, sf_dir):

@@ -102,12 +102,12 @@ def test_streaming_windowed_counts_plan_is_stateful(spark):
 
 
 def test_streaming_ewma_plan_is_stateful(spark):
+    from pyspark.sql import functions as F
+
     from eventbridge_etl_spark.streaming.stateful import ewma_smoothing
 
-    plan = (
-        ewma_smoothing(_event_stream(spark))
-        ._jdf.queryExecution()
-        .analyzed()
-        .toString()
+    ev = _event_stream(spark).select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us"), "event_id"
     )
+    plan = ewma_smoothing(ev)._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" in plan, plan
