@@ -1,0 +1,157 @@
+"""Streaming state-bound soak (VERDICT r6 item 5).
+
+The 100 TB streaming story rests on bounded-state reasoning: watermarked
+windows evict finalized state; the custom stateful operators keep O(keys)
+rows.  This script DEMONSTRATES it instead of asserting it: a rate-source
+stream drives two queries for a few hundred micro-batches and records each
+batch's ``stateOperators`` metrics (rows, memory) from the progress feed.
+
+- ``windowed``: 10-second tumbling window counts with a 30-second
+  watermark over an advancing event-time column.  Without eviction,
+  state rows would grow linearly with elapsed time; with the watermark
+  they plateau at (watermark + window) / window in-flight windows x key
+  fan-out.
+- ``ewma``: the ``applyInPandasWithState`` integer-EWMA operator keyed
+  on ``user_id % K`` — state is exactly one row per key, so rows rise
+  to K then stay flat while totals processed keep climbing.
+
+Usage::
+
+    python scripts/streaming_state_soak.py [seconds_per_query]
+
+Prints one CSV block per query: ``batch,input_rows,state_rows,state_mb``
+plus a PLATEAU verdict (max state rows in the last third vs overall max).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+
+def _soak(spark, name, make_sink, seconds):
+    ckpt = tempfile.mkdtemp(prefix=f"soak_{name}_")
+    q = make_sink(ckpt)
+    rows = []
+    seen = set()
+    deadline = time.time() + seconds
+    while time.time() < deadline:
+        time.sleep(0.5)
+        for p in q.recentProgress:
+            bid = p["batchId"]
+            if bid in seen or not p.get("stateOperators"):
+                continue
+            seen.add(bid)
+            so = p["stateOperators"][0]
+            rows.append(
+                (
+                    bid,
+                    int(p["numInputRows"]),
+                    int(so["numRowsTotal"]),
+                    round(int(so["memoryUsedBytes"]) / 1e6, 3),
+                )
+            )
+    q.stop()
+    rows.sort()
+    print(f"== {name}: {len(rows)} micro-batches with state metrics")
+    print("batch,input_rows,state_rows,state_mb")
+    step = max(1, len(rows) // 20)
+    for r in rows[::step]:
+        print(",".join(map(str, r)))
+    if rows:
+        # Plateau = the state stopped GROWING: the last third's max must
+        # not exceed the middle third's max (plus a one-window-generation
+        # oscillation allowance — a new window legitimately opens just
+        # before the oldest evicts, so rows oscillate by one key-fanout
+        # band around the steady in-flight count; that is eviction
+        # WORKING, not growth).
+        overall = max(r[2] for r in rows)
+        third = len(rows) // 3
+        mid_max = max(r[2] for r in rows[third : 2 * third])
+        tail = rows[2 * third :]
+        tail_max = max(r[2] for r in tail)
+        tail_min = min(r[2] for r in tail)
+        grew = tail_max > mid_max * 1.05
+        print(
+            f"PLATEAU {name}: overall_max={overall} mid-third_max={mid_max} "
+            f"last-third min={tail_min} max={tail_max} "
+            f"flat={'NO' if grew else 'YES'}"
+        )
+    return rows
+
+
+def main() -> None:
+    from eventbridge_etl_spark.session import get_spark
+    from eventbridge_etl_spark.streaming.stateful import ewma_smoothing
+
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 90.0
+    spark = get_spark(
+        app_name="state-soak",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SOAK_DRIVER_MEM", "4g"),
+            # small microbatches -> many stateOperators samples
+            "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+        },
+    )
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 5000)
+        .load()
+        # advancing event time + 200-key fan-out; a 1-in-50 slice lags
+        # 15 s to exercise late-row handling under the watermark
+        .select(
+            F.when(
+                F.col("value") % 50 == 0,
+                F.col("timestamp") - F.expr("INTERVAL 15 SECONDS"),
+            )
+            .otherwise(F.col("timestamp"))
+            .alias("ts"),
+            (F.col("value") % 200).alias("user_id"),
+            (F.col("value") % 97).cast("double").alias("value"),
+            F.col("value").alias("event_id"),
+        )
+    )
+
+    def windowed_sink(ckpt):
+        agg = (
+            rate.withWatermark("ts", "30 seconds")
+            .groupBy(F.window("ts", "10 seconds"), "user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        return (
+            agg.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+
+    def ewma_sink(ckpt):
+        ev = rate.select(
+            "user_id", "value", F.unix_micros("ts").alias("ts_us"), "event_id"
+        )
+        return (
+            ewma_smoothing(ev)
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+
+    _soak(spark, "windowed_watermark", windowed_sink, seconds)
+    _soak(spark, "ewma_stateful", ewma_sink, seconds)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
