@@ -2,22 +2,24 @@
 ``binary`` payloads with a typed metadata struct; decode / feature
 extraction runs as Arrow-batched pandas transforms (``mapInPandas``).
 
-Codecs: formats parseable with the stdlib decode FOR REAL —
+Codecs: formats parseable with pure stdlib+numpy decode FOR REAL —
 netpbm images (P6 PPM / P5 PGM, the uncompressed interchange format),
-16-bit PCM WAV (stdlib ``wave``), and 8-bit non-interlaced PNG (pure
-stdlib: zlib inflate + scanline unfilter incl. Sub/Up/Average/Paeth,
-color types 0/2/3/4/6, CRC-checked — see ``_make_png_pixels``) —
-including real nearest-neighbor resizes for netpbm and PNG (the PNG
-one re-encodes with stdlib zlib).  Remaining compressed formats
-(JPEG/MP3/H.264, 16-bit or interlaced PNG) have no codec in this
-container: ``decode_media`` raises
+16-bit PCM WAV (stdlib ``wave``), 8-bit non-interlaced PNG (zlib
+inflate + scanline unfilter incl. Sub/Up/Average/Paeth, color types
+0/2/3/4/6, CRC-checked — ``_make_png_pixels``), and baseline-
+sequential JPEG (r7: Huffman + dequant + IDCT, sampling factors 1-2
+incl. 4:2:0, restart markers — ``operators/jpeg_codec.py``, which
+also ENCODES so resizes re-emit valid JPEG).  Real nearest-neighbor
+resizes exist for netpbm, PNG, and JPEG.  Remaining compressed
+formats (MP3/H.264, progressive JPEG, 16-bit or interlaced PNG) have
+no codec in this container: ``decode_media`` raises
 ``NotImplementedError`` for those mimes unless ``fake=True``, which
 substitutes a deterministic byte-level "decode" (byte histogram
 features).  Swapping in PIL/librosa/pyav extends the same dispatch
 inside ``_decode_batch`` — the schema contract, Arrow batch shape,
 partition parallelism, and metadata propagation are identical for real
 and fake paths and tested on committed fixtures
-(tests/data/fixture_*.ppm/pgm/wav).
+(tests/data/fixture_*.ppm/pgm/wav + generated PNG/JPEG).
 
 Scale: mapInPandas streams Arrow batches executor-side; payload bytes
 never hit the driver.  Partition sizing (maxPartitionBytes) bounds
@@ -81,7 +83,8 @@ def _byte_histogram(data: bytes, n_buckets: int) -> list[int]:
 NETPBM_MIMES = ("image/x-portable-pixmap", "image/x-portable-graymap")
 WAV_MIMES = ("audio/wav", "audio/x-wav")
 PNG_MIMES = ("image/png",)
-REAL_DECODE_MIMES = NETPBM_MIMES + WAV_MIMES + PNG_MIMES
+JPEG_MIMES = ("image/jpeg", "image/jpg")
+REAL_DECODE_MIMES = NETPBM_MIMES + WAV_MIMES + PNG_MIMES + JPEG_MIMES
 
 
 def _make_png_pixels():
@@ -269,7 +272,11 @@ def decode_media(
     # Mime dispatch tuples are captured as plain locals for that reason;
     # the PNG decoder comes from a factory so it is a local function too.
     netpbm_mimes, wav_mimes, png_mimes = NETPBM_MIMES, WAV_MIMES, PNG_MIMES
+    jpeg_mimes = JPEG_MIMES
     png_pixels = _make_png_pixels()
+    from eventbridge_etl_spark.operators.jpeg_codec import make_jpeg_codec
+
+    _, jpeg_pixels = make_jpeg_codec()
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -345,6 +352,14 @@ def decode_media(
                     feats = [
                         float(x) for x in counts / max(float(flat.size), 1.0)
                     ]
+                elif mime in jpeg_mimes:
+                    px, nc2 = jpeg_pixels(data)
+                    flat = px.reshape(-1).astype(_np.int64)
+                    idx = flat * n_buckets // 256
+                    counts = _np.bincount(idx, minlength=n_buckets)[:n_buckets]
+                    feats = [
+                        float(x) for x in counts / max(float(flat.size), 1.0)
+                    ]
                 elif mime in wav_mimes:
                     feats = [float(x) for x in _wav_hist(data)]
                 else:
@@ -398,8 +413,11 @@ def resize_media(
     )
     target_area = max(target_width * target_height, 1)
     # captured by value (see decode_media)
-    netpbm_mimes, png_mimes = NETPBM_MIMES, PNG_MIMES
+    netpbm_mimes, png_mimes, jpeg_mimes = NETPBM_MIMES, PNG_MIMES, JPEG_MIMES
     png_pixels, png_encode = _make_png_pixels(), _make_png_encode()
+    from eventbridge_etl_spark.operators.jpeg_codec import make_jpeg_codec
+
+    jpeg_encode, jpeg_pixels = make_jpeg_codec()
 
     def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math as _math
@@ -449,6 +467,12 @@ def resize_media(
                     # paletted input re-encodes as plain RGB (palette
                     # expansion happened in the decoder); alpha survives
                     out = png_encode(_np.ascontiguousarray(px[ys][:, xs]))
+                elif mime in jpeg_mimes:
+                    px, _nc = jpeg_pixels(data)
+                    ys = _np.arange(target_height) * px.shape[0] // target_height
+                    xs = _np.arange(target_width) * px.shape[1] // target_width
+                    # fixed quality 90, 4:4:4 — deterministic re-encode
+                    out = jpeg_encode(_np.ascontiguousarray(px[ys][:, xs]), 90)
                 else:
                     raise NotImplementedError(
                         f"no codec for mime {mime!r} in this environment; "
@@ -526,7 +550,11 @@ def perceptual_hash(
         [T.StructField("id", T.LongType()), T.StructField("phash", T.LongType())]
     )
     netpbm_mimes, wav_mimes, png_mimes = NETPBM_MIMES, WAV_MIMES, PNG_MIMES
+    jpeg_mimes = JPEG_MIMES
     png_pixels = _make_png_pixels()
+    from eventbridge_etl_spark.operators.jpeg_codec import make_jpeg_codec
+
+    _, jpeg_pixels = make_jpeg_codec()
 
     def _hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -601,6 +629,17 @@ def perceptual_hash(
                     elif ctype == 4:
                         px = px[:, :, :1]
                     gray = px.astype(_np.float64).mean(axis=2)
+                    ys = (_np.arange(8) * gray.shape[0]) // 8
+                    xs = (_np.arange(8) * gray.shape[1]) // 8
+                    cells = gray[ys][:, xs].ravel()
+                    ph = _pack(cells > cells.mean())
+                elif mime in jpeg_mimes:
+                    px, nc2 = jpeg_pixels(data)
+                    gray = (
+                        px.astype(_np.float64)
+                        if nc2 == 1
+                        else px.astype(_np.float64).mean(axis=2)
+                    )
                     ys = (_np.arange(8) * gray.shape[0]) // 8
                     xs = (_np.arange(8) * gray.shape[1]) // 8
                     cells = gray[ys][:, xs].ravel()
