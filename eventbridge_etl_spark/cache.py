@@ -13,20 +13,23 @@ session-wide, including frames the *caller* persisted from an earlier
 harness itself cached.  Releasing only what the engine itself persisted
 keeps the cleanup hook safe for build-all-then-evaluate callers.
 
-Weak references: a tracked frame must not outlive its SparkSession or
-keep an otherwise-dead plan reachable; ``release_tracked`` tolerates
-frames whose session is already stopped.
+STRONG references, deliberately (r7 review finding): the persisting
+operator's local variables die when it returns, and the returned child
+DataFrame holds no Python reference to its parents — a weakref here
+would be dead before ``release_tracked`` ever ran, while Spark's JVM
+CacheManager kept the blocks alive regardless.  The strong reference
+pins only the Python-side DataFrame handle (plan metadata, not data);
+the lifetime is one registry query — ``release_tracked`` drops both
+the cache blocks and the references.
 """
 
 from __future__ import annotations
-
-import weakref
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 #: Live references to engine-persisted frames, in persist order.
-_TRACKED: list[weakref.ref[DataFrame]] = []
+_TRACKED: list[DataFrame] = []
 
 
 def scoped_persist(
@@ -35,7 +38,7 @@ def scoped_persist(
 ) -> DataFrame:
     """``df.persist(level)``, registered for later :func:`release_tracked`."""
     df = df.persist(level)
-    _TRACKED.append(weakref.ref(df))
+    _TRACKED.append(df)
     return df
 
 
@@ -44,14 +47,11 @@ def release_tracked() -> int:
 
     Blocking=False: eviction proceeds asynchronously; nothing is in
     flight between registry queries, and unpersisting never changes
-    results.  Returns the number of frames released (garbage-collected
-    or session-stopped frames count as already released).
+    results.  Returns the number of frames released (session-stopped
+    frames count as already released).
     """
     released = 0
-    for ref in _TRACKED:
-        df = ref()
-        if df is None:
-            continue
+    for df in _TRACKED:
         try:
             df.unpersist()
             released += 1

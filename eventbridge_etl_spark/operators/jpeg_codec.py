@@ -145,6 +145,10 @@ def make_jpeg_codec():
         ``restart_interval`` emits DRI + RSTn markers every that many
         MCUs (what camera/scanner pipelines produce), exercising the
         decoder's resync path."""
+        if not 0 <= int(restart_interval) <= 65535:
+            raise ValueError(
+                f"restart_interval must be 0..65535, got {restart_interval!r}"
+            )
         px = _np.asarray(px, dtype=_np.uint8)
         if px.ndim == 2:
             comps_px = [px.astype(_np.float64)]
@@ -405,6 +409,17 @@ def make_jpeg_codec():
         if frame is None or scan is None:
             raise ValueError("missing SOF0/SOS")
         sel, spos = scan
+        # contract: unsupported-but-valid layouts raise ValueError, not
+        # KeyError mid-MCU-loop (r7 review finding) — a spec-legal
+        # baseline file may code its components in separate scans
+        for c in frame["comps"]:
+            if c["id"] not in sel:
+                raise ValueError(
+                    "non-interleaved multi-scan baseline JPEG unsupported "
+                    f"(component {c['id']} absent from the first scan)"
+                )
+            if c["tq"] not in qt:
+                raise ValueError(f"missing quantization table {c['tq']}")
 
         hmax = max(c["h"] for c in frame["comps"])
         vmax = max(c["v"] for c in frame["comps"])

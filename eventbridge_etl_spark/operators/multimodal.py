@@ -235,6 +235,26 @@ def _make_png_encode():
     return png_encode
 
 
+def _make_image_pixels(png_pixels, jpeg_pixels, png_mimes):
+    """Shared 'mime -> color-sample array' dispatch for the decoded-image
+    feature paths (histogram + aHash): PNG alpha is stripped so an RGBA
+    re-save matches its RGB twin; grayscale stays 2-D.  A local function
+    (captured by value in the mapInPandas closures) like the codecs."""
+
+    def _image_pixels(mime, data):
+        if mime in png_mimes:
+            px, ctype = png_pixels(data)
+            if ctype == 6:
+                return px[:, :, :3]
+            if ctype == 4:
+                return px[:, :, :1]
+            return px
+        px, _nc = jpeg_pixels(data)
+        return px
+
+    return _image_pixels
+
+
 def decode_media(
     df: DataFrame,
     id_col: str,
@@ -277,6 +297,7 @@ def decode_media(
     from eventbridge_etl_spark.operators.jpeg_codec import make_jpeg_codec
 
     _, jpeg_pixels = make_jpeg_codec()
+    _image_pixels = _make_image_pixels(png_pixels, jpeg_pixels, PNG_MIMES)
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -337,23 +358,12 @@ def decode_media(
                     feats = [c / total for c in counts]
                 elif mime in netpbm_mimes:
                     feats = [float(x) for x in _netpbm_hist(data)]
-                elif mime in png_mimes:
-                    px, ctype = png_pixels(data)
-                    # intensity histogram over COLOR samples — drop the
-                    # alpha channel so RGBA matches its RGB twin (same
-                    # semantics as P6 vs P5)
-                    if ctype == 6:
-                        px = px[:, :, :3]
-                    elif ctype == 4:
-                        px = px[:, :, :1]
-                    flat = px.reshape(-1).astype(_np.int64)
-                    idx = flat * n_buckets // 256
-                    counts = _np.bincount(idx, minlength=n_buckets)[:n_buckets]
-                    feats = [
-                        float(x) for x in counts / max(float(flat.size), 1.0)
-                    ]
-                elif mime in jpeg_mimes:
-                    px, nc2 = jpeg_pixels(data)
+                elif mime in png_mimes or mime in jpeg_mimes:
+                    # intensity histogram over COLOR samples (one block
+                    # for both codecs — r7 review simplification); the
+                    # PNG alpha channel is dropped so an RGBA re-save
+                    # matches its RGB twin (same semantics as P6 vs P5)
+                    px = _image_pixels(mime, data)
                     flat = px.reshape(-1).astype(_np.int64)
                     idx = flat * n_buckets // 256
                     counts = _np.bincount(idx, minlength=n_buckets)[:n_buckets]
@@ -555,6 +565,7 @@ def perceptual_hash(
     from eventbridge_etl_spark.operators.jpeg_codec import make_jpeg_codec
 
     _, jpeg_pixels = make_jpeg_codec()
+    _image_pixels = _make_image_pixels(png_pixels, jpeg_pixels, PNG_MIMES)
 
     def _hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -622,22 +633,14 @@ def perceptual_hash(
                     ph = _cells_hash(_np.frombuffer(data, dtype=_np.uint8))
                 elif mime in netpbm_mimes:
                     ph = _netpbm_hash(data)
-                elif mime in png_mimes:
-                    px, ctype = png_pixels(data)
-                    if ctype == 6:
-                        px = px[:, :, :3]
-                    elif ctype == 4:
-                        px = px[:, :, :1]
-                    gray = px.astype(_np.float64).mean(axis=2)
-                    ys = (_np.arange(8) * gray.shape[0]) // 8
-                    xs = (_np.arange(8) * gray.shape[1]) // 8
-                    cells = gray[ys][:, xs].ravel()
-                    ph = _pack(cells > cells.mean())
-                elif mime in jpeg_mimes:
-                    px, nc2 = jpeg_pixels(data)
+                elif mime in png_mimes or mime in jpeg_mimes:
+                    # one aHash block for both codecs (r7 review
+                    # simplification): channel-mean gray, 8x8 gather,
+                    # threshold against the cell mean
+                    px = _image_pixels(mime, data)
                     gray = (
                         px.astype(_np.float64)
-                        if nc2 == 1
+                        if px.ndim == 2
                         else px.astype(_np.float64).mean(axis=2)
                     )
                     ys = (_np.arange(8) * gray.shape[0]) // 8

@@ -38,6 +38,7 @@ def _default_driver_memory() -> str:
     env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if env:
         return env
+    limits: list[float] = []
     try:
         with open("/proc/meminfo") as fh:
             kb = next(
@@ -45,9 +46,28 @@ def _default_driver_memory() -> str:
                 for line in fh
                 if line.startswith("MemTotal:")
             )
-        gib = kb / (1024 * 1024)
+        limits.append(kb * 1024.0)
     except (OSError, StopIteration, ValueError, IndexError):
+        pass
+    # /proc/meminfo is NOT namespaced: inside a cgroup-limited container
+    # it reports the HOST's RAM, which is exactly the OOM-kill scenario
+    # this function exists to avoid — take the min with the cgroup
+    # limit (v2 memory.max, v1 memory.limit_in_bytes; both print a huge
+    # number or 'max' when unlimited).
+    for path in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(path) as fh:
+                raw = fh.read().strip()
+            if raw != "max":
+                limits.append(float(raw))
+        except (OSError, ValueError):
+            pass
+    if not limits:
         return "2g"
+    gib = min(limits) / (1024**3)
     return f"{max(1, min(48, int(gib * 0.4)))}g"
 
 #: Defaults applied to every session this engine creates.  Each is safe at

@@ -65,22 +65,25 @@ def _soak(spark, name, make_sink, seconds):
     for r in rows[::step]:
         print(",".join(map(str, r)))
     if rows:
-        # Plateau = the state stopped GROWING: the last third's max must
-        # not exceed the middle third's max (plus a one-window-generation
-        # oscillation allowance — a new window legitimately opens just
-        # before the oldest evicts, so rows oscillate by one key-fanout
-        # band around the steady in-flight count; that is eviction
-        # WORKING, not growth).
+        # Plateau = the state stopped GROWING.  Compare third MEANS, not
+        # maxes: the steady state legitimately oscillates by one window
+        # generation (a new window opens just before the oldest evicts —
+        # that excursion is eviction WORKING, up to ~25% of the level),
+        # and a max-based test with a tight tolerance would misread that
+        # oscillation as growth whenever the transient lands in one
+        # third but not another (r7 review finding).  Means smooth the
+        # oscillation; genuine unbounded growth moves the mean every
+        # third and fails the 10% band.
         overall = max(r[2] for r in rows)
         third = len(rows) // 3
-        mid_max = max(r[2] for r in rows[third : 2 * third])
+        mid = rows[third : 2 * third]
         tail = rows[2 * third :]
-        tail_max = max(r[2] for r in tail)
-        tail_min = min(r[2] for r in tail)
-        grew = tail_max > mid_max * 1.05
+        mid_mean = sum(r[2] for r in mid) / max(len(mid), 1)
+        tail_mean = sum(r[2] for r in tail) / max(len(tail), 1)
+        grew = tail_mean > mid_mean * 1.10
         print(
-            f"PLATEAU {name}: overall_max={overall} mid-third_max={mid_max} "
-            f"last-third min={tail_min} max={tail_max} "
+            f"PLATEAU {name}: overall_max={overall} "
+            f"mid-third_mean={mid_mean:.1f} last-third_mean={tail_mean:.1f} "
             f"flat={'NO' if grew else 'YES'}"
         )
     return rows

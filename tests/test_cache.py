@@ -2,10 +2,15 @@
 
 The registry's between-query cleanup hook must release ONLY frames the
 engine itself persisted — a caller's own cached frames survive (the r7
-advice item against the old session-wide ``clearCache()``).
+advice item against the old session-wide ``clearCache()``) — and it
+must release them even though the persisting operator's local variables
+died when the operator returned (r7 review finding: a weakref-based
+tracker was dead before release ever ran, silently releasing nothing).
 """
 
 from __future__ import annotations
+
+import gc
 
 from eventbridge_etl_spark.cache import release_tracked, scoped_persist
 
@@ -29,10 +34,19 @@ def test_release_tracked_scopes_to_engine_persists(spark):
         caller.unpersist()
 
 
-def test_release_tracked_tolerates_collected_frames(spark):
+def test_release_tracked_survives_operator_locals(spark):
+    """The real operator shape: the persisted frame is a LOCAL inside
+    the operator; only a derived child escapes.  The tracker must hold
+    the persist alive past the operator's return or release is a no-op
+    (the weakref regression)."""
     release_tracked()
-    scoped_persist(spark.range(3)).count()
-    import gc
 
-    gc.collect()  # the frame above is unreferenced; weakref may be dead
-    release_tracked()  # must not raise either way
+    def op():
+        inner = scoped_persist(spark.range(100))
+        return inner.selectExpr("id * 2 AS x")
+
+    out = op()
+    out.count()  # materializes the cached parent
+    gc.collect()  # would kill a weakref-tracked parent
+    assert release_tracked() == 1
+    assert release_tracked() == 0

@@ -67,14 +67,21 @@ def test_decode_media_fake_histogram(spark):
 
 
 def test_decode_media_real_path_is_honest_stub(spark):
-    # JPEG stays honestly undecodable (PNG became a real codec in r6)
+    # MP3/video stay honestly undecodable (PNG became a real codec in
+    # r6, baseline JPEG in r7)
     df = spark.createDataFrame([(1, "data")], ["doc_id", "text"])
-    wrapped = attach_payload(df, "text", mime="image/jpeg")
+    wrapped = attach_payload(df, "text", mime="audio/mpeg")
     with pytest.raises(Exception) as exc:
         decode_media(wrapped, "doc_id", fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+    # JPEG now decodes for real — NON-JPEG bytes under the jpeg mime
+    # fail loudly as malformed input, not as an unimplemented format
+    wrapped = attach_payload(df, "text", mime="image/jpeg")
+    with pytest.raises(Exception) as exc:
+        decode_media(wrapped, "doc_id", fake=False).collect()
+    assert "SOI" in str(exc.value)
 
 
 FIXTURE_DIR = __import__("os").path.join(
