@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from eventbridge_etl_spark.operators.rounding import half_up_div
+
 ROLLUP_KEYS = ("hour", "event_type")
 
 
@@ -66,14 +68,25 @@ def merge_rollup_state(prev: DataFrame, delta_events: DataFrame) -> DataFrame:
 
 
 def publish_rollup(state: DataFrame) -> DataFrame:
-    """Read-time projection of the state: rounded double sum + mean."""
+    """Read-time projection of the state: rounded double sum + mean.
+
+    The mean is an exact integer HALF_UP division in micro-units
+    (operators/rounding.py) — ``round(sum/n, 4)`` on the DOUBLE
+    quotient hit a genuine half edge at sf0.1 where Spark (shortest-
+    string HALF_UP) and DuckDB (scaled nearbyint) disagree by 1e-4.
+    The sum needs no such care: 2-decimal inputs make the decimal sum
+    2-decimal, so its ROUND(.., 2) is the identity."""
+    s6 = F.col("sum_value") * 1000000  # integer-valued decimal, exact
+    n = F.col("n_events")
+    avg = F.when(
+        (n > 0) & s6.isNotNull(),
+        half_up_div(s6, n * 100).cast("double") / 1e4,
+    )
     return state.select(
         *ROLLUP_KEYS,
         "n_events",
         F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
-        F.round(
-            (F.col("sum_value") / F.col("n_events")).cast("double"), 4
-        ).alias("avg_value"),
+        avg.alias("avg_value"),
         "min_value",
         "max_value",
     )

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from eventbridge_etl_spark.operators.rounding import half_up_div
+
 
 def gap_fill_hourly(
     events: DataFrame,
@@ -426,12 +428,19 @@ def prorate_intervals(
         )
         .withColumn("overlap_us", overlap)
         .where(F.col("overlap_us") > 0)
+        # exact integer share: round(amount * overlap/dur, 6) computed
+        # as HALF_UP(cents * overlap_us * 1e4, dur_us) micro-units —
+        # round(double, 6) diverged from DuckDB's scaled nearbyint on a
+        # genuine half edge at sf0.1 (operators/rounding.py)
         .withColumn(
-            "share",
-            F.round(
-                F.col("amount")
-                * (F.col("overlap_us").cast("double") / F.col("dur_us").cast("double")),
-                6,
+            "_cents",
+            (F.col("amount").cast("decimal(18,2)") * 100).cast("long"),
+        )
+        .withColumn(
+            "share_u6",
+            half_up_div(
+                F.col("_cents") * F.col("overlap_us") * 10000,
+                F.col("dur_us"),
             ),
         )
         .groupBy(
@@ -440,13 +449,9 @@ def prorate_intervals(
         )
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
-            # The decimal(28,6) sum is EXACT and identical cross-engine;
-            # emit its double image directly.  (Re-rounding the double to
-            # fewer decimals would re-introduce half-point divergence on
-            # sums landing exactly on a 5 — observed at sf0.01.)
-            F.sum(F.col("share").cast("decimal(28,6)")).cast("double").alias(
-                "prorated_value"
-            ),
+            # integer micro-unit sum: exact, order-free, identical
+            # cross-engine; the /1e6 double image is exact below 2^53
+            (F.sum("share_u6").cast("double") / 1e6).alias("prorated_value"),
         )
     )
 

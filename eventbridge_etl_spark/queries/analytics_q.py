@@ -136,12 +136,25 @@ def events_latency_percentiles(spark, sf_dir):
                - greatest(s_us, h * 3600000000) AS overlap_us
       FROM hrs
     )
+    , shares AS (
+      -- exact integer share: round(amount * overlap/dur, 6) as HALF_UP
+      -- (cents * overlap_us * 1e4, dur_us) micro-units — the double
+      -- round diverged on a real half edge at sf0.1 (operators/
+      -- rounding.py); num is at most ~5.4e17, so BIGINT is safe
+      SELECT etype, h,
+             CASE WHEN CAST(CAST(amount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * overlap_us * 10000 < 0
+               THEN -((2 * -(CAST(CAST(amount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                             * overlap_us * 10000) + dur_us) // (2 * dur_us))
+               ELSE (2 * (CAST(CAST(amount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          * overlap_us * 10000) + dur_us) // (2 * dur_us)
+             END AS share_u6
+      FROM seg WHERE overlap_us > 0
+    )
     SELECT etype AS event_type, make_timestamp(h * 3600000000) AS hour,
            COUNT(*) AS n_segments,
-           CAST(SUM(CAST(round(amount * (CAST(overlap_us AS DOUBLE)
-                                         / CAST(dur_us AS DOUBLE)), 6)
-                         AS DECIMAL(28,6))) AS DOUBLE) AS prorated_value
-    FROM seg WHERE overlap_us > 0
+           CAST(SUM(share_u6) AS DOUBLE) / 1000000.0 AS prorated_value
+    FROM shares
     GROUP BY 1, 2
     """,
 )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from eventbridge_etl_spark.operators.rounding import half_up_div
 from eventbridge_etl_spark.operators.routing import route
 from eventbridge_etl_spark.operators.upsert import upsert_by_key
 from eventbridge_etl_spark.queries import query
@@ -64,12 +65,17 @@ def route_transform_rule(spark, sf_dir):
       FROM events
     )
     SELECT event_id, ip FROM e
+    -- TRY_CAST throughout: DuckDB's vectorized AND does not
+    -- short-circuit, so the casts run on rows the shape regex already
+    -- rejected — at sf0.1 'not-an-ip' aborted the bare ::BIGINT form
+    -- (the operator's try_cast contract applies to the oracle too)
     WHERE regexp_matches(ip, '^\\d{1,3}(\\.\\d{1,3}){3}$')
-      AND list_max(list_transform(string_split(ip, '.'), x -> x::BIGINT)) <= 255
-      AND (split_part(ip, '.', 1)::BIGINT * 16777216
-           + split_part(ip, '.', 2)::BIGINT * 65536
-           + split_part(ip, '.', 3)::BIGINT * 256
-           + split_part(ip, '.', 4)::BIGINT)
+      AND list_max(list_transform(string_split(ip, '.'),
+                                  x -> TRY_CAST(x AS BIGINT))) <= 255
+      AND (TRY_CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+           + TRY_CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+           + TRY_CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+           + TRY_CAST(split_part(ip, '.', 4) AS BIGINT))
           BETWEEN 167903232 AND 167968767
     """,
 )
@@ -205,8 +211,17 @@ def events_reconciliation(spark, sf_dir):
            -- flip the final rounding at half boundaries (review r6)
            ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
              AS sum_value,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
-                 / COUNT(value), 4) AS avg_value
+           -- exact integer HALF_UP mean in micro-units, mirroring the
+           -- operator (ROUND of the double quotient diverged on a real
+           -- half edge at sf0.1 — see operators/rounding.py)
+           CASE WHEN COUNT(value) > 0 THEN
+             CAST(CAST(CASE WHEN SUM(CAST(value AS DECIMAL(28,6))) < 0
+               THEN -((CAST(-SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) * 2
+                       + COUNT(value) * 100) // (COUNT(value) * 200))
+               ELSE (CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) * 2
+                     + COUNT(value) * 100) // (COUNT(value) * 200)
+             END AS BIGINT) AS DOUBLE) / 10000.0
+           END AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -224,10 +239,15 @@ def events_hourly_rollup(spark, sf_dir):
         F.round(
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
         ).alias("sum_value"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
-            / F.count("value"),
-            4,
+        # integer HALF_UP micro-unit mean (operators/rounding.py) — the
+        # double-quotient round hit a real half edge at sf0.1
+        F.when(
+            F.count("value") > 0,
+            half_up_div(
+                F.sum(F.col("value").cast("decimal(28,6)")) * 1000000,
+                F.count("value") * 100,
+            ).cast("double")
+            / 1e4,
         ).alias("avg_value"),
     )
 
