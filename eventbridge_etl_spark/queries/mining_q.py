@@ -1132,14 +1132,33 @@ def events_type_pmi(spark, sf_dir):
       SELECT t.id, round(avg(lm.logp), 4) AS avg_logprob
       FROM toks t JOIN lm USING (token) GROUP BY t.id
     ),
-    cuts AS (
-      SELECT quantile_cont(avg_logprob, 1.0/3) AS c33,
-             quantile_cont(avg_logprob, 2.0/3) AS c67
+    -- exact-rational tier cuts: scores are 4dp, so work on scaled
+    -- integers and compare 3*v >= 3*lo + r*(hi-lo) — double quantile
+    -- INTERPOLATION differs between engines by an ulp, which flipped
+    -- every doc TIED with the cut value at sf0.1 (5000 docs put dozens
+    -- of ties exactly on the 67th percentile)
+    ranked AS (
+      SELECT CAST(round(avg_logprob * 10000, 0) AS BIGINT) AS s4,
+             row_number() OVER (ORDER BY avg_logprob) AS rn
       FROM scored
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM ranked),
+    cuts AS (
+      SELECT
+        (SELECT s4 FROM ranked, nn WHERE rn = (n - 1) // 3 + 1) AS lo33,
+        (SELECT s4 FROM ranked, nn
+         WHERE rn = least((n - 1) // 3 + 2, n)) AS hi33,
+        (SELECT (n - 1) % 3 FROM nn) AS r33,
+        (SELECT s4 FROM ranked, nn WHERE rn = (2 * (n - 1)) // 3 + 1) AS lo67,
+        (SELECT s4 FROM ranked, nn
+         WHERE rn = least((2 * (n - 1)) // 3 + 2, n)) AS hi67,
+        (SELECT (2 * (n - 1)) % 3 FROM nn) AS r67
     )
     SELECT s.id, s.avg_logprob,
-           CASE WHEN s.avg_logprob >= c.c67 THEN 'head'
-                WHEN s.avg_logprob >= c.c33 THEN 'middle'
+           CASE WHEN 3 * CAST(round(s.avg_logprob * 10000, 0) AS BIGINT)
+                     >= 3 * c.lo67 + c.r67 * (c.hi67 - c.lo67) THEN 'head'
+                WHEN 3 * CAST(round(s.avg_logprob * 10000, 0) AS BIGINT)
+                     >= 3 * c.lo33 + c.r33 * (c.hi33 - c.lo33) THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM scored s CROSS JOIN cuts c
     """,
@@ -1156,16 +1175,47 @@ def text_perplexity_buckets(spark, sf_dir):
 
     from eventbridge_etl_spark.operators.text import unigram_logprob
 
+    from pyspark.sql import Window
+
     lp = unigram_logprob(_doc(spark, sf_dir)).select("id", "avg_logprob")
-    cuts = lp.agg(
-        F.expr("percentile(avg_logprob, 1.0D/3)").alias("c33"),
-        F.expr("percentile(avg_logprob, 2.0D/3)").alias("c67"),
+    # exact-rational tier cuts on 4dp-scaled integers (see the oracle
+    # comment: double quantile interpolation flips cut-tied docs):
+    # head iff 3*v >= 3*lo67 + r67*(hi67-lo67), all integers
+    s4 = F.round(F.col("avg_logprob") * 10000, 0).cast("long")
+    ranked = lp.select(
+        s4.alias("_s4"),
+        F.row_number().over(Window.orderBy("avg_logprob", "id")).alias("_rn"),
     )
+    n = F.col("_n")
+    withn = ranked.crossJoin(
+        F.broadcast(ranked.agg(F.count("*").alias("_n")))
+    )
+    k33 = ((n - 1) - (n - 1) % 3) / F.lit(3) + 1
+    k67 = ((2 * (n - 1)) - (2 * (n - 1)) % 3) / F.lit(3) + 1
+    cuts = withn.agg(
+        F.min(F.when(F.col("_rn") == k33, F.col("_s4"))).alias("lo33"),
+        F.min(
+            F.when(F.col("_rn") == F.least(k33 + 1, n), F.col("_s4"))
+        ).alias("hi33"),
+        F.min(((n - 1) % 3)).alias("r33"),
+        F.min(F.when(F.col("_rn") == k67, F.col("_s4"))).alias("lo67"),
+        F.min(
+            F.when(F.col("_rn") == F.least(k67 + 1, n), F.col("_s4"))
+        ).alias("hi67"),
+        F.min(((2 * (n - 1)) % 3)).alias("r67"),
+    )
+    v3 = 3 * s4
     return lp.crossJoin(F.broadcast(cuts)).select(
         "id",
         "avg_logprob",
-        F.when(F.col("avg_logprob") >= F.col("c67"), "head")
-        .when(F.col("avg_logprob") >= F.col("c33"), "middle")
+        F.when(
+            v3 >= 3 * F.col("lo67") + F.col("r67") * (F.col("hi67") - F.col("lo67")),
+            "head",
+        )
+        .when(
+            v3 >= 3 * F.col("lo33") + F.col("r33") * (F.col("hi33") - F.col("lo33")),
+            "middle",
+        )
         .otherwise("tail")
         .alias("bucket"),
     )
