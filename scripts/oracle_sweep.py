@@ -1,0 +1,142 @@
+"""Full-registry oracle sweep: run every ``queries()`` entry side-by-side
+with its ``oracle_sql()`` DuckDB twin and report MATCH / MISMATCH per gate.
+
+This is the local form of the grading driver's correctness gate (see
+``__spark_entry__.py``): fresh process, type-tagged canonical compare
+(Python ``0 == 0.0`` would hide DuckDB HUGEINT→float64 promotions),
+NaT/NaN/ndarray normalization, sorted-column row hashing.
+
+Usage::
+
+    python scripts/oracle_sweep.py                       # clean sf0.01
+    SWEEP_SF=/tmp/advfix/adv  SWEEP_PINNED_SKIP=1 python scripts/oracle_sweep.py
+    SWEEP_SF=/tmp/advfix/empty SWEEP_PINNED_SKIP=1 python scripts/oracle_sweep.py
+    SWEEP_SF=/root/testdata/sf0.1 SWEEP_DRIVER_MEM=24g python scripts/oracle_sweep.py
+
+Environment knobs: ``SWEEP_SF`` (fixture dir), ``SWEEP_MASTER``
+(default ``local[8]``), ``SWEEP_SHUF`` (shuffle partitions, default 8),
+``SWEEP_DRIVER_MEM`` (default 4g — use >=24g for sf>=0.1: the 1 GiB
+JVM default OOMs mid-dedup and every later gate ERRORs),
+``SWEEP_PINNED_SKIP`` (skip value-compare for the three pinned-parquet
+oracles whose expected rows are digest-selected for the clean corpus;
+they still run as crash-checks), ``SWEEP_ONLY`` (comma-separated gate
+names for a scoped re-check after touching an operator or oracle).
+
+Adversarial/empty fixtures come from ``scripts/gen_adversarial_fixture.py``.
+All three fixtures (clean, adv, empty) must stay green when touching
+oracles or null paths — the initial adversarial run flushed 52 real
+divergences the clean fixture could never trigger (SCALE.md, round 7).
+"""
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+
+import __spark_entry__ as m
+from pyspark.sql import SparkSession
+
+# Pinned-parquet oracles: expected rows live in tests/data/*_pinned.parquet
+# keyed by a digest of the clean corpus; on any other fixture they are
+# crash-checks only (SWEEP_PINNED_SKIP=1).
+PINNED = ("text_compression_ratio", "multimodal_cdc_dedup", "multimodal_phash_near_dup")
+
+sf = os.environ.get("SWEEP_SF", "/root/testdata/sf0.01")
+spark = (
+    SparkSession.builder.master(os.environ.get("SWEEP_MASTER", "local[8]"))
+    .config("spark.sql.shuffle.partitions", os.environ.get("SWEEP_SHUF", "8"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "4g"))
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+rows = m.entry(spark).collect()
+assert len(rows) > 0, "entry() empty"
+print("entry() rows:", len(rows), flush=True)
+
+con = duckdb.connect()
+for t in (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+
+def canon(v):
+    """Type-tagged canonical scalar: (tag, value).
+
+    Tags keep 0 != 0.0 != False distinct (the r6 HUGEINT lesson);
+    floats round to 9 digits; NaT/NaN/None unify; timestamps go to
+    isoformat; arrays recurse (numpy ndarrays are not tuple-comparable).
+    """
+    if v is None or (isinstance(v, float) and math.isnan(v)) or str(v) == "NaT":
+        return ("n", None)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        return ("f", round(float(v), 9))
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("a", tuple(canon(x) for x in v))
+    return ("s", str(v))
+
+
+def norm(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    out = [tuple(canon(v) for v in tup) for tup in df.itertuples(index=False, name=None)]
+    return cols, sorted(out, key=repr)
+
+
+qs = m.queries()
+os_ = m.oracle_sql()
+only = {n for n in os.environ.get("SWEEP_ONLY", "").split(",") if n}
+bad = 0
+checked = 0
+for name in sorted(qs):
+    if only and name not in only:
+        continue
+    t0 = time.time()
+    try:
+        got = qs[name](spark, sf).toPandas()
+    except Exception as e:  # noqa: BLE001 — report and keep sweeping
+        print(name, "ERROR", repr(e)[:200], flush=True)
+        bad += 1
+        continue
+    o = os_.get(name)
+    if name in PINNED and os.environ.get("SWEEP_PINNED_SKIP"):
+        print(name, "pinned-skip (crash-check only)", len(got), flush=True)
+        continue
+    if o is None:
+        print(name, "rows-only", len(got), f"{time.time() - t0:.1f}s", flush=True)
+        continue
+    try:
+        exp = con.execute(o).fetchdf()
+    except Exception as e:  # noqa: BLE001
+        print(name, "ORACLE-ERROR", repr(e)[:200], flush=True)
+        bad += 1
+        continue
+    gc, gr = norm(got)
+    ec, er = norm(exp)
+    checked += 1
+    if gc == ec and gr == er:
+        print(name, "MATCH", f"{time.time() - t0:.1f}s", flush=True)
+    else:
+        bad += 1
+        diff = [(g, e) for g, e in zip(gr, er) if g != e][:2]
+        print(
+            name,
+            f"MISMATCH cols={gc == ec} rows={len(gr)}|{len(er)} first={diff}",
+            flush=True,
+        )
+print(f"SWEEP DONE checked={checked} bad={bad}", flush=True)
+sys.exit(1 if bad else 0)
