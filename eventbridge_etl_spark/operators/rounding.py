@@ -42,3 +42,23 @@ def half_up_div(num: Column, den: Column) -> Column:
     y = d * 2
     q = ((x - F.pmod(x, y)) / y).cast("long")
     return F.when(num < 0, -q).otherwise(q)
+
+
+def half_up_div_sql(num: str, den: str) -> str:
+    """The DuckDB twin of :func:`half_up_div` as a SQL fragment:
+    exact integer ``round-half-away-from-zero(num/den)`` (``den > 0``).
+
+    ``num``/``den`` must be integer-typed SQL expressions (BIGINT or
+    HUGEINT — pick HUGEINT for any product that can exceed int64).  The
+    expression is interpolated verbatim and repeated, so pass a plain
+    column or a deterministic aggregate, not a volatile call.  Every
+    oracle that mirrors a ``half_up_div`` engine path must build its
+    division from this helper — four hand-expanded copies of the sign
+    CASE drifted once already (review finding, round 7).
+    """
+    return (
+        f"CASE WHEN ({num}) < 0"
+        f" THEN -((2 * -({num}) + ({den})) // (2 * ({den})))"
+        f" ELSE (2 * ({num}) + ({den})) // (2 * ({den}))"
+        f" END"
+    )

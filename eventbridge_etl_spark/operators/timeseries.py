@@ -386,9 +386,13 @@ def prorate_intervals(
     ``us div 3.6e9``, hour list = ``sequence(h_first, h_last)`` exploded
     (a generator, not a driver range — the plan stays fully distributed
     and the explode runs inside the same stage as the scan).  The
-    per-(bucket,interval) share is one IEEE double multiply+divide on
-    exact integers, rounded, then summed as DECIMAL(28,6) per bucket so
-    accumulation order cannot change the total.
+    per-(bucket,interval) share is an exact integer HALF_UP division in
+    micro-units — ``HALF_UP(cents × overlap_us × 1e4, dur_us)`` via
+    :func:`~eventbridge_etl_spark.operators.rounding.half_up_div`, with
+    the numerator built in DECIMAL(38,0) (a long product wraps silently
+    for ``|value|`` above ~2,561 at a full-hour overlap) — then summed
+    as exact integer micro-units per bucket, so neither rounding mode
+    nor accumulation order can diverge across engines.
 
     One explode (map-side, bounded ×3 here) + one hash aggregate on
     (type, hour): a single shuffle carrying one row per group.
@@ -438,8 +442,12 @@ def prorate_intervals(
         )
         .withColumn(
             "share_u6",
+            # the numerator can reach cents × 3.6e9 × 1e4 ≈ 3.6e23 —
+            # far past int64; build it in decimal so it never wraps
             half_up_div(
-                F.col("_cents") * F.col("overlap_us") * 10000,
+                F.col("_cents").cast("decimal(38,0)")
+                * F.col("overlap_us")
+                * 10000,
                 F.col("dur_us"),
             ),
         )

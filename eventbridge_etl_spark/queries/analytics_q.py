@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from eventbridge_etl_spark.operators.dedup import tfidf_cosine_pairs
 from eventbridge_etl_spark.operators.etl import parse_json_quarantine
 from eventbridge_etl_spark.operators.regression import grouped_ols
+from eventbridge_etl_spark.operators.rounding import half_up_div_sql
 from eventbridge_etl_spark.operators.skew import skew_report
 from eventbridge_etl_spark.operators.timeseries import prorate_intervals
 from eventbridge_etl_spark.queries import query
@@ -112,7 +113,7 @@ def events_latency_percentiles(spark, sf_dir):
 
 @query(
     "events_prorate_hourly",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT event_type AS etype, epoch_us(ts) AS s_us,
              CAST(least(round(abs(value) * 60), 7200) AS BIGINT) * 1000000
@@ -140,15 +141,15 @@ def events_latency_percentiles(spark, sf_dir):
       -- exact integer share: round(amount * overlap/dur, 6) as HALF_UP
       -- (cents * overlap_us * 1e4, dur_us) micro-units — the double
       -- round diverged on a real half edge at sf0.1 (operators/
-      -- rounding.py); num is at most ~5.4e17, so BIGINT is safe
+      -- rounding.py); the numerator reaches cents * 3.6e9 * 1e4 ≈
+      -- 3.6e23, so it runs in HUGEINT (the engine twin uses
+      -- DECIMAL(38,0) for the same reason)
       SELECT etype, h,
-             CASE WHEN CAST(CAST(amount AS DECIMAL(18,2)) * 100 AS BIGINT)
-                       * overlap_us * 10000 < 0
-               THEN -((2 * -(CAST(CAST(amount AS DECIMAL(18,2)) * 100 AS BIGINT)
-                             * overlap_us * 10000) + dur_us) // (2 * dur_us))
-               ELSE (2 * (CAST(CAST(amount AS DECIMAL(18,2)) * 100 AS BIGINT)
-                          * overlap_us * 10000) + dur_us) // (2 * dur_us)
-             END AS share_u6
+             {half_up_div_sql(
+                 "CAST(CAST(amount AS DECIMAL(18,2)) * 100 AS HUGEINT)"
+                 " * overlap_us * 10000",
+                 "dur_us",
+             )} AS share_u6
       FROM seg WHERE overlap_us > 0
     )
     SELECT etype AS event_type, make_timestamp(h * 3600000000) AS hour,

@@ -1187,8 +1187,10 @@ def text_perplexity_buckets(spark, sf_dir):
         F.row_number().over(Window.orderBy("avg_logprob", "id")).alias("_rn"),
     )
     n = F.col("_n")
+    # count lp, not ranked: the value is identical by construction and
+    # the count branch then carries no single-partition sort subtree
     withn = ranked.crossJoin(
-        F.broadcast(ranked.agg(F.count("*").alias("_n")))
+        F.broadcast(lp.agg(F.count("*").alias("_n")))
     )
     k33 = ((n - 1) - (n - 1) % 3) / F.lit(3) + 1
     k67 = ((2 * (n - 1)) - (2 * (n - 1)) % 3) / F.lit(3) + 1

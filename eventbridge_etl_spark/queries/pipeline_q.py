@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from eventbridge_etl_spark.operators.rounding import half_up_div
+from eventbridge_etl_spark.operators.rounding import half_up_div, half_up_div_sql
 from eventbridge_etl_spark.operators.routing import route
 from eventbridge_etl_spark.operators.upsert import upsert_by_key
 from eventbridge_etl_spark.queries import query
@@ -203,7 +203,7 @@ def events_reconciliation(spark, sf_dir):
 
 @query(
     "events_hourly_rollup",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events,
            -- decimal-summed like the streaming rollup oracles: plain
@@ -215,12 +215,10 @@ def events_reconciliation(spark, sf_dir):
            -- operator (ROUND of the double quotient diverged on a real
            -- half edge at sf0.1 — see operators/rounding.py)
            CASE WHEN COUNT(value) > 0 THEN
-             CAST(CAST(CASE WHEN SUM(CAST(value AS DECIMAL(28,6))) < 0
-               THEN -((CAST(-SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) * 2
-                       + COUNT(value) * 100) // (COUNT(value) * 200))
-               ELSE (CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) * 2
-                     + COUNT(value) * 100) // (COUNT(value) * 200)
-             END AS BIGINT) AS DOUBLE) / 10000.0
+             CAST(CAST({half_up_div_sql(
+                 "CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)",
+                 "COUNT(value) * 100",
+             )} AS BIGINT) AS DOUBLE) / 10000.0
            END AS avg_value
     FROM events
     GROUP BY 1, 2

@@ -22,6 +22,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
+from eventbridge_etl_spark.operators.rounding import half_up_div_sql
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
 from eventbridge_etl_spark.streaming.file_pipeline import (
@@ -274,19 +275,17 @@ def streaming_running_totals(spark, sf_dir):
 
 @query(
     "streaming_rollup_merge",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
            -- integer HALF_UP micro-unit mean, mirroring publish_rollup
            -- (see operators/rounding.py; real half edge at sf0.1)
            CASE WHEN COUNT(*) > 0 AND SUM(CAST(value AS DECIMAL(28,6))) IS NOT NULL THEN
-             CAST(CAST(CASE WHEN SUM(CAST(value AS DECIMAL(28,6))) < 0
-               THEN -((CAST(-SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) * 2
-                       + COUNT(*) * 100) // (COUNT(*) * 200))
-               ELSE (CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) * 2
-                     + COUNT(*) * 100) // (COUNT(*) * 200)
-             END AS BIGINT) AS DOUBLE) / 10000.0
+             CAST(CAST({half_up_div_sql(
+                 "CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)",
+                 "COUNT(*) * 100",
+             )} AS BIGINT) AS DOUBLE) / 10000.0
            END AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value

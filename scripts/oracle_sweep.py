@@ -28,7 +28,6 @@ oracles or null paths — the initial adversarial run flushed 52 real
 divergences the clean fixture could never trigger (SCALE.md, round 7).
 """
 
-import math
 import os
 import sys
 import time
@@ -36,9 +35,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
-import numpy as np
 
 import __spark_entry__ as m
+from eventbridge_etl_spark.compare import normalize_frame as norm
 from pyspark.sql import SparkSession
 
 # Pinned-parquet oracles: expected rows live in tests/data/*_pinned.parquet
@@ -66,35 +65,6 @@ for t in (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
-
-
-def canon(v):
-    """Type-tagged canonical scalar: (tag, value).
-
-    Tags keep 0 != 0.0 != False distinct (the r6 HUGEINT lesson);
-    floats round to 9 digits; NaT/NaN/None unify; timestamps go to
-    isoformat; arrays recurse (numpy ndarrays are not tuple-comparable).
-    """
-    if v is None or (isinstance(v, float) and math.isnan(v)) or str(v) == "NaT":
-        return ("n", None)
-    if isinstance(v, (bool, np.bool_)):
-        return ("b", bool(v))
-    if isinstance(v, (int, np.integer)):
-        return ("i", int(v))
-    if isinstance(v, (float, np.floating)):
-        return ("f", round(float(v), 9))
-    if hasattr(v, "isoformat"):
-        return ("t", v.isoformat())
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return ("a", tuple(canon(x) for x in v))
-    return ("s", str(v))
-
-
-def norm(df):
-    cols = sorted(df.columns)
-    df = df[cols]
-    out = [tuple(canon(v) for v in tup) for tup in df.itertuples(index=False, name=None)]
-    return cols, sorted(out, key=repr)
 
 
 qs = m.queries()

@@ -5,8 +5,6 @@ oracle get a rows-only sanity check."""
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -31,41 +29,9 @@ def duck():
     con.close()
 
 
-def _canon_value(v):
-    """Canonical (type-tag, value) pair.
-
-    Type-tagged so an int on one engine never compares equal to the same
-    value as a float on the other (``126 == 126.0`` in Python, but the
-    driver's value-hash distinguishes them — DuckDB SUM(INT)->HUGEINT
-    arrives as float in pandas and must be caught as a mismatch here,
-    not first by the driver)."""
-    import numpy as np
-
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return ("n", None)
-    if isinstance(v, (bool, np.bool_)):  # before int: bool subclasses int
-        return ("b", bool(v))
-    if isinstance(v, (int, np.integer)):
-        return ("i", int(v))
-    if isinstance(v, (float, np.floating)):
-        return ("f", round(float(v), 9))
-    if hasattr(v, "isoformat"):
-        return ("t", v.isoformat())
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return ("a", tuple(_canon_value(x) for x in v))
-    return ("s", str(v)) if isinstance(v, str) else ("o", v)
-
-
-def normalize(df):
-    """Sort columns by name, rows by all values — order-insensitive,
-    type-tagged form (see _canon_value)."""
-    cols = sorted(df.columns)
-    df = df[cols]
-    rows = [
-        tuple(_canon_value(v) for v in tup)
-        for tup in df.itertuples(index=False, name=None)
-    ]
-    return cols, sorted(rows, key=repr)
+# The canonicalizer is shared with scripts/oracle_sweep.py — one
+# comparator for both correctness gates (see compare.py's design notes)
+from eventbridge_etl_spark.compare import normalize_frame as normalize  # noqa: E402
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
