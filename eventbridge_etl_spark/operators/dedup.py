@@ -988,12 +988,15 @@ def tfidf_cosine_pairs(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
         .agg(
+            # decimal-round the exact decimal sum, THEN cast: rounding
+            # the double image can flip pair ADMISSION when the true
+            # sum sits on a 6dp half edge (the tau >= filter below)
             F.round(
                 F.sum(
                     F.round(F.col("a._u") * F.col("b._u"), 15).cast("decimal(38,15)")
-                ).cast("double"),
+                ),
                 6,
-            ).alias("cosine")
+            ).cast("double").alias("cosine")
         )
         .where(F.col("cosine") >= tau)
     )

@@ -74,8 +74,10 @@ def publish_rollup(state: DataFrame) -> DataFrame:
     (operators/rounding.py) — ``round(sum/n, 4)`` on the DOUBLE
     quotient hit a genuine half edge at sf0.1 where Spark (shortest-
     string HALF_UP) and DuckDB (scaled nearbyint) disagree by 1e-4.
-    The sum needs no such care: 2-decimal inputs make the decimal sum
-    2-decimal, so its ROUND(.., 2) is the identity."""
+    The sum rounds IN DECIMAL (exact HALF_UP, identical on both
+    engines) before its double cast: with finer-than-2dp inputs the
+    exact decimal sum can land on a true .xx5, where rounding the
+    double image flips cross-engine (signmag sweep, round 7)."""
     s6 = F.col("sum_value") * 1000000  # integer-valued decimal, exact
     n = F.col("n_events")
     avg = F.when(
@@ -85,7 +87,7 @@ def publish_rollup(state: DataFrame) -> DataFrame:
     return state.select(
         *ROLLUP_KEYS,
         "n_events",
-        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
         avg.alias("avg_value"),
         "min_value",
         "max_value",

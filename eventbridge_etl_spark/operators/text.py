@@ -563,8 +563,8 @@ def unigram_kl(
     term_ab = F.round(p * F.log(p / q), 12).cast("decimal(38,12)")
     term_ba = F.round(q * F.log(q / p), 12).cast("decimal(38,12)")
     return j.groupBy("_v", "_na", "_nb").agg(
-        F.round(F.sum(term_ab).cast("double"), 6).alias("kl_ab"),
-        F.round(F.sum(term_ba).cast("double"), 6).alias("kl_ba"),
+        F.round(F.sum(term_ab), 6).cast("double").alias("kl_ab"),
+        F.round(F.sum(term_ba), 6).cast("double").alias("kl_ba"),
     ).select(
         F.col("_v").alias("vocab_size"),
         F.col("_na").alias("n_tokens_a"),

@@ -146,9 +146,10 @@ def ohlc_bars(
             F.expr(f"max_by(`{value_col}`, _ok)").alias("close"),
             F.count("*").alias("n_events"),
             # decimal-summed like every other cross-engine sum in this
-            # module: round(sum(double), 2) was the one remaining
-            # order-dependent IEEE accumulation (review finding r6)
-            F.round(F.sum(_dec(v)).cast("double"), 2).alias("volume"),
+            # module, and rounded IN DECIMAL (exact HALF_UP on both
+            # engines) before the double cast: rounding the double
+            # image flips on true .xx5 sums (signmag sweep, round 7)
+            F.round(F.sum(_dec(v)), 2).cast("double").alias("volume"),
         )
     )
 
@@ -199,9 +200,9 @@ def counter_increase(
             F.round(
                 F.sum(
                     F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0.0)).cast("decimal(28,6)")
-                ).cast("double"),
+                ),
                 4,
-            ).alias("total_increase"),
+            ).cast("double").alias("total_increase"),
             F.count(F.when(F.col("_d") < 0, 1)).alias("n_resets"),
         )
     )
@@ -359,8 +360,8 @@ def sessionize(
                 F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
             ).alias("duration_secs"),
             F.round(
-                F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double"), 4
-            ).alias("sum_value"),
+                F.sum(F.col(value_col).cast("decimal(28,6)")), 4
+            ).cast("double").alias("sum_value"),
         )
     )
 

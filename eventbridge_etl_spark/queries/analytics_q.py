@@ -224,12 +224,12 @@ def skew_key_report(spark, sf_dir):
       FROM w JOIN nrm ON nrm.id = w.id WHERE nrm.nrm > 0
     )
     SELECT a.id AS id_a, b.id AS id_b,
-           round(CAST(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15)))
-                      AS DOUBLE), 6) AS cosine
+           CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
+                AS DOUBLE) AS cosine
     FROM unit a JOIN unit b ON a.token = b.token AND a.id < b.id
     GROUP BY a.id, b.id
-    HAVING round(CAST(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15)))
-                      AS DOUBLE), 6) >= 0.8
+    HAVING CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
+                AS DOUBLE) >= 0.8
     """,
 )
 def dedup_tfidf_cosine(spark, sf_dir):
@@ -279,12 +279,12 @@ def dedup_tfidf_cosine(spark, sf_dir):
       FROM w JOIN nrm ON nrm.id = w.id WHERE nrm.nrm > 0
     )
     SELECT a.id AS id_a, b.id AS id_b,
-           round(CAST(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15)))
-                      AS DOUBLE), 6) AS cosine
+           CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
+                AS DOUBLE) AS cosine
     FROM unit a JOIN unit b ON a.token = b.token AND a.id < b.id
     GROUP BY a.id, b.id
-    HAVING round(CAST(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15)))
-                      AS DOUBLE), 6) >= 0.8
+    HAVING CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
+                AS DOUBLE) >= 0.8
     """,
 )
 def dedup_tfidf_cosine_capped(spark, sf_dir):
@@ -508,10 +508,10 @@ def events_locf_fill(spark, sf_dir):
     SELECT CAST(v AS BIGINT) AS vocab_size,
            CAST(na AS BIGINT) AS n_tokens_a,
            CAST(nb AS BIGINT) AS n_tokens_b,
-           round(CAST(SUM(CAST(round(p * ln(p / q), 12) AS DECIMAL(38,12)))
-                      AS DOUBLE), 6) AS kl_ab,
-           round(CAST(SUM(CAST(round(q * ln(q / p), 12) AS DECIMAL(38,12)))
-                      AS DOUBLE), 6) AS kl_ba
+           CAST(round(SUM(CAST(round(p * ln(p / q), 12) AS DECIMAL(38,12))), 6)
+                AS DOUBLE) AS kl_ab,
+           CAST(round(SUM(CAST(round(q * ln(q / p), 12) AS DECIMAL(38,12))), 6)
+                AS DOUBLE) AS kl_ba
     FROM terms GROUP BY v, na, nb
     """,
 )
@@ -628,8 +628,8 @@ def events_dau_wau(spark, sf_dir):
       FROM counts CROSS JOIN tot
     )
     SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
-           round(CAST(SUM(CAST(round((p - q) * ln(p / q), 12)
-                               AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+           CAST(round(SUM(CAST(round((p - q) * ln(p / q), 12)
+                               AS DECIMAL(38,12))), 6) AS DOUBLE) AS psi
     FROM terms GROUP BY nr, nc
     """,
 )
@@ -671,7 +671,7 @@ def orders_psi_drift(spark, sf_dir):
     term = F.round((p - q) * F.log(p / q), 12).cast("decimal(38,12)")
     return (
         j.groupBy("nr", "nc")
-        .agg(F.round(F.sum(term).cast("double"), 6).alias("psi"))
+        .agg(F.round(F.sum(term), 6).cast("double").alias("psi"))
         .select(
             F.col("nr").alias("n_ref"), F.col("nc").alias("n_cur"), "psi"
         )
@@ -928,7 +928,7 @@ def text_nb_confusion(spark, sf_dir):
     SELECT CASE WHEN cshare <= 0.5 THEN 'A'
                 WHEN cshare <= 0.8 THEN 'B' ELSE 'C' END AS abc_class,
            COUNT(*) AS n_parts,
-           round(CAST(SUM(r) AS DOUBLE), 2) AS revenue,
+           CAST(round(SUM(r), 2) AS DOUBLE) AS revenue,
            round(CAST(SUM(r) AS DOUBLE) / CAST(MAX(t) AS DOUBLE), 6)
              AS revenue_share
     FROM cum GROUP BY 1
@@ -969,7 +969,7 @@ def parts_abc_classes(spark, sf_dir):
     )
     return cum.groupBy(cls.alias("abc_class")).agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum("r").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("r"), 2).cast("double").alias("revenue"),
         F.round(
             F.sum("r").cast("double") / F.max("t").cast("double"), 6
         ).alias("revenue_share"),
@@ -991,10 +991,10 @@ def parts_abc_classes(spark, sf_dir):
     ),
     nt AS (SELECT s_nationkey, SUM(r) AS tr FROM sn GROUP BY s_nationkey)
     SELECT n.n_name AS nation, COUNT(*) AS n_suppliers,
-           round(CAST(SUM(CAST(round(
+           CAST(round(SUM(CAST(round(
                    (CAST(sn.r AS DOUBLE) / CAST(nt.tr AS DOUBLE))
                    * (CAST(sn.r AS DOUBLE) / CAST(nt.tr AS DOUBLE)), 12)
-                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS hhi
+                 AS DECIMAL(38,12))), 6) AS DOUBLE) AS hhi
     FROM sn
     JOIN nt ON nt.s_nationkey = sn.s_nationkey
     JOIN nation n ON n.n_nationkey = sn.s_nationkey
@@ -1031,7 +1031,7 @@ def nation_supplier_hhi(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum(term).cast("double"), 6).alias("hhi"),
+            F.round(F.sum(term), 6).cast("double").alias("hhi"),
         )
     )
 

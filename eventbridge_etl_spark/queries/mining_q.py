@@ -641,8 +641,8 @@ def window_rolling_median(spark, sf_dir):
     )
     SELECT CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
              * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
-           round(CAST(SUM(CAST(round((o - e) * (o - e) / e, 6)
-                               AS DECIMAL(28,6))) AS DOUBLE), 4) AS chi2
+           CAST(round(SUM(CAST(round((o - e) * (o - e) / e, 6)
+                               AS DECIMAL(28,6))), 4) AS DOUBLE) AS chi2
     FROM cells
     """,
 )
@@ -682,9 +682,9 @@ def agg_chi_square_assoc(spark, sf_dir):
             F.sum(
                 F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6)
                 .cast("decimal(28,6)")
-            ).cast("double"),
+            ),
             4,
-        ).alias("chi2")
+        ).cast("double").alias("chi2")
     )
     return dof.crossJoin(chi2)
 

@@ -209,7 +209,7 @@ def events_reconciliation(spark, sf_dir):
            -- decimal-summed like the streaming rollup oracles: plain
            -- double SUM/AVG accumulate in engine-specific order and can
            -- flip the final rounding at half boundaries (review r6)
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
              AS sum_value,
            -- exact integer HALF_UP mean in micro-units, mirroring the
            -- operator (ROUND of the double quotient diverged on a real
@@ -235,8 +235,8 @@ def events_hourly_rollup(spark, sf_dir):
     ).agg(
         F.count("*").alias("n_events"),
         F.round(
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
-        ).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(28,6)")), 2
+        ).cast("double").alias("sum_value"),
         # integer HALF_UP micro-unit mean (operators/rounding.py) — the
         # double-quotient round hit a real half edge at sf0.1
         F.when(

@@ -89,7 +89,9 @@ def _drain(df, mode="append"):
     oracle="""
     WITH w AS (
       SELECT date_trunc('hour', ts) AS window_start, event_type,
-             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+             COUNT(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS sum_value
       FROM events GROUP BY 1, 2
     )
     SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
@@ -278,7 +280,7 @@ def streaming_running_totals(spark, sf_dir):
     oracle=f"""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value,
            -- integer HALF_UP micro-unit mean, mirroring publish_rollup
            -- (see operators/rounding.py; real half edge at sf0.1)
            CASE WHEN COUNT(*) > 0 AND SUM(CAST(value AS DECIMAL(28,6))) IS NOT NULL THEN
@@ -410,7 +412,7 @@ def streaming_ewma_smoothing(spark, sf_dir):
     w AS (
       SELECT date_trunc('hour', ts) AS window_start, segment,
              COUNT(*) AS n_events,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
                AS sum_value
       FROM e GROUP BY 1, 2
     )
@@ -441,8 +443,8 @@ def streaming_enriched_windows(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
-            ).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(28,6)")), 2
+            ).cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -32,6 +32,19 @@ def _events(spark, sf_dir):
     return load_tables(spark, sf_dir, ("events",))["events"]
 
 
+def _sum2(col: str):
+    """2dp value sum, cross-engine exact: decimal-sum (order-free),
+    decimal-round (exact HALF_UP on both engines), double-cast last.
+    Rounding the double image instead flips on true .xx5 sums — the
+    signmag sweep's divergence class (round 7).  SQL twin:
+    ``CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)``."""
+    return (
+        F.round(F.sum(F.col(col).cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("sum_value")
+    )
+
+
 @query(
     "events_gap_fill",
     oracle="""
@@ -129,7 +142,7 @@ def events_anomaly_zscore(spark, sf_dir):
            min(value) AS low,
            arg_max(struct_pack(v := value), ok).v AS close,
            COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
              AS volume
     FROM k GROUP BY event_type, bucket
     """,
@@ -152,8 +165,8 @@ def events_ohlc_hourly(spark, sf_dir):
     )
     SELECT user_id,
            COUNT(*) AS n_obs,
-           ROUND(CAST(SUM(CAST(CASE WHEN d > 0 THEN d ELSE 0.0 END
-                               AS DECIMAL(28,6))) AS DOUBLE), 4)
+           CAST(ROUND(SUM(CAST(CASE WHEN d > 0 THEN d ELSE 0.0 END
+                               AS DECIMAL(28,6))), 4) AS DOUBLE)
              AS total_increase,
            COUNT(CASE WHEN d < 0 THEN 1 END) AS n_resets
     FROM d GROUP BY user_id
@@ -191,7 +204,7 @@ def events_counter_increase(spark, sf_dir):
            max(ts) AS session_end,
            COUNT(*) AS n_events,
            CAST(max(ep) - min(ep) AS BIGINT) AS duration_secs,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4)
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)
              AS sum_value
     FROM s GROUP BY user_id, session_seq
     """,
@@ -309,7 +322,7 @@ def events_path_trigrams(spark, sf_dir):
     oracle=f"""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value,
            -- integer HALF_UP micro-unit mean, mirroring publish_rollup
            -- (see operators/rounding.py; real half edge at sf0.1)
            CASE WHEN COUNT(*) > 0 AND SUM(CAST(value AS DECIMAL(28,6))) IS NOT NULL THEN
@@ -530,7 +543,8 @@ def agg_correlation(spark, sf_dir):
     SELECT event_type, win_start,
            win_start + INTERVAL 2 HOUR AS win_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_value
     FROM w GROUP BY event_type, win_start
     """,
 )
@@ -547,7 +561,7 @@ def events_hopping_windows(spark, sf_dir):
         ev.groupBy("event_type", win.alias("_w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _sum2("value"),
         )
         .select(
             "event_type",
@@ -565,7 +579,8 @@ def events_hopping_windows(spark, sf_dir):
     SELECT date_trunc('day', ts) AS day,
            date_trunc('hour', ts) AS hour,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_value
     FROM events
     GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
     HAVING COUNT(*) > 0  -- see agg_cube: empty-input Spark parity
@@ -581,7 +596,7 @@ def events_time_hierarchy_rollup(spark, sf_dir):
         F.date_trunc("hour", "ts").alias("hour"),
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _sum2("value"),
     )
 
 
@@ -615,7 +630,8 @@ def events_value_histogram(spark, sf_dir):
     SELECT isodow(ts) AS dow,
            EXTRACT(hour FROM ts) AS hour,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -632,7 +648,7 @@ def events_dow_seasonality(spark, sf_dir):
         F.hour("ts").cast("long").alias("hour"),
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _sum2("value"),
     )
 
 
@@ -645,9 +661,9 @@ def events_dow_seasonality(spark, sf_dir):
              CAST((epoch_us(a.t) - epoch_us(max(e.ts))) // 86400000000 AS BIGINT)
                AS recency_days,
              COUNT(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS frequency,
-             ROUND(CAST(SUM(CASE WHEN e.event_type = 'purchase'
+             CAST(ROUND(SUM(CASE WHEN e.event_type = 'purchase'
                                  THEN CAST(e.value AS DECIMAL(18,6))
-                                 ELSE 0 END) AS DOUBLE), 2) AS monetary
+                                 ELSE 0 END), 2) AS DOUBLE) AS monetary
       FROM events e CROSS JOIN anchor a
       GROUP BY e.user_id, a.t
     )
@@ -679,9 +695,9 @@ def events_rfm_segments(spark, sf_dir):
                     F.when(purch, F.col("value").cast("decimal(18,6)")).otherwise(
                         F.lit(0).cast("decimal(18,6)")
                     )
-                ).cast("double"),
+                ),
                 2,
-            ).alias("monetary"),
+            ).cast("double").alias("monetary"),
         )
         .drop("_t")
     )

@@ -93,7 +93,14 @@ def windowed_counts(
     )
     aggs = [F.count("*").alias("n_events")]
     if value_col:
-        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        # decimal-sum + decimal-round, double-cast last: order-free
+        # accumulation AND an exact HALF_UP at the .xx5 sums a raw
+        # double round flips cross-engine (signmag sweep, round 7)
+        aggs.append(
+            F.round(F.sum(F.col(value_col).cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("sum_value")
+        )
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(win.alias("win"), F.col(key_col))

@@ -16,6 +16,14 @@ derives two variants from a clean scale-factor directory:
 - ``<out>/empty`` — the same 10 tables with ZERO rows (schema intact):
   a crash hunt for operators that assume a non-empty input (driver-side
   collects of centroids, div-by-count, head-row seeds).
+- ``<out>/signmag`` — the clean tables with ONLY ``events.value``
+  perturbed: hash-selected sign flips, ×1000 magnitude scaling, exact
+  half-edge values (x.xx5 / x.xxxx5), and a few ±1e9 extremes.  The
+  clean fixture's value domain is strictly positive and < 500, so every
+  negative branch (HALF_UP sign CASE, abs() assumptions, CUSUM drift
+  sign) and every larger-magnitude accumulation is otherwise untested
+  by any sweep — the round-7 proration int64 wrap was exactly this
+  class of dark path.
 
 Selection is seedless and reproducible: a row is perturbed when the
 first two hex chars of ``md5(key)`` fall in a per-column bucket list
@@ -143,12 +151,37 @@ ADV_SQL: dict[str, str] = {
 }
 
 
+#: the sign/magnitude variant touches ONLY events.value — everything
+#: else passes through clean, so a divergence is attributable to the
+#: value domain alone.  Buckets (each 1/256 of rows): 8 sign-flipped,
+#: 8 scaled ×1000, 4 both, 2 pinned to exact rounding half edges, and
+#: 2 pinned to ±1e9 extremes (still inside every documented decimal
+#: domain; sums stay far below int64 when ×1e6-scaled).
+SIGNMAG_EVENTS_SQL = f"""
+    SELECT event_id, ts, user_id, event_type,
+           CASE WHEN {_b('event_id', '20', '21', '22', '23', '24', '25', '26', '27')}
+                  THEN -value
+                WHEN {_b('event_id', '28', '29', '2a', '2b', '2c', '2d', '2e', '2f')}
+                  THEN value * 1000
+                WHEN {_b('event_id', '30', '31', '32', '33')}
+                  THEN -value * 1000
+                WHEN {_b('event_id', '34')} THEN 2.005
+                WHEN {_b('event_id', '35')} THEN -17.0005
+                WHEN {_b('event_id', '36')} THEN 1000000000.0
+                WHEN {_b('event_id', '37')} THEN -999999999.99
+                ELSE value END AS value,
+           props
+    FROM src"""
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/advfix"
     adv, empty = os.path.join(out, "adv"), os.path.join(out, "empty")
+    signmag = os.path.join(out, "signmag")
     os.makedirs(adv, exist_ok=True)
     os.makedirs(empty, exist_ok=True)
+    os.makedirs(signmag, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -160,12 +193,21 @@ def main() -> None:
         con.execute(
             f"COPY (SELECT * FROM src LIMIT 0) TO '{empty}/{t}.parquet' (FORMAT PARQUET)"
         )
+        sm_sql = SIGNMAG_EVENTS_SQL if t == "events" else "SELECT * FROM src"
+        con.execute(
+            f"COPY ({sm_sql}) TO '{signmag}/{t}.parquet' (FORMAT PARQUET)"
+        )
         n_src = con.execute(f"SELECT count(*) FROM src").fetchone()[0]
         n_adv = con.execute(
             f"SELECT count(*) FROM read_parquet('{adv}/{t}.parquet')"
         ).fetchone()[0]
         assert n_src == n_adv, (t, n_src, n_adv)
         print(f"{t}: {n_adv} rows -> {adv}, 0 rows -> {empty}")
+    n_neg, n_big = con.execute(
+        f"SELECT count(*) FILTER (value < 0), count(*) FILTER (abs(value) > 1000)"
+        f" FROM read_parquet('{signmag}/events.parquet')"
+    ).fetchone()
+    print(f"  signmag events: {n_neg} negative, {n_big} |value|>1000")
     # visibility: how many perturbed cells per table (spot stats)
     for t, col, pred in (
         ("events", "value IS NULL", "value IS NULL"),
