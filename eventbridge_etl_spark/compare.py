@@ -12,9 +12,14 @@ Design notes (each clause answers a measured cross-engine hazard):
   promotes to HUGEINT which pandas surfaces as float64, and the grading
   driver's value-hash distinguishes the types even though Python ``==``
   does not — so this comparator must too.
-- **NaT unifies with None/NaN**: NULL timestamps (e.g. unmatched as-of
-  probes) arrive as pandas ``NaT`` from one engine and ``None`` from
-  the other depending on the column's dtype; both mean SQL NULL.
+- **All self-unequal scalars unify with None**: NULL timestamps arrive
+  as pandas ``NaT`` from one engine and ``None`` from the other;
+  float64 AND float32 NaN (a FloatType column's NaN is ``np.float32``,
+  which is not a Python-float subclass) must canonicalize identically
+  or a frame would compare unequal to itself.  ``v != v`` is the one
+  test that catches every variant — and, unlike a ``str(v) == 'NaT'``
+  probe, it cannot swallow a genuine *string* cell ``'NaT'`` (review
+  finding, round 7).
 - **-0.0 canonicalizes to 0.0**: ``round(-4e-11, 9)`` is ``-0.0``,
   which compares ``==`` to ``0.0`` but sorts differently under the
   repr key — two genuinely matching frames could misalign row-wise and
@@ -27,15 +32,22 @@ Design notes (each clause answers a measured cross-engine hazard):
 
 from __future__ import annotations
 
-import math
+import numpy as np
 
 
 def canon_value(v):
     """Canonical ``(type_tag, value)`` pair for one scalar (or array)."""
-    import numpy as np
-
-    if v is None or (isinstance(v, float) and math.isnan(v)) or str(v) == "NaT":
+    if v is None:
         return ("n", None)
+    if isinstance(v, str):  # before the v != v probe: strings are cheap
+        return ("s", v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("a", tuple(canon_value(x) for x in v))
+    try:
+        if v != v:  # NaN (float64/float32), pd.NaT, np.datetime64('NaT')
+            return ("n", None)
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, (bool, np.bool_)):  # before int: bool subclasses int
         return ("b", bool(v))
     if isinstance(v, (int, np.integer)):
@@ -45,9 +57,7 @@ def canon_value(v):
         return ("f", 0.0 if r == 0 else r)
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat())
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return ("a", tuple(canon_value(x) for x in v))
-    return ("s", str(v)) if isinstance(v, str) else ("o", v)
+    return ("o", v)
 
 
 def normalize_frame(df):

@@ -44,6 +44,26 @@ def half_up_div(num: Column, den: Column) -> Column:
     return F.when(num < 0, -q).otherwise(q)
 
 
+def decimal_sum(col: Column | str, scale: int = 2) -> Column:
+    """Cross-engine exact rounded sum of a double measure column:
+    decimal-sum (order-free accumulation), decimal-round (exact HALF_UP,
+    identical on Spark and DuckDB), double-cast LAST.
+
+    Rounding the double image instead (``round(sum.cast(double), k)``)
+    flips on true half-edge sums — Spark HALF_UPs the shortest decimal
+    string while DuckDB nearbyints the scaled binary (10 gates, signmag
+    sweep, round 7).  SQL twin::
+
+        CAST(ROUND(SUM(CAST(x AS DECIMAL(28,6))), k) AS DOUBLE)
+
+    DECIMAL(28,6) holds |x| < 1e22 exactly at 6 fractional digits;
+    beyond that the non-ANSI cast yields NULL (the sum silently drops
+    the row) — same documented domain as every sibling decimal sum.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(28,6)")), scale).cast("double")
+
+
 def half_up_div_sql(num: str, den: str) -> str:
     """The DuckDB twin of :func:`half_up_div` as a SQL fragment:
     exact integer ``round-half-away-from-zero(num/den)`` (``den > 0``).

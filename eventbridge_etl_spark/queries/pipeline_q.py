@@ -12,7 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from eventbridge_etl_spark.operators.rounding import half_up_div, half_up_div_sql
+from eventbridge_etl_spark.operators.rounding import (
+    decimal_sum,
+    half_up_div,
+    half_up_div_sql,
+)
 from eventbridge_etl_spark.operators.routing import route
 from eventbridge_etl_spark.operators.upsert import upsert_by_key
 from eventbridge_etl_spark.queries import query
@@ -234,9 +238,7 @@ def events_hourly_rollup(spark, sf_dir):
         F.col("event_type"),
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(28,6)")), 2
-        ).cast("double").alias("sum_value"),
+        decimal_sum("value").alias("sum_value"),
         # integer HALF_UP micro-unit mean (operators/rounding.py) — the
         # double-quotient round hit a real half edge at sf0.1
         F.when(

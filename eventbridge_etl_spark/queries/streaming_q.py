@@ -22,7 +22,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from eventbridge_etl_spark.operators.rounding import half_up_div_sql
+from eventbridge_etl_spark.operators.rounding import decimal_sum, half_up_div_sql
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
 from eventbridge_etl_spark.streaming.file_pipeline import (
@@ -442,9 +442,7 @@ def streaming_enriched_windows(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour"), F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(28,6)")), 2
-            ).cast("double").alias("sum_value"),
+            decimal_sum("value").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

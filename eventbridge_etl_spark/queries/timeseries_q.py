@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from eventbridge_etl_spark.operators.funnel import funnel_counts, retention_cohorts
-from eventbridge_etl_spark.operators.rounding import half_up_div_sql
+from eventbridge_etl_spark.operators.rounding import decimal_sum, half_up_div_sql
 from eventbridge_etl_spark.operators.timeseries import (
     counter_increase,
     gap_fill_hourly,
@@ -33,16 +33,9 @@ def _events(spark, sf_dir):
 
 
 def _sum2(col: str):
-    """2dp value sum, cross-engine exact: decimal-sum (order-free),
-    decimal-round (exact HALF_UP on both engines), double-cast last.
-    Rounding the double image instead flips on true .xx5 sums — the
-    signmag sweep's divergence class (round 7).  SQL twin:
-    ``CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)``."""
-    return (
-        F.round(F.sum(F.col(col).cast("decimal(28,6)")), 2)
-        .cast("double")
-        .alias("sum_value")
-    )
+    """Shared cross-engine 2dp sum (operators/rounding.py::decimal_sum)
+    under this module's standard output name."""
+    return decimal_sum(col).alias("sum_value")
 
 
 @query(

@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from eventbridge_etl_spark.operators.etl import rename_projection, validity_filter
+from eventbridge_etl_spark.operators.rounding import decimal_sum
 from eventbridge_etl_spark.operators.upsert import KeyedParquetStore
 from eventbridge_etl_spark.sources.csv_source import read_csv_stream
 
@@ -93,14 +94,10 @@ def windowed_counts(
     )
     aggs = [F.count("*").alias("n_events")]
     if value_col:
-        # decimal-sum + decimal-round, double-cast last: order-free
-        # accumulation AND an exact HALF_UP at the .xx5 sums a raw
-        # double round flips cross-engine (signmag sweep, round 7)
-        aggs.append(
-            F.round(F.sum(F.col(value_col).cast("decimal(28,6)")), 2)
-            .cast("double")
-            .alias("sum_value")
-        )
+        # decimal-sum + decimal-round, double-cast last (see
+        # operators/rounding.py::decimal_sum for the cross-engine
+        # half-edge rationale)
+        aggs.append(decimal_sum(value_col).alias("sum_value"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(win.alias("win"), F.col(key_col))

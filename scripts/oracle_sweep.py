@@ -70,6 +70,10 @@ for t in (
 qs = m.queries()
 os_ = m.oracle_sql()
 only = {n for n in os.environ.get("SWEEP_ONLY", "").split(",") if n}
+# a typo'd SWEEP_ONLY must fail loudly, not sweep nothing and exit 0
+unknown = only - set(qs)
+if unknown:
+    sys.exit(f"SWEEP_ONLY names not in the registry: {sorted(unknown)}")
 bad = 0
 checked = 0
 for name in sorted(qs):
