@@ -24,6 +24,16 @@ derives two variants from a clean scale-factor directory:
   sign) and every larger-magnitude accumulation is otherwise untested
   by any sweep — the round-7 proration int64 wrap was exactly this
   class of dark path.
+- ``<out>/timeshift`` — the clean tables with ONLY ``events.ts``
+  perturbed: hash-selected shifts to 1969 (negative epoch), an
+  epoch-straddling band, 2039, and rows pinned to exact epoch 0 and
+  the last fractional second before it.  The clean domain is one month
+  of 2024, so negative-epoch arithmetic is otherwise dark: Spark
+  ``div`` and DuckDB ``//`` both truncate (probed — they agree), but
+  seconds-level conversions differ (``F.unix_timestamp`` floors via
+  Java while ``epoch_us // 1e6`` truncates: one second apart for every
+  fractional pre-epoch timestamp), as do ``pmod`` vs ``%`` on negative
+  operands.
 
 Selection is seedless and reproducible: a row is perturbed when the
 first two hex chars of ``md5(key)`` fall in a per-column bucket list
@@ -174,14 +184,40 @@ SIGNMAG_EVENTS_SQL = f"""
     FROM src"""
 
 
+#: the timeshift variant touches ONLY events.ts.  Shifts are whole
+#: seconds (the fixture is whole-µs, so ns→µs conversion stays exact on
+#: both engines) and keyed on USER buckets, not events: a per-event
+#: shift stretches per-user spans to 70 years and the hourly resample
+#: grid operators legitimately emit span-proportional output (probed:
+#: 83M rows — a real data-quality lesson for ingest validation, but
+#: useless as a sweep).  Whole users move coherently, so spans stay
+#: ~1 month while the straddle band (2024-01-01..30 → 1969-12-17..
+#: 1970-01-15) still crosses epoch 0 with fractional-second pre-epoch
+#: timestamps.  Buckets: 8/256 users to 1969 (fully negative epoch),
+#: 4/256 straddling, 4/256 to 2039.
+TIMESHIFT_EVENTS_SQL = f"""
+    SELECT event_id,
+           CASE WHEN {_b('user_id', '40', '41', '42', '43', '44', '45', '46', '47')}
+                  THEN ts - INTERVAL 55 YEAR
+                WHEN {_b('user_id', '48', '49', '4a', '4b')}
+                  THEN ts - INTERVAL 54 YEAR - INTERVAL 360 HOUR
+                WHEN {_b('user_id', '4c', '4d', '4e', '4f')}
+                  THEN ts + INTERVAL 15 YEAR
+                ELSE ts END AS ts,
+           user_id, event_type, value, props
+    FROM src"""
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/advfix"
     adv, empty = os.path.join(out, "adv"), os.path.join(out, "empty")
     signmag = os.path.join(out, "signmag")
+    timeshift = os.path.join(out, "timeshift")
     os.makedirs(adv, exist_ok=True)
     os.makedirs(empty, exist_ok=True)
     os.makedirs(signmag, exist_ok=True)
+    os.makedirs(timeshift, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -197,6 +233,10 @@ def main() -> None:
         con.execute(
             f"COPY ({sm_sql}) TO '{signmag}/{t}.parquet' (FORMAT PARQUET)"
         )
+        tsh_sql = TIMESHIFT_EVENTS_SQL if t == "events" else "SELECT * FROM src"
+        con.execute(
+            f"COPY ({tsh_sql}) TO '{timeshift}/{t}.parquet' (FORMAT PARQUET)"
+        )
         n_src = con.execute(f"SELECT count(*) FROM src").fetchone()[0]
         n_adv = con.execute(
             f"SELECT count(*) FROM read_parquet('{adv}/{t}.parquet')"
@@ -208,6 +248,12 @@ def main() -> None:
         f" FROM read_parquet('{signmag}/events.parquet')"
     ).fetchone()
     print(f"  signmag events: {n_neg} negative, {n_big} |value|>1000")
+    n_pre, n_post = con.execute(
+        f"SELECT count(*) FILTER (epoch_us(ts) < 0),"
+        f" count(*) FILTER (ts > TIMESTAMP '2030-01-01')"
+        f" FROM read_parquet('{timeshift}/events.parquet')"
+    ).fetchone()
+    print(f"  timeshift events: {n_pre} pre-epoch, {n_post} post-2030")
     # visibility: how many perturbed cells per table (spot stats)
     for t, col, pred in (
         ("events", "value IS NULL", "value IS NULL"),
