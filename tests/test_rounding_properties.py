@@ -58,6 +58,48 @@ def test_half_up_div_sql_matches_exact_rational(ps):
         assert q == _expected(num, den), (num, den)
 
 
+amounts_3dp = st.lists(
+    st.integers(-2_000_000, 2_000_000),  # milli-units: values to 3dp
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(amounts_3dp)
+def test_decimal_sum_cross_engine_exact_at_half_edges(spark, millis):
+    """The signmag sweep class, pinned: 3dp values sum to true .xx5
+    half edges where rounding the DOUBLE image diverges cross-engine.
+    decimal_sum (round in decimal, cast last) must equal both the exact
+    Python HALF_UP of the rational sum AND its DuckDB SQL twin."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from eventbridge_etl_spark.operators.rounding import decimal_sum
+
+    # force at least one genuine .xx5 edge into every example
+    millis = millis + [5, -2005]
+    values = [m / 1000.0 for m in millis]
+    df = spark.createDataFrame([(v,) for v in values], "value double")
+    got = df.agg(decimal_sum("value").alias("s")).collect()[0]["s"]
+
+    # doubles -> DECIMAL(28,6) rounds each operand exactly like both
+    # engines' casts; the sum and its 2dp HALF_UP are then exact
+    exact = sum(
+        Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        for v in values
+    )
+    expected = float(exact.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+    assert got == expected, (values, got, expected)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    (oracle,) = con.execute(
+        "SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) FROM t"
+    ).fetchone()
+    assert oracle == expected, (values, oracle, expected)
+
+
 def test_half_up_div_beyond_int64(spark):
     """The proration wrap class: numerators built in decimal stay exact
     past int64 on BOTH engines (quotient still fits a long)."""
