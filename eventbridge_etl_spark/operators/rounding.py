@@ -57,8 +57,8 @@ def decimal_sum(col: Column | str, scale: int = 2) -> Column:
         CAST(ROUND(SUM(CAST(x AS DECIMAL(28,6))), k) AS DOUBLE)
 
     DECIMAL(28,6) holds |x| < 1e22 exactly at 6 fractional digits;
-    beyond that the non-ANSI cast yields NULL (the sum silently drops
-    the row) — same documented domain as every sibling decimal sum.
+    beyond that the cast raises under the engine's ANSI default (loud,
+    like DuckDB) — same documented domain as every sibling decimal sum.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(F.sum(c.cast("decimal(28,6)")), scale).cast("double")

@@ -176,9 +176,10 @@ def counter_increase(
     Deltas of IEEE doubles are deterministic; each per-step delta is
     cast to DECIMAL(28,6) before summation so the per-key total is
     order-independent across engines (exact for |delta| < 1e22; larger
-    magnitudes overflow the decimal image to NULL under non-ANSI
-    semantics).  One partition-local lag window + one hash aggregate on
-    the same key — a single shuffle.
+    magnitudes raise under the engine's ANSI default — probed — and
+    degrade to NULL only if a deployment disables ANSI).  One
+    partition-local lag window + one hash aggregate on the same key —
+    a single shuffle.
     """
     if tiebreak_col not in events.columns:
         raise ValueError(
@@ -212,8 +213,9 @@ def _dec(col: Column) -> Column:
     """Exact decimal image of a double for order-independent summation.
 
     DECIMAL(28,6) holds |x| < 1e22 exactly at 6 fractional digits;
-    beyond that the non-ANSI cast yields NULL (the sum silently drops
-    the row) — callers' docstrings carry the bound.
+    beyond that the cast raises under the engine's ANSI default
+    (loud, like DuckDB) and yields NULL only with ANSI disabled —
+    callers' docstrings carry the bound.
     """
     return col.cast("decimal(28,6)")
 
@@ -390,8 +392,10 @@ def prorate_intervals(
     per-(bucket,interval) share is an exact integer HALF_UP division in
     micro-units — ``HALF_UP(cents × overlap_us × 1e4, dur_us)`` via
     :func:`~eventbridge_etl_spark.operators.rounding.half_up_div`, with
-    the numerator built in DECIMAL(38,0) (a long product wraps silently
-    for ``|value|`` above ~2,561 at a full-hour overlap) — then summed
+    the numerator built in DECIMAL(38,0) — a long product exceeds int64
+    for ``|value|`` above ~2,561 at a full-hour overlap, raising under
+    the engine's ANSI default (wrapping silently only with ANSI
+    disabled) — then summed
     as exact integer micro-units per bucket, so neither rounding mode
     nor accumulation order can diverge across engines.
 

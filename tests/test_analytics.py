@@ -113,10 +113,11 @@ class TestProrateIntervals:
     def test_large_amount_no_int64_wrap(self, spark):
         # value=5000 -> duration capped at 7200 s, cents=500000; the
         # full-hour middle segment's share numerator is cents * 3.6e9 *
-        # 1e4 = 1.8e19 > int64 max — a long product wrapped silently to
-        # a huge negative share before the decimal numerator (review
-        # finding, round 7).  11:00-12:00 is fully covered: exactly
-        # half the 2 h interval -> 2500.0.
+        # 1e4 = 1.8e19 > int64 max — the pre-fix long product raised
+        # ARITHMETIC_OVERFLOW under the ANSI default (and wraps to a
+        # negative share with ANSI off); the decimal numerator computes
+        # it exactly (review finding, round 7).  11:00-12:00 is fully
+        # covered: exactly half the 2 h interval -> 2500.0.
         ts = dt.datetime(2024, 1, 1, 10, 30, 0)
         out = prorate_intervals(self._df(spark, [(1, ts, 1, "x", 5000.0)])).collect()
         by_hour = {r["hour"].hour: r["prorated_value"] for r in out}
