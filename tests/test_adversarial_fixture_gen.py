@@ -1,0 +1,110 @@
+"""Structural invariants of the adversarial fixture generator.
+
+The five-fixture verification battery (README §verification) leans on
+``scripts/gen_adversarial_fixture.py``; nothing else in CI would catch
+a refactor that silently stopped perturbing (a sweep against an
+accidentally-clean "adversarial" fixture goes green and proves
+nothing).  Pure DuckDB over the sf0.01 fixture — no Spark session.  (sf0.001 has
+too few distinct users for the 4/256 timeshift buckets to be
+guaranteed non-empty; sf0.01's 150 users populate every band and the
+whole run is still a few seconds.)
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+SRC = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(tmp_path_factory):
+    out = tmp_path_factory.mktemp("advfix")
+    subprocess.run(
+        [sys.executable, "scripts/gen_adversarial_fixture.py", SRC, str(out)],
+        check=True,
+        capture_output=True,
+    )
+    return out
+
+
+def _count(con, path, pred="TRUE"):
+    return con.execute(
+        f"SELECT count(*) FROM read_parquet('{path}') WHERE {pred}"
+    ).fetchone()[0]
+
+
+def test_all_variants_written_with_preserved_cardinality(fixture_dirs):
+    con = duckdb.connect()
+    for t in TABLES:
+        n_src = _count(con, f"{SRC}/{t}.parquet")
+        for variant, expected in (
+            ("adv", n_src),
+            ("signmag", n_src),
+            ("timeshift", n_src),
+            ("empty", 0),
+        ):
+            n = _count(con, f"{fixture_dirs}/{variant}/{t}.parquet")
+            assert n == expected, (variant, t, n, expected)
+
+
+def test_adv_actually_perturbs(fixture_dirs):
+    con = duckdb.connect()
+    adv = f"{fixture_dirs}/adv"
+    # every hazard family must be present, else the sweep proves nothing
+    assert _count(con, f"{adv}/events.parquet", "value IS NULL") > 0
+    assert _count(con, f"{adv}/events.parquet", "ts IS NULL") > 0
+    assert _count(con, f"{adv}/documents.parquet", "text IS NULL OR text = ''") > 0
+    assert _count(con, f"{adv}/lineitem.parquet", "l_quantity IS NULL") > 0
+    assert _count(con, f"{adv}/events.parquet", "NOT json_valid(props)") > 0
+    assert _count(con, f"{adv}/embeddings.parquet", "embedding IS NULL") > 0
+
+
+def test_signmag_touches_only_events_value(fixture_dirs):
+    con = duckdb.connect()
+    sm = f"{fixture_dirs}/signmag"
+    assert _count(con, f"{sm}/events.parquet", "value < 0") > 0
+    assert _count(con, f"{sm}/events.parquet", "abs(value) > 1000") > 0
+    # the half-edge pins exist
+    assert _count(con, f"{sm}/events.parquet", "value = 2.005") > 0
+    # every non-value column identical to source, row for row
+    diff = con.execute(
+        f"""SELECT count(*) FROM (
+              SELECT event_id, ts, user_id, event_type, props
+              FROM read_parquet('{sm}/events.parquet')
+              EXCEPT
+              SELECT event_id, ts, user_id, event_type, props
+              FROM read_parquet('{SRC}/events.parquet'))"""
+    ).fetchone()[0]
+    assert diff == 0
+
+
+def test_timeshift_touches_only_events_ts_and_moves_whole_users(fixture_dirs):
+    con = duckdb.connect()
+    tsh = f"{fixture_dirs}/timeshift"
+    assert _count(con, f"{tsh}/events.parquet", "epoch_us(ts) < 0") > 0
+    assert _count(con, f"{tsh}/events.parquet", "ts > TIMESTAMP '2030-01-01'") > 0
+    diff = con.execute(
+        f"""SELECT count(*) FROM (
+              SELECT event_id, user_id, event_type, value, props
+              FROM read_parquet('{tsh}/events.parquet')
+              EXCEPT
+              SELECT event_id, user_id, event_type, value, props
+              FROM read_parquet('{SRC}/events.parquet'))"""
+    ).fetchone()[0]
+    assert diff == 0
+    # per-event shifts explode span-proportional grid operators (83M
+    # rows, SCALE.md) — every user's span must stay bounded (~1 month)
+    max_span_days = con.execute(
+        f"""SELECT max(date_diff('day', mn, mx)) FROM (
+              SELECT user_id, min(ts) AS mn, max(ts) AS mx
+              FROM read_parquet('{tsh}/events.parquet') GROUP BY user_id)"""
+    ).fetchone()[0]
+    assert max_span_days <= 40, max_span_days
