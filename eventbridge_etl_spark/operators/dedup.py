@@ -596,14 +596,20 @@ def ngram_contamination(
     hits get human/exact review anyway.
     """
     def grams(df: DataFrame) -> DataFrame:
-        toks = tokens(F.col(text_col))
+        # tokenize in a SEPARATE projection: a HOF lambda referencing
+        # the raw split() re-evaluates it per element (HOFs are
+        # interpreted, no codegen CSE) — O(tokens²) per doc, measured
+        # 43 s at 40k tokens vs linear with the materialized column
+        # (longtext probe, round 7)
+        toks = F.col("_toks")
+        tokenized = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         starts = F.when(
             F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
         ).otherwise(F.array().cast("array<int>"))
         gs = F.array_distinct(
             F.transform(starts, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")))
         )
-        return df.select(F.col(id_col), F.explode(gs).alias("_g"))
+        return tokenized.select(F.col(id_col), F.explode(gs).alias("_g"))
 
     bench = grams(benchmark).select("_g").distinct()
     return (
@@ -646,8 +652,18 @@ def chunk_dedup(
     # NULL text coalesces to '' so the doc still ROUND-TRIPS (one empty
     # chunk) — a NULL chunk key would never equi-join the winner table
     # and the document would silently vanish from the output (review
-    # finding r6)
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # finding r6).  The split lives in its OWN projection: referencing
+    # it from the HOF lambda re-evaluates the split per chunk (HOFs are
+    # interpreted, no codegen CSE) — O(tokens²) per doc; one MB-scale
+    # document ground for 25+ minutes before this barrier (longtext
+    # probe, round 7; linear 0.5 s after).
+    tokenized = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias(
+            "_toks"
+        ),
+    )
+    toks = F.col("_toks")
     n_chunks = F.greatest(
         F.ceil(F.size(toks) / F.lit(float(c))).cast("int"), F.lit(1)
     )
@@ -655,8 +671,8 @@ def chunk_dedup(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(toks, i * c + 1, c), " "),
     )
-    ex = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(chunks).alias("_idx", "_chunk")
+    ex = tokenized.select(
+        F.col("_id"), F.posexplode(chunks).alias("_idx", "_chunk")
     )
     winners = ex.groupBy("_chunk").agg(
         F.min(F.struct("_id", "_idx")).alias("_w")

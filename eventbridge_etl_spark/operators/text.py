@@ -264,7 +264,12 @@ def repetition_features(text: Column | str) -> dict[str, Column]:
 
     Pure higher-order array expressions — per-document, map-only, no
     shuffle.  The mode count is O(distinct × n) per document, bounded by
-    document length, not corpus size."""
+    document length, not corpus size — and because this is an
+    expression-level API (no projection barrier is possible here), the
+    tokenizer also re-evaluates per distinct token inside the filter
+    lambda.  Fine through ~100 KB documents; for MB-scale documents
+    compute the mode via explode + groupBy instead (the longtext-probe
+    rule, round 7: HOF lambdas re-evaluate non-attribute operands)."""
     toks = tokens(text)
 
     def mode_frac(arr: Column) -> Column:
@@ -594,7 +599,13 @@ def ngram_novelty(
     count aggregate, one join back, one doc-keyed aggregate.  Gram
     cardinality ~ corpus token count; both shuffles carry ints.
     """
-    toks = tokens(F.col(text_col))
+    # tokenize in a SEPARATE projection: a HOF lambda referencing the
+    # raw split() re-evaluates it per element (HOFs are interpreted, no
+    # codegen CSE) — O(tokens²) per doc (longtext probe, round 7)
+    tokenized = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     starts = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -608,7 +619,9 @@ def ngram_novelty(
     # the registry's tracked-release hook reclaims it between queries
     # (__spark_entry__._fresh_cache -> cache.release_tracked), so the
     # gram explode+hash runs once per action tree
-    per = scoped_persist(df.select(F.col(id_col), F.explode(gs).alias("_g")))
+    per = scoped_persist(
+        tokenized.select(F.col(id_col), F.explode(gs).alias("_g"))
+    )
     dfreq = per.groupBy("_g").agg(F.count(F.lit(1)).alias("_nd"))
     uniq = F.when(F.col("_nd") == 1, 1).otherwise(0)
     return (

@@ -138,8 +138,10 @@ def text_bigram_topk(spark, sf_dir):
     One explode + one agg + TakeOrderedAndProject; the Zipf head
     combines map-side, and the deterministic (count desc, bigram asc)
     tie-break makes the k-boundary stable across engines."""
-    doc = _doc(spark, sf_dir)
-    toks = X.tokens("text")
+    # tokenize in a separate projection — the HOF lambda would re-split
+    # per bigram otherwise (O(tokens²) per doc; longtext probe, r7)
+    doc = _doc(spark, sf_dir).select(X.tokens("text").alias("_toks"))
+    toks = F.col("_toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
