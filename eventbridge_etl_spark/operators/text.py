@@ -364,11 +364,21 @@ def gopher_flags(text: Column | str) -> dict[str, Column]:
     total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     mean_len = total_len.cast("double") / nd
     alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / nd
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]),
-            lambda s: F.array_contains(toks, s),
-        )
+    # array_intersect (distinct common elements) counts the same thing
+    # as the earlier filter(stopwords, s -> array_contains(toks, s)) —
+    # the marker list is already distinct — but evaluates ``toks`` ONCE
+    # instead of once per stopword (HOF lambdas re-evaluate
+    # non-attribute operands; longtext probe, round 7).  NULL text:
+    # the old filter form dropped every NULL array_contains verdict and
+    # returned 0, so coalesce keeps that contract (the oracle's
+    # list_filter does the same).
+    stop_hits = F.coalesce(
+        F.size(
+            F.array_intersect(
+                F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]), toks
+            )
+        ),
+        F.lit(0),
     )
     top_frac = repetition_features(text)["top_token_frac"]
     wc_ok = (n >= 50) & (n <= 100_000)
@@ -396,14 +406,26 @@ def collapse_runs(text: Column | str) -> dict[str, Column]:
     -> "batch") — the cheap intra-document repetition repair used before
     LM training (looping-generation and boilerplate cleanup).
 
-    Case-preserving: operates on the raw whitespace tokens.  Indexed
-    array filter (keep token i when i == 0 or it differs from token
-    i-1) — map-only, no shuffle.
+    Case-preserving: operates on the raw whitespace tokens.  Keep token
+    i when i == 0 or it differs from token i-1, expressed as zip_with
+    against a null-prepended shift of the same array — map-only, no
+    shuffle.  The earlier indexed-filter form referenced the
+    unmaterialized split via ``element_at(raw, i)`` INSIDE the lambda,
+    which re-evaluates the split per element (HOFs are interpreted, no
+    codegen CSE) — O(tokens²) per document (longtext probe, round 7).
+    zip_with operands are evaluated once, so this form is linear even
+    though ``raw`` appears several times.
     """
     col = F.col(text) if isinstance(text, str) else text
     raw = F.split(F.trim(col), r"\s+")
+    # zip_with pads the shorter side with nulls: element j pairs raw[j]
+    # with raw[j-1] (null for j=0); the trailing (null, last) pair and
+    # every run-repeat map to null and are filtered out.  Tokens from
+    # split are never null, so null is a safe drop sentinel.
+    shifted = F.concat(F.array(F.lit(None).cast("string")), raw)
     kept = F.filter(
-        raw, lambda x, i: (i == F.lit(0)) | (x != F.element_at(raw, i))
+        F.zip_with(raw, shifted, lambda x, p: F.when(p.isNull() | (x != p), x)),
+        lambda x: x.isNotNull(),
     )
     return {
         "collapsed": F.array_join(kept, " "),
