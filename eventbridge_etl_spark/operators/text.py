@@ -146,8 +146,50 @@ def fingerprint(text: Column | str, k: int = 8) -> Column:
     """Rolling-hash document fingerprint: min md5 over character
     k-gram shingles (the winnowing 'min-hash of shingles' idea collapsed
     to a single selection).  Content-defined: stable under document
-    reordering of unrelated parts, cheap to compare."""
+    reordering of unrelated parts, cheap to compare.
+
+    Expression-level bound: ``substr(i, k)`` positioning is O(i) on
+    UTF8String (variable-width codepoints), so the shingle transform is
+    O(chars²) per document — measured ×4 per length doubling (longtext
+    probe, round 7).  Fine through ~100 KB documents; for MB-scale
+    corpora use :func:`fingerprint_docs`, whose char-array formulation
+    is linear."""
     return F.array_min(F.transform(shingles(text, k), lambda s: F.md5(s)))
+
+
+def fingerprint_docs(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Linear-time :func:`fingerprint` over a document frame.
+
+    Splits the text into a per-codepoint array in its OWN projection
+    (evaluated once, O(chars)), then slices the bound array attribute
+    inside the shingle lambda — array element access is O(1) in
+    Tungsten format, so each k-shingle costs O(k) instead of the O(i)
+    ``substr`` positioning that makes the expression form quadratic
+    (longtext probe, round 7: 2 MB doc ~hours → ~1 s).  Map-only, no
+    shuffle; same contract as the expression form, including the
+    whole-string shingle for documents shorter than k and NULL in →
+    NULL out."""
+    chars = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        F.split(F.col(text_col), "").alias("_chars"),
+    )
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.size("_chars") - F.lit(k - 1), F.lit(1))
+    )
+    fp = F.array_min(
+        F.transform(
+            positions,
+            lambda i: F.md5(F.array_join(F.slice(F.col("_chars"), i, k), "")),
+        )
+    )
+    return chars.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.md5("_text").alias("exact_digest"),
+    )
 
 
 def chunk_documents(
@@ -162,31 +204,39 @@ def chunk_documents(
     tokens per chunk, starts every `stride` tokens, so consecutive
     chunks overlap by chunk_size - stride).
 
-    Pure generator-side built-ins (split → sequence → posexplode →
-    slice): embarrassingly parallel, no shuffle, no Python.  Row count
-    multiplies by ~n_tokens/stride, which is why this runs AFTER
+    Pure generator-side built-ins (split → sequence → transform-slice →
+    posexplode): embarrassingly parallel, no shuffle, no Python.  Row
+    count multiplies by ~n_tokens/stride, which is why this runs AFTER
     quality/dedup admission in the composite pipeline, never before.
+
+    The chunks are sliced INSIDE one transform over a materialized
+    token-array attribute and only then exploded.  The earlier form
+    passed ``_toks`` through the posexplode as a carried column, and
+    Generate materializes carried columns into EVERY output row —
+    n_tokens/stride copies of the whole token array, O(tokens²) bytes
+    per document (longtext probe, round 7: one 2 MB document ≈ 50 GB
+    of row materialization).  Here each exploded row carries only its
+    own chunk, and the slice lambda runs over a bound attribute
+    (O(chunk_size) per chunk), so the whole operator is linear.
     """
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
-    toks = tokens(F.col(text_col), lowercase=False)
+    tokenized = df.select(
+        F.col(id_col), tokens(F.col(text_col), lowercase=False).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
         F.array().cast("array<int>")
     )
-    chunk_toks = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
-    return (
-        df.select(
-            F.col(id_col),
-            toks.alias("_toks"),
-            F.posexplode(starts).alias("chunk_id", "_start"),
-        )
-        .select(
-            id_col,
-            F.col("chunk_id").cast("long").alias("chunk_id"),
-            F.array_join(chunk_toks, " ").alias("chunk_text"),
-            F.size(chunk_toks).cast("long").alias("n_chunk_tokens"),
-        )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
+    return tokenized.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_chunk")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").cast("long").alias("n_chunk_tokens"),
     )
 
 

@@ -840,17 +840,25 @@ def events_cusum_alarms(spark, sf_dir):
     "text_ngram_novelty",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-      FROM documents
+      SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents)
     ),
-    ng AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(t) - 7, 0) + 1),
-               i -> array_to_string(t[i:i+7], ' '))) AS gs
-      FROM tok
+    -- 8-gram via lead() over exploded tokens: the earlier
+    -- list_transform(range, i -> array_to_string(t[i:i+7])) slices the
+    -- captured list inside the lambda, which DuckDB executes
+    -- quadratically on MB-scale documents (longtext probe, round 7)
+    g8 AS (
+      SELECT doc_id, pos,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                 || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+                 || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+                 || ' ' || lead(tok, 7) OVER w AS g,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_tok
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     ),
-    per AS (SELECT doc_id, unnest(gs) AS g FROM ng),
+    per AS (SELECT DISTINCT doc_id, g FROM g8 WHERE pos <= n_tok - 7),
     dfq AS (SELECT g, COUNT(*) AS nd FROM per GROUP BY g)
     SELECT p.doc_id, COUNT(*) AS n_grams,
            CAST(SUM(CASE WHEN d.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1044,9 +1052,14 @@ def nation_supplier_hhi(spark, sf_dir):
              regexp_split_to_array(trim(text), '[.!?]+\\s+') AS arr
       FROM documents
     ),
+    -- zipped unnest: the lateral unnest(range) form carried the whole
+    -- sentence list per row — quadratic memory in DuckDB on documents
+    -- with many sentences (longtext probe, round 7)
     e AS (
-      SELECT doc_id, i - 1 AS sent_idx, arr[i] AS sentence
-      FROM s, unnest(range(1, len(arr) + 1)) r(i)
+      SELECT doc_id,
+             unnest(range(1, len(arr) + 1)) - 1 AS sent_idx,
+             unnest(arr) AS sentence
+      FROM s
     )
     SELECT doc_id, sent_idx, sentence, length(sentence) AS n_chars
     FROM e WHERE length(trim(sentence)) > 0

@@ -167,11 +167,19 @@ def text_bigram_topk(spark, sf_dir):
              regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
       FROM documents
     ),
+    -- zipped unnest (token, position) then GROUP BY chunk index: the
+    -- earlier lateral unnest(range) carried the WHOLE token list per
+    -- chunk row and sliced it, which DuckDB executes quadratically on
+    -- MB-scale documents (longtext probe, round 7); this form is linear
+    e AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS pos
+      FROM t
+    ),
     c AS (
-      SELECT doc_id, i,
-             array_to_string(toks[(i * 4 + 1):(i * 4 + 4)], ' ') AS chunk
-      FROM t, unnest(range(0, greatest(CAST(ceil(len(toks) / 4.0) AS BIGINT), 1)))
-             AS u(i)
+      SELECT doc_id, (pos - 1) // 4 AS i,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM e GROUP BY doc_id, (pos - 1) // 4
     ),
     r AS (
       SELECT doc_id, i, chunk,

@@ -133,23 +133,36 @@ def text_lang_scores(spark, sf_dir):
 @query(
     "text_fingerprint",
     oracle="""
-    SELECT doc_id,
-           list_aggregate(list_transform(range(1, greatest(length(text)-7, 1)+1),
-                                         i -> md5(substr(text, i, 8))), 'min')
+    -- exploded chars + lead() windows: the substr-in-lambda form is
+    -- quadratic in DuckDB on MB-scale documents, exactly like the
+    -- engine's expression-level substr (longtext probe, round 7)
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c,
+             unnest(range(1, length(text) + 1)) AS pos
+      FROM documents WHERE length(text) >= 8
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             md5(c || lead(c, 1) OVER win || lead(c, 2) OVER win
+                   || lead(c, 3) OVER win || lead(c, 4) OVER win
+                   || lead(c, 5) OVER win || lead(c, 6) OVER win
+                   || lead(c, 7) OVER win) AS h,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM ch WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    agg AS (SELECT doc_id, MIN(h) AS fp FROM w WHERE pos <= n - 7 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN length(d.text) >= 8 THEN a.fp ELSE md5(d.text) END
              AS fingerprint,
-           md5(text) AS exact_digest
-    FROM documents
+           md5(d.text) AS exact_digest
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
     """,
 )
 def text_fingerprint(spark, sf_dir):
     """Rolling-hash content fingerprint (min-md5 over char 8-gram
-    shingles) alongside the exact digest."""
-    doc = _doc(spark, sf_dir)
-    return doc.select(
-        "doc_id",
-        X.fingerprint("text", k=8).alias("fingerprint"),
-        F.md5("text").alias("exact_digest"),
-    )
+    shingles) alongside the exact digest — the linear char-array
+    formulation (operators/text.fingerprint_docs)."""
+    return X.fingerprint_docs(_doc(spark, sf_dir), "text", "doc_id", k=8)
 
 
 # ------------------------------------------------------------ dedup (E1)
@@ -858,15 +871,27 @@ def pipeline_corpus_admission(spark, sf_dir):
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS s
       FROM documents
     ),
-    st AS (
-      SELECT doc_id, s, unnest(range(0, len(s), 24)) AS start
+    -- exploded (token, position) + membership arithmetic: with a
+    -- 32-token window every 24 tokens, token at pos belongs to chunk
+    -- (pos-1)//24 and, when (pos-1) % 24 <= 7, also to the previous
+    -- chunk.  The earlier unnest-in-SELECT carried the WHOLE token
+    -- list per chunk row and sliced it — quadratic in DuckDB on
+    -- MB-scale documents (longtext probe, round 7)
+    e AS (
+      SELECT doc_id, unnest(s) AS tok, unnest(range(1, len(s) + 1)) AS pos
       FROM toks
+    ),
+    m AS (
+      SELECT doc_id, (pos - 1) // 24 AS i, pos, tok FROM e
+      UNION ALL
+      SELECT doc_id, (pos - 1) // 24 - 1 AS i, pos, tok FROM e
+      WHERE (pos - 1) // 24 >= 1 AND (pos - 1) % 24 <= 7
     )
     SELECT doc_id,
-           CAST(start // 24 AS BIGINT) AS chunk_id,
-           array_to_string(s[start + 1 : start + 32], ' ') AS chunk_text,
-           CAST(len(s[start + 1 : start + 32]) AS BIGINT) AS n_chunk_tokens
-    FROM st
+           CAST(i AS BIGINT) AS chunk_id,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+           CAST(COUNT(*) AS BIGINT) AS n_chunk_tokens
+    FROM m GROUP BY doc_id, i
     """,
 )
 def text_chunk_windows(spark, sf_dir):
@@ -1031,18 +1056,25 @@ def text_pii_redact(spark, sf_dir):
     "dedup_contamination_flag",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-      FROM documents
+      SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents)
     ),
-    ng AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(t) - 7, 0) + 1),
-               i -> array_to_string(t[i:i+7], ' '))) AS gs
-      FROM tok
+    -- 8-gram via lead() over exploded tokens: the slice-in-lambda form
+    -- is quadratic in DuckDB on MB docs (longtext probe, round 7)
+    g8 AS (
+      SELECT doc_id, pos,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                 || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+                 || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+                 || ' ' || lead(tok, 7) OVER w AS g,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_tok
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     ),
-    bench AS (SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 20 = 0),
-    corp  AS (SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 20 != 0)
+    ng AS (SELECT DISTINCT doc_id, g FROM g8 WHERE pos <= n_tok - 7),
+    bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+    corp  AS (SELECT doc_id, g FROM ng WHERE doc_id % 20 != 0)
     SELECT c.doc_id, COUNT(*) AS n_contaminated
     FROM corp c JOIN bench b ON c.g = b.g
     GROUP BY c.doc_id

@@ -35,6 +35,18 @@ derives two variants from a clean scale-factor directory:
   fractional pre-epoch timestamp), as do ``pmod`` vs ``%`` on negative
   operands.
 
+- ``<out>/longtext`` — the clean tables with ONLY ``documents.text``
+  perturbed: a handful of MB-scale documents (repeat-phrase and
+  hash-chain small-vocab flavors; see ``LONGTEXT_DOCS_SQL``).  The
+  clean corpus tops out at a few KB per document, so every
+  per-document cost CURVE was dark: round 7's probe found five
+  independent O(n²)-per-document formulations (Spark HOF split
+  re-evaluation, Spark substr positioning, DuckDB slice-in-lambda,
+  DuckDB list-carrying laterals, DuckDB substr-in-lambda) that all
+  hash-matched green on KB docs and ground for minutes-to-hours on a
+  single 2 MB one.  This variant is as much a WALL-CLOCK gate as a
+  value gate: a text/dedup sweep against it must finish in minutes.
+
 Selection is seedless and reproducible: a row is perturbed when the
 first two hex chars of ``md5(key)`` fall in a per-column bucket list
 (each two-hex bucket = 1/256 of rows).  Perturbations never touch
@@ -208,16 +220,61 @@ TIMESHIFT_EVENTS_SQL = f"""
     FROM src"""
 
 
+#: the longtext variant touches ONLY documents.text: a handful of
+#: MB-scale documents, because the clean corpus tops out at a few KB
+#: and every per-document cost curve beyond that was dark.  Round 7's
+#: longtext probe found FIVE quadratic formulations this variant now
+#: pins: Spark HOF lambdas re-evaluating an unmaterialized split() per
+#: element (chunk_dedup, ngram ops, collapse_runs), Spark substr(i,k)
+#: O(i) positioning in char shingles, DuckDB slice-in-lambda, DuckDB
+#: laterals carrying the whole token list per row, and DuckDB
+#: substr-in-lambda.  Two flavors: repeat-phrase docs (2 MB, vocab 4 —
+#: near-dup cliques, trivially-compressible token sets) and hash-chain
+#: small-vocab docs (~1 MB / ~0.3 MB, vocab 24 — high chunk diversity,
+#: bounded distinct-token count so the documented O(distinct×n)
+#: expression-level mode bound stays cheap).  Buckets are doc_id-keyed:
+#: 2/256 repeat-phrase, 1/256 large hash-chain, 2/256 small hash-chain.
+LONGTEXT_DOCS_SQL = f"""
+    WITH v AS (
+      SELECT ['key','agg','row','scan','slow','fast','table','value',
+              'part','hash','merge','group','window','line','data',
+              'spark','customer','order','join','filter','sort','span',
+              'batch','shuffle']::VARCHAR[] AS vocab
+    ),
+    perturbed AS (
+      SELECT doc_id,
+             CASE
+               WHEN {_b('doc_id', '61', '62')}
+                 THEN repeat('the quick brown fox ', 100000)
+               WHEN {_b('doc_id', '63')}
+                 THEN array_to_string(list_transform(range(1, 150001),
+                        i -> vocab[1 + CAST(hash(doc_id * 1000003 + i) % 24
+                                            AS INT)]), ' ')
+               WHEN {_b('doc_id', '64', '65')}
+                 THEN array_to_string(list_transform(range(1, 40001),
+                        i -> vocab[1 + CAST(hash(doc_id * 1000003 + i) % 24
+                                            AS INT)]), ' ')
+               ELSE text END AS text,
+             lang, source
+      FROM src, v
+    )
+    SELECT doc_id, text, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM perturbed"""
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/advfix"
     adv, empty = os.path.join(out, "adv"), os.path.join(out, "empty")
     signmag = os.path.join(out, "signmag")
     timeshift = os.path.join(out, "timeshift")
+    longtext = os.path.join(out, "longtext")
     os.makedirs(adv, exist_ok=True)
     os.makedirs(empty, exist_ok=True)
     os.makedirs(signmag, exist_ok=True)
     os.makedirs(timeshift, exist_ok=True)
+    os.makedirs(longtext, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -237,6 +294,10 @@ def main() -> None:
         con.execute(
             f"COPY ({tsh_sql}) TO '{timeshift}/{t}.parquet' (FORMAT PARQUET)"
         )
+        lt_sql = LONGTEXT_DOCS_SQL if t == "documents" else "SELECT * FROM src"
+        con.execute(
+            f"COPY ({lt_sql}) TO '{longtext}/{t}.parquet' (FORMAT PARQUET)"
+        )
         n_src = con.execute(f"SELECT count(*) FROM src").fetchone()[0]
         n_adv = con.execute(
             f"SELECT count(*) FROM read_parquet('{adv}/{t}.parquet')"
@@ -254,6 +315,11 @@ def main() -> None:
         f" FROM read_parquet('{timeshift}/events.parquet')"
     ).fetchone()
     print(f"  timeshift events: {n_pre} pre-epoch, {n_post} post-2030")
+    n_long, n_max = con.execute(
+        f"SELECT count(*) FILTER (length(text) > 100000), max(length(text))"
+        f" FROM read_parquet('{longtext}/documents.parquet')"
+    ).fetchone()
+    print(f"  longtext documents: {n_long} docs >100k chars, max {n_max}")
     # visibility: how many perturbed cells per table (spot stats)
     for t, col, pred in (
         ("events", "value IS NULL", "value IS NULL"),

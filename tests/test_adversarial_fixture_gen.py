@@ -49,6 +49,7 @@ def test_all_variants_written_with_preserved_cardinality(fixture_dirs):
             ("adv", n_src),
             ("signmag", n_src),
             ("timeshift", n_src),
+            ("longtext", n_src),
             ("empty", 0),
         ):
             n = _count(con, f"{fixture_dirs}/{variant}/{t}.parquet")
@@ -108,3 +109,32 @@ def test_timeshift_touches_only_events_ts_and_moves_whole_users(fixture_dirs):
               FROM read_parquet('{tsh}/events.parquet') GROUP BY user_id)"""
     ).fetchone()[0]
     assert max_span_days <= 40, max_span_days
+
+
+def test_longtext_touches_only_documents_text(fixture_dirs):
+    con = duckdb.connect()
+    lt = f"{fixture_dirs}/longtext"
+    # both flavors present: repeat-phrase 2 MB and hash-chain ~1 MB
+    assert _count(con, f"{lt}/documents.parquet", "length(text) = 2000000") > 0
+    assert (
+        _count(
+            con,
+            f"{lt}/documents.parquet",
+            "length(text) > 100000 AND length(text) < 2000000",
+        )
+        > 0
+    )
+    # n_chars stays consistent with the rewritten text
+    assert (
+        _count(con, f"{lt}/documents.parquet", "n_chars != length(text)") == 0
+    )
+    # untouched rows identical to source
+    diff = con.execute(
+        f"""SELECT count(*) FROM (
+              SELECT doc_id, lang, source
+              FROM read_parquet('{lt}/documents.parquet')
+              EXCEPT
+              SELECT doc_id, lang, source
+              FROM read_parquet('{SRC}/documents.parquet'))"""
+    ).fetchone()[0]
+    assert diff == 0
