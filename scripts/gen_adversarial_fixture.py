@@ -47,6 +47,23 @@ derives two variants from a clean scale-factor directory:
   single 2 MB one.  This variant is as much a WALL-CLOCK gate as a
   value gate: a text/dedup sweep against it must finish in minutes.
 
+- ``<out>/unicode`` — the clean tables with ONLY ``documents.text``
+  perturbed: ~28 docs rewritten in seven non-ASCII flavors (Turkish
+  İ/ı, German ß + ligatures, CJK, emoji + astral-plane math letters,
+  DECOMPOSED combining accents, exotic-whitespace torture, RTL +
+  zero-width chars).  The clean corpus is pure ASCII, so every
+  codepoint-semantics difference between the engines was dark.  The
+  round-7 probe measured five real ones: DuckDB ``levenshtein`` is
+  byte-based vs Spark's codepoint-based; DuckDB ``reverse`` is
+  grapheme-aware vs Spark's codepoint reverse; DuckDB ``lower`` is
+  simple case mapping (İ→i) vs Java's full mapping (İ→i+U+0307);
+  DuckDB ``upper`` maps ß→ẞ vs Java's ß→SS; DuckDB bare ``trim``
+  strips Unicode whitespace (U+3000) vs Spark's ASCII-space-only.
+  Oracle alignment recipes (probed exact): ``lower(replace(s,
+  chr(304), 'i' || chr(775)))`` reproduces Java lower; ``upper(
+  replace(s, 'ß', 'ss'))`` reproduces Java upper; ``trim(s, ' ')``
+  reproduces Spark trim.
+
 Selection is seedless and reproducible: a row is perturbed when the
 first two hex chars of ``md5(key)`` fall in a per-column bucket list
 (each two-hex bucket = 1/256 of rows).  Perturbations never touch
@@ -263,6 +280,47 @@ LONGTEXT_DOCS_SQL = f"""
     FROM perturbed"""
 
 
+#: the unicode variant touches ONLY documents.text: seven non-ASCII
+#: flavors, two doc_id buckets each (~2 docs/bucket at sf0.01's 500
+#: docs, so pairing keeps every flavor populated; the combining flavor
+#: sits at '7e','7f' because '78','79' are empty at sf0.01 — the
+#: invariants test pins every flavor non-empty).  Invisible or
+#: combining codepoints are built with chr() so the hazard is explicit
+#: in code review: 12288=U+3000 ideographic space, 160=NBSP,
+#: 8232=U+2028 line separator, 769/776=combining acute/diaeresis,
+#: 304=İ, 8203=ZWSP, 8205=ZWJ, 65279=BOM/ZWNBSP.
+UNICODE_DOCS_SQL = f"""
+    WITH perturbed AS (
+      SELECT doc_id,
+             CASE
+               WHEN {_b('doc_id', '70', '71')}
+                 THEN repeat(chr(304) || 'stanbul ILIK ılık D' || chr(304)
+                             || 'YARBAKIR ırmak içel ', 5)
+               WHEN {_b('doc_id', '72', '73')}
+                 THEN repeat('straße GROß Fußball weiß ﬁne ﬂow ', 5)
+               WHEN {_b('doc_id', '74', '75')}
+                 THEN repeat('数据库系统很快 流式处理 分布式计算 ', 5)
+               WHEN {_b('doc_id', '76', '77')}
+                 THEN repeat('spark 🚀 rocket 😀😀 math 𝕊𝕆𝕃 bold 𝐀𝐁 ', 5)
+               WHEN {_b('doc_id', '7e', '7f')}
+                 THEN repeat('caf' || 'e' || chr(769) || ' nai' || chr(776)
+                             || 've deja' || chr(769) || ' vu tokens ', 5)
+               WHEN {_b('doc_id', '7a', '7b')}
+                 THEN chr(12288) || 'lead' || chr(160) || 'nbsp'
+                      || chr(8232) || 'linesep' || chr(13) || chr(10)
+                      || 'crlf mid' || chr(9) || 'tab tail' || chr(12288)
+               WHEN {_b('doc_id', '7c', '7d')}
+                 THEN repeat('שלום עולם abc عالم سريع zero' || chr(8203)
+                             || 'width' || chr(8205) || 'joined'
+                             || chr(65279) || 'bom ', 5)
+               ELSE text END AS text,
+             lang, source
+      FROM src)
+    SELECT doc_id, text, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM perturbed"""
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/advfix"
@@ -270,11 +328,13 @@ def main() -> None:
     signmag = os.path.join(out, "signmag")
     timeshift = os.path.join(out, "timeshift")
     longtext = os.path.join(out, "longtext")
+    unicode_ = os.path.join(out, "unicode")
     os.makedirs(adv, exist_ok=True)
     os.makedirs(empty, exist_ok=True)
     os.makedirs(signmag, exist_ok=True)
     os.makedirs(timeshift, exist_ok=True)
     os.makedirs(longtext, exist_ok=True)
+    os.makedirs(unicode_, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -298,6 +358,10 @@ def main() -> None:
         con.execute(
             f"COPY ({lt_sql}) TO '{longtext}/{t}.parquet' (FORMAT PARQUET)"
         )
+        uni_sql = UNICODE_DOCS_SQL if t == "documents" else "SELECT * FROM src"
+        con.execute(
+            f"COPY ({uni_sql}) TO '{unicode_}/{t}.parquet' (FORMAT PARQUET)"
+        )
         n_src = con.execute(f"SELECT count(*) FROM src").fetchone()[0]
         n_adv = con.execute(
             f"SELECT count(*) FROM read_parquet('{adv}/{t}.parquet')"
@@ -320,6 +384,13 @@ def main() -> None:
         f" FROM read_parquet('{longtext}/documents.parquet')"
     ).fetchone()
     print(f"  longtext documents: {n_long} docs >100k chars, max {n_max}")
+    n_uni, n_tr = con.execute(
+        f"SELECT count(*) FILTER (text != regexp_replace(text,"
+        f" '[^\\x00-\\x7F]', '', 'g')),"
+        f" count(*) FILTER (text LIKE '%' || chr(304) || '%')"
+        f" FROM read_parquet('{unicode_}/documents.parquet')"
+    ).fetchone()
+    print(f"  unicode documents: {n_uni} non-ASCII docs, {n_tr} with İ")
     # visibility: how many perturbed cells per table (spot stats)
     for t, col, pred in (
         ("events", "value IS NULL", "value IS NULL"),

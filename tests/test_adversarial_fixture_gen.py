@@ -50,6 +50,7 @@ def test_all_variants_written_with_preserved_cardinality(fixture_dirs):
             ("signmag", n_src),
             ("timeshift", n_src),
             ("longtext", n_src),
+            ("unicode", n_src),
             ("empty", 0),
         ):
             n = _count(con, f"{fixture_dirs}/{variant}/{t}.parquet")
@@ -109,6 +110,37 @@ def test_timeshift_touches_only_events_ts_and_moves_whole_users(fixture_dirs):
               FROM read_parquet('{tsh}/events.parquet') GROUP BY user_id)"""
     ).fetchone()[0]
     assert max_span_days <= 40, max_span_days
+
+
+def test_unicode_touches_only_documents_text(fixture_dirs):
+    con = duckdb.connect()
+    uni = f"{fixture_dirs}/unicode"
+    docs = f"{uni}/documents.parquet"
+    # every hazard flavor present, else the sweep proves nothing:
+    # İ (full-vs-simple lower), ß (full-vs-simple upper), CJK, astral
+    # plane (> U+FFFF), combining marks, U+3000 edge whitespace,
+    # zero-width chars
+    for pred in (
+        f"text LIKE '%' || chr(304) || '%'",
+        "text LIKE '%ß%'",
+        "text LIKE '%数据库%'",
+        f"text LIKE '%' || chr(128640) || '%'",  # 🚀 astral
+        f"text LIKE '%' || chr(769) || '%'",  # combining acute
+        f"text LIKE chr(12288) || '%'",  # leading U+3000
+        f"text LIKE '%' || chr(8203) || '%'",  # ZWSP
+    ):
+        assert _count(con, docs, pred) > 0, pred
+    # n_chars stays consistent with the rewritten text
+    assert _count(con, docs, "n_chars != length(text)") == 0
+    # untouched columns identical to source
+    diff = con.execute(
+        f"""SELECT count(*) FROM (
+              SELECT doc_id, lang, source FROM read_parquet('{docs}')
+              EXCEPT
+              SELECT doc_id, lang, source
+              FROM read_parquet('{SRC}/documents.parquet'))"""
+    ).fetchone()[0]
+    assert diff == 0
 
 
 def test_longtext_touches_only_documents_text(fixture_dirs):
