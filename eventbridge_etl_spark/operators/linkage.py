@@ -60,6 +60,10 @@ def fuzzy_match_blocked(
     return (
         a.join(c, (F.col("a._blk") == F.col("b._blk")) & (ta < tb))
         .filter(F.abs(F.length(ta) - F.length(tb)) <= max_dist)
+        # Spark levenshtein counts CODEPOINT edits; DuckDB's is
+        # byte-based, so the oracle is exact only on ASCII names (the
+        # unicode fixture probe, round 7).  Non-ASCII corpora still get
+        # consistent-if-different distances from the engine itself.
         .withColumn("dist", F.levenshtein(ta, tb))
         # dist >= 1 is structural: the join's ta < tb already excludes
         # equal strings, so only the upper bound filters anything

@@ -313,39 +313,67 @@ def repetition_features(text: Column | str) -> dict[str, Column]:
     looping-generation documents score high; clean prose scores low.
 
     Pure higher-order array expressions — per-document, map-only, no
-    shuffle.  The mode count is O(distinct × n) per document, bounded by
-    document length, not corpus size — and because this is an
-    expression-level API (no projection barrier is possible here), the
-    tokenizer also re-evaluates per distinct token inside the filter
-    lambda.  Fine through ~100 KB documents; for MB-scale documents
-    compute the mode via explode + groupBy instead (the longtext-probe
-    rule, round 7: HOF lambdas re-evaluate non-attribute operands)."""
+    shuffle.  The mode is computed by sorting the array and folding a
+    longest-equal-run counter over it: O(n log n) per document and
+    independent of the number of distinct elements.  The earlier
+    transform-over-distinct/filter form was O(distinct × n) — quadratic
+    on natural text where distinct ≈ n — and, worse, its filter lambda
+    referenced the unmaterialized tokenizer expression, re-splitting
+    the document once per distinct token (the longtext-probe class,
+    round 7).  Here every lambda touches only its own bound arguments
+    (fold accumulator / zipped elements), so each mode evaluates the
+    tokenizer a constant number of times however long the document."""
     toks = tokens(text)
+
+    def mode_count(arr: Column) -> Column:
+        """Count of the most frequent element: longest equal-run in the
+        sorted array.  Fold state (best, run, prev) is O(1); `x ==
+        a["prev"]` starts a new run on the first element because NULL
+        comparison falls through to otherwise(1)."""
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(0).alias("best"),
+                F.lit(0).alias("run"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+            lambda a, x: F.struct(
+                F.greatest(
+                    a["best"],
+                    F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+                F.when(x == a["prev"], a["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                x.alias("prev"),
+            ),
+            lambda a: a["best"],
+        )
 
     def mode_frac(arr: Column) -> Column:
         n = F.size(arr)
-        top = F.array_max(
-            F.transform(
-                F.array_distinct(arr),
-                lambda g: F.size(F.filter(arr, lambda x: x == g)),
-            )
-        )
         # empty -> 0.0 (no repetition), NULL text -> NULL (no signal):
         # a bare .otherwise(0.0) also caught the null case, making
         # top_token_frac the only non-null measurement of a null
         # document while every sibling ratio was NULL (r7 adversarial
         # finding — the inconsistency flipped rep_ok to a hard True)
-        return F.when(n > 0, F.round(top / n.cast("double"), 6)).when(
-            n == 0, F.lit(0.0)
-        )
+        return F.when(
+            n > 0, F.round(mode_count(arr) / n.cast("double"), 6)
+        ).when(n == 0, F.lit(0.0))
 
+    # adjacent-pair zip, not transform(sequence, i -> slice(toks, i, 2)):
+    # slice's array operand inside that lambda is the UNMATERIALIZED
+    # tokenizer, re-splitting the document once per bigram — O(n²) in
+    # document length.  zip_with's slice arguments are evaluated once.
+    n_toks = F.size(toks)
     grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        n_toks >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n_toks - 1),
+            F.slice(toks, 2, n_toks - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
-    ).when(F.size(toks) >= 0, F.array().cast("array<string>"))
+    ).when(n_toks >= 0, F.array().cast("array<string>"))
     return {
         "top_token_frac": mode_frac(toks),
         "top_bigram_frac": mode_frac(grams),

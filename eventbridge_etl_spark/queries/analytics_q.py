@@ -198,7 +198,7 @@ def skew_key_report(spark, sf_dir):
     WITH toks AS (
       SELECT id, token, COUNT(*) AS tf FROM (
         SELECT doc_id AS id,
-               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+               unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
         FROM documents) GROUP BY id, token
     ),
     nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
@@ -250,7 +250,7 @@ def dedup_tfidf_cosine(spark, sf_dir):
     WITH toks AS (
       SELECT id, token, COUNT(*) AS tf FROM (
         SELECT doc_id AS id,
-               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+               unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
         FROM documents) GROUP BY id, token
     ),
     nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
@@ -489,7 +489,7 @@ def events_locf_fill(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id % 2 AS side,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS tok
       FROM documents
     ),
     counts AS (
@@ -842,7 +842,7 @@ def events_cusum_alarms(spark, sf_dir):
     WITH tok AS (
       SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
       FROM (SELECT doc_id,
-                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                   regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS t
             FROM documents)
     ),
     -- 8-gram via lead() over exploded tokens: the earlier
@@ -1049,7 +1049,7 @@ def nation_supplier_hhi(spark, sf_dir):
     oracle="""
     WITH s AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(text), '[.!?]+\\s+') AS arr
+             regexp_split_to_array(trim(text, ' '), '[.!?]+\\s+') AS arr
       FROM documents
     ),
     -- zipped unnest: the lateral unnest(range) form carried the whole
@@ -1062,7 +1062,7 @@ def nation_supplier_hhi(spark, sf_dir):
       FROM s
     )
     SELECT doc_id, sent_idx, sentence, length(sentence) AS n_chars
-    FROM e WHERE length(trim(sentence)) > 0
+    FROM e WHERE length(trim(sentence, ' ')) > 0
     """,
 )
 def text_sentence_spans(spark, sf_dir):

@@ -43,19 +43,26 @@ def _doc(spark, sf_dir):
     "text_gopher_quality",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      SELECT doc_id, regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS toks
       FROM documents
     ),
+    tm AS (
+      -- grouped mode, not list_filter-per-distinct: O(distinct × n)
+      -- is quadratic on natural text (the longtext class, round 7)
+      SELECT doc_id, max(c) AS topc FROM (
+        SELECT doc_id, x, count(*) AS c FROM (
+          SELECT doc_id, unnest(toks) AS x FROM t) GROUP BY doc_id, x)
+      GROUP BY doc_id
+    ),
     f AS (
-      SELECT doc_id,
+      SELECT t.doc_id,
              len(toks) AS n,
              list_sum(list_transform(toks, x -> len(x))) AS total_len,
              len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_n,
              len(list_filter({_STOPS}::VARCHAR[], s -> list_contains(toks, s)))
                AS stop_hits,
-             list_max(list_transform(list_distinct(toks),
-                      g -> len(list_filter(toks, x -> x = g)))) AS topc
-      FROM t
+             tm.topc AS topc
+      FROM t LEFT JOIN tm USING (doc_id)
     ),
     m AS (
       SELECT doc_id, n, stop_hits,
@@ -92,7 +99,7 @@ def text_gopher_quality(spark, sf_dir):
     "text_collapse_runs",
     oracle="""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\\s+') AS toks
       FROM documents
     ),
     k AS (
@@ -119,7 +126,7 @@ def text_collapse_runs(spark, sf_dir):
     "text_bigram_topk",
     oracle="""
     WITH t AS (
-      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      SELECT regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS toks
       FROM documents
     ),
     b AS (
@@ -164,7 +171,7 @@ def text_bigram_topk(spark, sf_dir):
     WITH t AS (
       -- coalesce mirrors the operator's null-text round-trip contract
       SELECT doc_id,
-             regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
+             regexp_split_to_array(trim(coalesce(text, ''), ' '), '\\s+') AS toks
       FROM documents
     ),
     -- zipped unnest (token, position) then GROUP BY chunk index: the

@@ -33,7 +33,7 @@ def _t(spark, sf_dir, name):
            substr(p_name, 1, 4)                            AS name_prefix,
            p_brand || ':' || p_type                        AS brand_type,
            replace(p_name, ' ', '_')                       AS name_snake,
-           trim(lpad(p_brand, 12, '*'))                    AS brand_padded,
+           trim(lpad(p_brand, 12, '*'), ' ')                    AS brand_padded,
            reverse(p_type)                                 AS type_rev,
            strpos(p_name, ' ')                             AS space_pos,
            regexp_extract(p_name, '^([a-z]+)', 1)          AS first_word,
@@ -54,6 +54,10 @@ def fn_string_surface(spark, sf_dir):
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
         F.trim(F.lpad("p_brand", 12, "*")).alias("brand_padded"),
+        # codepoint reverse == DuckDB's grapheme reverse, and Java full
+        # upper == DuckDB simple upper, only because p_type/p_name are
+        # ASCII (TPC-H); on combining marks or ß they diverge (unicode
+        # fixture probe, round 7)
         F.reverse("p_type").alias("type_rev"),
         F.instr("p_name", " ").alias("space_pos"),
         F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
@@ -293,7 +297,7 @@ def fn_map_surface(spark, sf_dir):
     "fn_higher_order_surface",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+      SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\\s+') AS a
       FROM documents WHERE doc_id < 300
     )
     SELECT doc_id,

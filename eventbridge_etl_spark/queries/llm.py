@@ -25,7 +25,7 @@ from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
 
 #: DuckDB rendering of the shared tokenization contract.
-_SQL_TOKS = "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+_SQL_TOKS = "list_distinct(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+'))"
 
 JACCARD_TAU = 0.95
 MINHASH_TAU = 0.9
@@ -46,7 +46,7 @@ def _emb(spark, sf_dir):
     "text_token_stats",
     oracle="""
     SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\\s+'))   AS n_tokens,
+           len(regexp_split_to_array(trim(text, ' '), '\\s+'))   AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS n_bpe_tokens,
            n_chars
     FROM documents
@@ -69,8 +69,8 @@ def text_token_stats(spark, sf_dir):
     WITH feat AS (
       SELECT doc_id,
              length(text) AS nc,
-             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt,
-             len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS ndt,
+             len(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS nt,
+             len(list_distinct(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+'))) AS ndt,
              len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\x0b\\f\\r]')) AS np
       FROM documents
     )
@@ -270,7 +270,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+             unnest(list_distinct(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+'))) AS tok
       FROM documents
     ),
     hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
@@ -636,17 +636,31 @@ def similarity_topk_lsh(spark, sf_dir):
 @query(
     "multimodal_byte_histogram",
     oracle="""
-    SELECT doc_id AS id, length(text) AS n_bytes,
-           len(list_filter(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 4 = 0)) AS bucket_0,
-           len(list_filter(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 4 = 1)) AS bucket_1,
-           len(list_filter(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 4 = 2)) AS bucket_2,
-           len(list_filter(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 4 = 3)) AS bucket_3
-    FROM documents
-    -- ASCII-only pin (both sides): this oracle counts CODE POINTS while
-    -- the engine histograms UTF-8 BYTES; the two agree exactly iff the
-    -- text is pure ASCII, so the gate asserts that restriction instead
-    -- of silently assuming it of the fixture
-    WHERE doc_id < 200 AND regexp_matches(text, '^[\\x00-\\x7f]*$')
+    -- exploded chars, not substr(text,i,1)-in-lambda: DuckDB substr
+    -- positioning is O(i), so the lambda form is quadratic per document
+    -- (the longtext class — it ground for 7+ min on one 2 MB doc)
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      -- ASCII-only pin (both sides): this oracle counts CODE POINTS
+      -- while the engine histograms UTF-8 BYTES; the two agree exactly
+      -- iff the text is pure ASCII, so the gate asserts that
+      -- restriction instead of silently assuming it of the fixture
+      WHERE doc_id < 200 AND regexp_matches(text, '^[\\x00-\\x7f]*$')
+    ),
+    ch AS (
+      SELECT doc_id, ascii(unnest(string_split(text, ''))) % 4 AS b
+      FROM d WHERE n > 0
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*) FILTER (b = 0) AS b0, count(*) FILTER (b = 1) AS b1,
+             count(*) FILTER (b = 2) AS b2, count(*) FILTER (b = 3) AS b3
+      FROM ch GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id, d.n AS n_bytes,
+           coalesce(a.b0, 0) AS bucket_0, coalesce(a.b1, 0) AS bucket_1,
+           coalesce(a.b2, 0) AS bucket_2, coalesce(a.b3, 0) AS bucket_3
+    FROM d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def multimodal_byte_histogram(spark, sf_dir):
@@ -817,8 +831,8 @@ def similarity_quantize_int8(spark, sf_dir):
     WITH feat AS (
       SELECT doc_id, text, lang, n_chars,
              length(text) AS nc,
-             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt,
-             len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS ndt,
+             len(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS nt,
+             len(list_distinct(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+'))) AS ndt,
              len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\x0b\\f\\r]')) AS np
       FROM documents
     ),
@@ -868,7 +882,7 @@ def pipeline_corpus_admission(spark, sf_dir):
     "text_chunk_windows",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS s
+      SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\\s+') AS s
       FROM documents
     ),
     -- exploded (token, position) + membership arithmetic: with a
@@ -908,7 +922,7 @@ def text_chunk_windows(spark, sf_dir):
     oracle="""
     WITH tok AS (
       SELECT doc_id,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
       FROM documents
     )
     SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df,
@@ -1058,7 +1072,7 @@ def text_pii_redact(spark, sf_dir):
     WITH tok AS (
       SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
       FROM (SELECT doc_id,
-                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                   regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS t
             FROM documents)
     ),
     -- 8-gram via lead() over exploded tokens: the slice-in-lambda form
@@ -1120,29 +1134,43 @@ def sample_source_cap(spark, sf_dir):
 @query(
     "text_repetition_stats",
     oracle="""
+    -- grouped mode counts over a zipped unnest, not
+    -- list_transform(list_distinct(t), x -> len(list_filter(...))):
+    -- that form is O(distinct × n) per document — quadratic on natural
+    -- text where distinct ≈ n (the longtext class, round 7)
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      SELECT doc_id, regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS t
       FROM documents
     ),
-    g AS (
-      SELECT doc_id, t,
-             -- two-step CASE: empty -> [], NULL text -> NULL (a bare
-             -- ELSE would also catch the null case)
-             CASE WHEN len(t) >= 2
-                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-                  WHEN len(t) >= 0 THEN [] END AS gs
+    flat AS (
+      SELECT doc_id, unnest(t) AS x, unnest(range(1, len(t) + 1)) AS pos
       FROM tok
+    ),
+    tc AS (
+      SELECT doc_id, max(c) AS topc, sum(c) AS n FROM (
+        SELECT doc_id, x, count(*) AS c FROM flat GROUP BY doc_id, x)
+      GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             x || ' ' || lead(x) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS g
+      FROM flat
+    ),
+    bc AS (
+      SELECT doc_id, max(c) AS topb, sum(c) AS ng FROM (
+        SELECT doc_id, g, count(*) AS c FROM bg
+        WHERE g IS NOT NULL GROUP BY doc_id, g)
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CASE WHEN len(t) > 0 THEN round(
-             list_max(list_transform(list_distinct(t),
-               x -> len(list_filter(t, y -> y = x))))::DOUBLE / len(t), 6)
-           WHEN len(t) = 0 THEN 0.0 END AS top_token_frac,
-           CASE WHEN len(gs) > 0 THEN round(
-             list_max(list_transform(list_distinct(gs),
-               x -> len(list_filter(gs, y -> y = x))))::DOUBLE / len(gs), 6)
-           WHEN len(gs) = 0 THEN 0.0 END AS top_bigram_frac
-    FROM g
+    SELECT tok.doc_id,
+           -- two-step CASE: empty -> 0.0, NULL text -> NULL (a bare
+           -- ELSE would also catch the null case)
+           CASE WHEN len(t) > 0 THEN round(tc.topc::DOUBLE / tc.n, 6)
+                WHEN len(t) = 0 THEN 0.0 END AS top_token_frac,
+           CASE WHEN len(t) >= 2 THEN round(bc.topb::DOUBLE / bc.ng, 6)
+                WHEN len(t) >= 0 THEN 0.0 END AS top_bigram_frac
+    FROM tok LEFT JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
     """,
 )
 def text_repetition_stats(spark, sf_dir):
@@ -1166,20 +1194,27 @@ def text_repetition_stats(spark, sf_dir):
     WITH feat AS (
       SELECT doc_id, text, lang, source, n_chars,
              length(text) AS nc,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
-             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt,
-             len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS ndt,
+             regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS t,
+             len(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS nt,
+             len(list_distinct(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+'))) AS ndt,
              len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\x0b\\f\\r]')) AS np
       FROM documents
     ),
+    tmode AS (
+      -- grouped mode, not list_filter-per-distinct: O(distinct × n)
+      -- is quadratic on natural text (the longtext class, round 7)
+      SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS ttf FROM (
+        SELECT doc_id, x, count(*) AS c FROM (
+          SELECT doc_id, unnest(t) AS x FROM feat) GROUP BY doc_id, x)
+      GROUP BY doc_id
+    ),
     scored AS (
-      SELECT doc_id, text, lang, source, n_chars, nt,
+      SELECT f.doc_id, f.text, f.lang, f.source, f.n_chars, f.nt,
              CAST(floor((0.4 * (CASE WHEN nt BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END)
                  + 0.3 * (1 - least(np / greatest(nc, 1) * 10, 1.0))
                  + 0.3 * (ndt / nt::DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS quality,
-             round(list_max(list_transform(list_distinct(t),
-               x -> len(list_filter(t, y -> y = x))))::DOUBLE / len(t), 6) AS ttf
-      FROM feat
+             m.ttf
+      FROM feat f LEFT JOIN tmode m USING (doc_id)
     ),
     adm AS (
       SELECT * FROM scored
@@ -1269,7 +1304,7 @@ def _shard8_sql(seed: int) -> str:
     oracle=f"""
     WITH d AS (
       SELECT doc_id,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS nt,
+             len(regexp_split_to_array(trim(text, ' '), '\\s+')) AS nt,
              {_shard8_sql(0)} AS shard
       FROM documents
     ),
@@ -1426,7 +1461,7 @@ def dedup_semantic(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id AS id,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
       FROM documents
     ),
     tf AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),

@@ -22,7 +22,7 @@ def _doc(spark, sf_dir):
 
 _TOKS = (
     "SELECT doc_id AS id, lang AS actual, "
-    "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "
+    "unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token "
     "FROM documents"
 )
 
@@ -38,7 +38,7 @@ _TOKS = (
     ),
     toks AS (
       SELECT doc_id AS id, lang AS actual,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
       FROM nbdocs
     ),
     ct AS (SELECT actual AS lbl, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
@@ -351,7 +351,7 @@ def _source_overlap_oracle() -> str:
     return f"""
     WITH st AS (
       SELECT DISTINCT source AS g,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS tok
       FROM documents
     ),
     xs AS (
@@ -496,7 +496,7 @@ _BG_LAM = 0.7
     oracle=f"""
     WITH t AS (
       SELECT doc_id AS id,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS s
+             regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS s
       FROM documents
     ),
     toks AS (SELECT id, unnest(s) AS token FROM t),
@@ -1119,7 +1119,7 @@ def events_type_pmi(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id AS id,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
       FROM documents
     ),
     tf AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
