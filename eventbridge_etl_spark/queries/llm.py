@@ -222,11 +222,18 @@ _MINHASH_CTES = f"""toks AS (SELECT doc_id, {_SQL_TOKS} AS s FROM documents),
                ('0x' || substr(md5(tok), 1, 8))::BIGINT % {D.MINHASH_PRIME}) AS xv
       FROM toks
     ),
+    flat AS (
+      -- scalar-only unnest BEFORE the ×16 cross join: the lateral
+      -- `xs t, UNNEST(t.xv) u(x), range(16)` form carries the whole
+      -- token-hash list through the join — 158 s on one 74k-distinct
+      -- wide-vocab doc vs 1.1 s for this form (longtext class, r7 s4)
+      SELECT doc_id, unnest(xv) AS x FROM xs
+    ),
     sig AS (
       SELECT doc_id, r.i AS i,
-             min(({_MINHASH_A_SQL}[r.i + 1] * u.x + {_MINHASH_B_SQL}[r.i + 1])
+             min(({_MINHASH_A_SQL}[r.i + 1] * x + {_MINHASH_B_SQL}[r.i + 1])
                  % {D.MINHASH_PRIME}) AS h
-      FROM xs t, UNNEST(t.xv) AS u(x), range(16) r(i)
+      FROM flat, range(16) r(i)
       GROUP BY doc_id, r.i
     ),
     bands AS (

@@ -271,6 +271,15 @@ LONGTEXT_DOCS_SQL = f"""
                  THEN array_to_string(list_transform(range(1, 40001),
                         i -> vocab[1 + CAST(hash(doc_id * 1000003 + i) % 24
                                             AS INT)]), ' ')
+               -- wide-vocab flavor: distinct ≈ n (natural-text regime).
+               -- The small-vocab docs above were sized AROUND the old
+               -- O(distinct × n) mode bound; this one pins the
+               -- distinct-INDEPENDENT rewrite (session 4) — the old
+               -- engine/oracle forms would grind ~150k × ~74k here.
+               WHEN {_b('doc_id', '66', '67')}
+                 THEN array_to_string(list_transform(range(1, 150001),
+                        i -> 'tok' || CAST(hash(doc_id * 1000003 + i)
+                                           % 100000 AS VARCHAR)), ' ')
                ELSE text END AS text,
              lang, source
       FROM src, v

@@ -156,6 +156,16 @@ def test_longtext_touches_only_documents_text(fixture_dirs):
         )
         > 0
     )
+    # wide-vocab flavor present: distinct ≈ n tokens, the natural-text
+    # regime that breaks O(distinct × n) mode counts (session 4)
+    assert (
+        _count(
+            con,
+            f"{lt}/documents.parquet",
+            "len(list_distinct(string_split(text, ' '))) > 50000",
+        )
+        > 0
+    )
     # n_chars stays consistent with the rewritten text
     assert (
         _count(con, f"{lt}/documents.parquet", "n_chars != length(text)") == 0
