@@ -188,12 +188,25 @@ def dedup_exact(spark, sf_dir):
 @query(
     "dedup_jaccard_prefix",
     oracle=f"""
+    -- exhaustive postings join, not list_intersect over all id pairs
+    -- (215 s vs ~10 s on the wide-vocab longtext docs; zero-overlap
+    -- pairs have jaccard 0 and cannot reach tau, so the result set is
+    -- identical and the oracle stays filter-free — it independently
+    -- checks the engine's prefix-filter recall claim)
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS s FROM documents),
+    f AS (SELECT doc_id, unnest(s) AS tok FROM toks),
+    lens AS (SELECT doc_id, len(s) AS n FROM toks),
+    ov AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM f a JOIN f b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(len(list_intersect(a.s, b.s))::DOUBLE
-                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      SELECT id_a, id_b,
+             round(n_shared::DOUBLE / (la.n + lb.n - n_shared), 6)
+               AS jaccard
+      FROM ov JOIN lens la ON la.doc_id = id_a
+              JOIN lens lb ON lb.doc_id = id_b
     )
     SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_TAU}
     """,

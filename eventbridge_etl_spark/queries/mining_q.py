@@ -937,12 +937,27 @@ def _containment_oracle() -> str:
     from eventbridge_etl_spark.queries.llm import _SQL_TOKS
 
     return f"""
-    WITH t AS (SELECT doc_id AS id, {_SQL_TOKS} AS s FROM documents)
-    SELECT a.id AS id_a, b.id AS id_b,
-           round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6)
-             AS containment
-    FROM t a JOIN t b ON a.id <> b.id
-    WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) >= 0.8
+    -- exhaustive postings join, not list_intersect over all id pairs:
+    -- the all-pairs form hashes every 74k-element wide-vocab list once
+    -- per counterpart (219 s on the longtext fixture; this form: ~3 s,
+    -- same 137k rows).  Still UNFILTERED — every pair sharing >= 1
+    -- token is scored, so it independently checks the engine's
+    -- prefix-filter recall claim (a zero-overlap pair has containment
+    -- 0 and cannot reach tau on either form).
+    WITH t AS (SELECT doc_id AS id, {_SQL_TOKS} AS s FROM documents),
+    f AS (SELECT id, unnest(s) AS tok FROM t),
+    lens AS (SELECT id, len(s) AS n FROM t),
+    ov AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+      FROM f a JOIN f b ON a.tok = b.tok AND a.id <> b.id
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT ov.id_a, ov.id_b,
+             round(ov.n_shared::DOUBLE / lens.n, 6) AS containment
+      FROM ov JOIN lens ON lens.id = ov.id_a
+    )
+    SELECT id_a, id_b, containment FROM c WHERE containment >= 0.8
     """
 
 
