@@ -48,6 +48,7 @@ UNICODE_CANARIES = (
 LONGTEXT_CANARIES = (
     "multimodal_byte_histogram",  # DuckDB substr-in-lambda class
     "text_repetition_stats",  # O(distinct × n) mode class, both sides
+    "dedup_minhash_lsh",  # lateral list-carry in the shared sig CTE
 )
 
 
