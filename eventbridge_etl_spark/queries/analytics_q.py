@@ -20,6 +20,7 @@ from eventbridge_etl_spark.operators.skew import skew_report
 from eventbridge_etl_spark.operators.timeseries import prorate_intervals
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
+from eventbridge_etl_spark.queries._sqlfrag import SQL_TOKS_RAW
 
 
 def _t(spark, sf_dir, name):
@@ -194,11 +195,11 @@ def skew_key_report(spark, sf_dir):
 
 @query(
     "dedup_tfidf_cosine",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT id, token, COUNT(*) AS tf FROM (
         SELECT doc_id AS id,
-               unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
+               unnest({SQL_TOKS_RAW}) AS token
         FROM documents) GROUP BY id, token
     ),
     nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
@@ -246,11 +247,11 @@ def dedup_tfidf_cosine(spark, sf_dir):
 
 @query(
     "dedup_tfidf_cosine_capped",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT id, token, COUNT(*) AS tf FROM (
         SELECT doc_id AS id,
-               unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
+               unnest({SQL_TOKS_RAW}) AS token
         FROM documents) GROUP BY id, token
     ),
     nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
@@ -486,10 +487,10 @@ def events_locf_fill(spark, sf_dir):
 
 @query(
     "text_unigram_kl_drift",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id % 2 AS side,
-             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS tok
+             unnest({SQL_TOKS_RAW}) AS tok
       FROM documents
     ),
     counts AS (
@@ -838,11 +839,11 @@ def events_cusum_alarms(spark, sf_dir):
 
 @query(
     "text_ngram_novelty",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
       FROM (SELECT doc_id,
-                   regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS t
+                   {SQL_TOKS_RAW} AS t
             FROM documents)
     ),
     -- 8-gram via lead() over exploded tokens: the earlier

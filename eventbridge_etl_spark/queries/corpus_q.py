@@ -22,6 +22,7 @@ from eventbridge_etl_spark.operators.sampling import (
 )
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
+from eventbridge_etl_spark.queries._sqlfrag import SQL_TOKS_RAW
 
 _STOPS = "['the','and','of','to','a','in','is','that']"
 
@@ -43,7 +44,7 @@ def _doc(spark, sf_dir):
     "text_gopher_quality",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS toks
+      SELECT doc_id, {SQL_TOKS_RAW} AS toks
       FROM documents
     ),
     tm AS (
@@ -124,9 +125,9 @@ def text_collapse_runs(spark, sf_dir):
 
 @query(
     "text_bigram_topk",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS toks
+      SELECT {SQL_TOKS_RAW} AS toks
       FROM documents
     ),
     b AS (

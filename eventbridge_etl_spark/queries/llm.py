@@ -22,10 +22,12 @@ from eventbridge_etl_spark.operators import similarity as S
 from eventbridge_etl_spark.operators import text as X
 from eventbridge_etl_spark.operators.multimodal import attach_payload, decode_media
 from eventbridge_etl_spark.queries import query
+from eventbridge_etl_spark.queries._sqlfrag import SQL_TOKS_RAW, SQL_TOKS_SET
 from eventbridge_etl_spark.sources.tables import load_tables
 
-#: DuckDB rendering of the shared tokenization contract.
-_SQL_TOKS = "list_distinct(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+'))"
+#: DuckDB rendering of the shared tokenization contract (one source:
+#: queries/_sqlfrag.py; kept under the historical name for importers).
+_SQL_TOKS = SQL_TOKS_SET
 
 JACCARD_TAU = 0.95
 MINHASH_TAU = 0.9
@@ -65,12 +67,12 @@ def text_token_stats(spark, sf_dir):
 
 @query(
     "text_quality_score",
-    oracle="""
+    oracle=f"""
     WITH feat AS (
       SELECT doc_id,
              length(text) AS nc,
-             len(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS nt,
-             len(list_distinct(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+'))) AS ndt,
+             len({SQL_TOKS_RAW}) AS nt,
+             len(list_distinct({SQL_TOKS_RAW})) AS ndt,
              len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\x0b\\f\\r]')) AS np
       FROM documents
     )
@@ -287,10 +289,10 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @query(
     "dedup_simhash",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(list_distinct(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+'))) AS tok
+             unnest(list_distinct({SQL_TOKS_RAW})) AS tok
       FROM documents
     ),
     hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
@@ -847,12 +849,12 @@ def similarity_quantize_int8(spark, sf_dir):
 
 @query(
     "pipeline_corpus_admission",
-    oracle="""
+    oracle=f"""
     WITH feat AS (
       SELECT doc_id, text, lang, n_chars,
              length(text) AS nc,
-             len(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS nt,
-             len(list_distinct(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+'))) AS ndt,
+             len({SQL_TOKS_RAW}) AS nt,
+             len(list_distinct({SQL_TOKS_RAW})) AS ndt,
              len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\x0b\\f\\r]')) AS np
       FROM documents
     ),
@@ -939,10 +941,10 @@ def text_chunk_windows(spark, sf_dir):
 
 @query(
     "text_document_frequency",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
+             unnest({SQL_TOKS_RAW}) AS token
       FROM documents
     )
     SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df,
@@ -1088,11 +1090,11 @@ def text_pii_redact(spark, sf_dir):
 
 @query(
     "dedup_contamination_flag",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
       FROM (SELECT doc_id,
-                   regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS t
+                   {SQL_TOKS_RAW} AS t
             FROM documents)
     ),
     -- 8-gram via lead() over exploded tokens: the slice-in-lambda form
@@ -1153,13 +1155,13 @@ def sample_source_cap(spark, sf_dir):
 
 @query(
     "text_repetition_stats",
-    oracle="""
+    oracle=f"""
     -- grouped mode counts over a zipped unnest, not
     -- list_transform(list_distinct(t), x -> len(list_filter(...))):
     -- that form is O(distinct × n) per document — quadratic on natural
     -- text where distinct ≈ n (the longtext class, round 7)
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS t
+      SELECT doc_id, {SQL_TOKS_RAW} AS t
       FROM documents
     ),
     flat AS (
@@ -1210,13 +1212,13 @@ def text_repetition_stats(spark, sf_dir):
 
 @query(
     "pipeline_training_mix",
-    oracle="""
+    oracle=f"""
     WITH feat AS (
       SELECT doc_id, text, lang, source, n_chars,
              length(text) AS nc,
-             regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS t,
-             len(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS nt,
-             len(list_distinct(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+'))) AS ndt,
+             {SQL_TOKS_RAW} AS t,
+             len({SQL_TOKS_RAW}) AS nt,
+             len(list_distinct({SQL_TOKS_RAW})) AS ndt,
              len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\x0b\\f\\r]')) AS np
       FROM documents
     ),
@@ -1478,10 +1480,10 @@ def dedup_semantic(spark, sf_dir):
 
 @query(
     "text_unigram_logprob",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id AS id,
-             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
+             unnest({SQL_TOKS_RAW}) AS token
       FROM documents
     ),
     tf AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),

@@ -13,6 +13,7 @@ from eventbridge_etl_spark.operators.classify import naive_bayes_self_score
 from eventbridge_etl_spark.operators.graph import triangle_count
 from eventbridge_etl_spark.operators.retrieval import bm25_topk
 from eventbridge_etl_spark.queries import query
+from eventbridge_etl_spark.queries._sqlfrag import SQL_TOKS_RAW
 from eventbridge_etl_spark.sources.tables import load_tables
 
 
@@ -22,7 +23,7 @@ def _doc(spark, sf_dir):
 
 _TOKS = (
     "SELECT doc_id AS id, lang AS actual, "
-    "unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token "
+    f"unnest({SQL_TOKS_RAW}) AS token "
     "FROM documents"
 )
 
@@ -38,7 +39,7 @@ _TOKS = (
     ),
     toks AS (
       SELECT doc_id AS id, lang AS actual,
-             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
+             unnest({SQL_TOKS_RAW}) AS token
       FROM nbdocs
     ),
     ct AS (SELECT actual AS lbl, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
@@ -351,7 +352,7 @@ def _source_overlap_oracle() -> str:
     return f"""
     WITH st AS (
       SELECT DISTINCT source AS g,
-             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS tok
+             unnest({SQL_TOKS_RAW}) AS tok
       FROM documents
     ),
     xs AS (
@@ -496,7 +497,7 @@ _BG_LAM = 0.7
     oracle=f"""
     WITH t AS (
       SELECT doc_id AS id,
-             regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+') AS s
+             {SQL_TOKS_RAW} AS s
       FROM documents
     ),
     toks AS (SELECT id, unnest(s) AS token FROM t),
@@ -1131,10 +1132,10 @@ def events_type_pmi(spark, sf_dir):
 
 @query(
     "text_perplexity_buckets",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id AS id,
-             unnest(regexp_split_to_array(trim(lower(replace(text, chr(304), 'i' || chr(775))), ' '), '\\s+')) AS token
+             unnest({SQL_TOKS_RAW}) AS token
       FROM documents
     ),
     tf AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),

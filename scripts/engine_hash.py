@@ -21,6 +21,15 @@ sf0.01), ``SWEEP_MASTER``, ``SWEEP_SHUF``, ``SWEEP_DRIVER_MEM``,
 gates; a typo fails loudly).  Output lines are ``<gate> <md5>`` sorted
 by gate name; errors print ``<gate> ERROR <exc>`` so a crash on one
 side still diffs loudly instead of vanishing.
+
+The SparkSession block below is a DELIBERATE copy of oracle_sweep.py's
+(timezone, nanosAsLong, shuffle partitions): hashes are only comparable
+with sweep behavior if the configs match, but this script must stay
+self-contained because the old-vs-new workflow COPIES it into a
+worktree of an older commit, where any shared helper module may not
+exist yet.  tests/test_verification_tools.py asserts the two config
+blocks are literally identical, so drift fails CI instead of silently
+skewing the value-identity check.
 """
 
 import hashlib

@@ -59,10 +59,16 @@ derives two variants from a clean scale-factor directory:
   simple case mapping (İ→i) vs Java's full mapping (İ→i+U+0307);
   DuckDB ``upper`` maps ß→ẞ vs Java's ß→SS; DuckDB bare ``trim``
   strips Unicode whitespace (U+3000) vs Spark's ASCII-space-only.
-  Oracle alignment recipes (probed exact): ``lower(replace(s,
-  chr(304), 'i' || chr(775)))`` reproduces Java lower; ``upper(
-  replace(s, 'ß', 'ss'))`` reproduces Java upper; ``trim(s, ' ')``
-  reproduces Spark trim.
+  Oracle alignment recipes (probed): ``lower(replace(s, chr(304),
+  'i' || chr(775)))`` reproduces Java lower EXCEPT the conditional
+  final-sigma rule (Java lowers word-final Σ to ς, DuckDB always σ —
+  probed); ``upper(replace(s, 'ß', 'ss'))`` reproduces Java upper
+  EXCEPT ligature/SpecialCasing expansions (Java upper('ﬁ') = 'FI',
+  DuckDB leaves 'ﬁ' — probed); ``trim(s, ' ')`` reproduces Spark trim
+  exactly.  This fixture deliberately contains no Greek capitals and
+  applies no upper() in any tokenizer oracle, so both boundaries stay
+  outside the swept domain; an oracle that upper()s document text or
+  meets Greek capital sigma needs its own alignment.
 
 Selection is seedless and reproducible: a row is perturbed when the
 first two hex chars of ``md5(key)`` fall in a per-column bucket list
