@@ -364,14 +364,23 @@ def streaming_rollup_merge(spark, sf_dir):
                                 ORDER BY ts, event_id) AS rn,
              CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS x
       -- null keys dropped by the stateful-operator contract; a null
-      -- event time has no position in the order-dependent recurrence
+      -- event time (or event_id — half the ordering contract) has no
+      -- position in the order-dependent recurrence
       FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                    AND event_id IS NOT NULL
     ),
     rec AS (
       SELECT user_id, rn, x AS ew FROM ordered WHERE rn = 1
       UNION ALL
+      -- exact integer FLOOR division (DuckDB // truncates toward
+      -- zero, so correct for the negative numerator): matches the
+      -- engine's Python // at any magnitude, where the previous
+      -- floor(double/4.0) form lost integer exactness above 2^53
       SELECT o.user_id, o.rn,
-             CAST(floor((1.0 * o.x + 3.0 * r.ew) / 4.0) AS BIGINT)
+             CAST((o.x + 3 * r.ew) // 4
+                  - CASE WHEN (o.x + 3 * r.ew) % 4 <> 0
+                          AND (o.x + 3 * r.ew) < 0
+                         THEN 1 ELSE 0 END AS BIGINT)
       FROM rec r JOIN ordered o
         ON o.user_id = r.user_id AND o.rn = r.rn + 1
     ),

@@ -58,10 +58,14 @@ def interval_join_streams(
         )
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
-    keys = " AND ".join(f"l.{k} = r.{k}" for k in on)
+    # backtick-quote every interpolated identifier: a column named
+    # 'user id' or 'event-type' otherwise breaks at parse time or —
+    # worse — parses as arithmetic (event MINUS type) and resolves to
+    # the wrong predicate (review finding, round 7)
+    keys = " AND ".join(f"l.`{k}` = r.`{k}`" for k in on)
     cond = (
-        f"{keys} AND r.{right_ts} <= l.{left_ts} "
-        f"AND r.{right_ts} >= l.{left_ts} - interval {lookback}"
+        f"{keys} AND r.`{right_ts}` <= l.`{left_ts}` "
+        f"AND r.`{right_ts}` >= l.`{left_ts}` - interval {lookback}"
     )
     joined = lw.alias("l").join(rw.alias("r"), F.expr(cond), how)
     # keys once (coalesced: an OUTER variant's unmatched rows carry the

@@ -39,9 +39,18 @@ def audit_union(*stages: tuple[str, DataFrame]) -> DataFrame:
     return out
 
 
-def with_observe(df: DataFrame, name: str = "audit") -> DataFrame:
-    """Attach in-plan count/null metrics (visible in QueryProgress)."""
-    return df.observe(name, F.count(F.lit(1)).alias("n_rows"))
+def with_observe(
+    df: DataFrame, name: str = "audit", null_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Attach in-plan metrics (visible in QueryProgress): the row count
+    always, plus a ``n_null_<col>`` counter per requested column — the
+    reconciliation inputs for extracted-vs-loaded-vs-dropped checks."""
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    metrics += [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_null_{c}")
+        for c in null_cols
+    ]
+    return df.observe(name, *metrics)
 
 
 class CollectingListener(StreamingQueryListener):

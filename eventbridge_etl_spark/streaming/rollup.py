@@ -65,6 +65,16 @@ def make_rollup_sink(state_dir: str, keep_epochs: int = 3):
     pruned after a successful commit.  A state_dir containing epochs
     AHEAD of the current one (fresh checkpoint pointed at an old
     directory) raises instead of double-merging stale state."""
+    # keep_epochs=0 would silently disable pruning (prior[:-0] == [])
+    # and grow state_dir by one full state copy per micro-batch forever;
+    # pruning ALL priors is also not an option — prior[-1] is required
+    # for the idempotent epoch re-merge — so the minimum retention is 1
+    # (review finding, round 7).
+    if keep_epochs < 1:
+        raise ValueError(
+            f"keep_epochs must be >= 1 (the latest prior epoch is needed "
+            f"for replay-safe merging), got {keep_epochs}"
+        )
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -51,6 +51,12 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+#: In-state "no event time seen yet" sentinel.  INT64_MIN so a genuine
+#: negative (pre-epoch) ts_us still wins the max; the OUTPUT contract
+#: maps it to 0 (`max_ts_us = 0` = never advanced, unchanged).
+_TS_UNSET = -(2**63)
+
+
 def _make_handler(timeout_ms: int | None):
     def update(
         key: tuple,
@@ -71,14 +77,20 @@ def _make_handler(timeout_ms: int | None):
                         "user_id": user_id,
                         "n_events": n,
                         "sum_value": s,
-                        "max_ts_us": mx,
+                        "max_ts_us": 0 if mx == _TS_UNSET else mx,
                         "expired": True,
                     }
                 ]
             )
             return
 
-        n, s, mx = state.get if state.exists else (0, 0.0, 0)
+        # mx sentinel is INT64_MIN, not 0: with pre-epoch event times
+        # (negative ts_us) a 0 floor silently fabricated max_ts_us=0
+        # (review finding, round 7).  The never-advanced case still
+        # EMITS 0 below — the documented output contract — so state
+        # written by the previous code (0 = never advanced) only skews
+        # resumed checkpoints that also carry pre-epoch data.
+        n, s, mx = state.get if state.exists else (0, 0.0, _TS_UNSET)
         for pdf in pdfs:
             n += len(pdf)
             s += float(pdf["value"].fillna(0.0).sum())
@@ -100,7 +112,7 @@ def _make_handler(timeout_ms: int | None):
                     "user_id": user_id,
                     "n_events": n,
                     "sum_value": s,
-                    "max_ts_us": mx,
+                    "max_ts_us": 0 if mx == _TS_UNSET else mx,
                     "expired": False,
                 }
             ]
@@ -193,7 +205,13 @@ def _make_ewma_handler(num: int, den: int):
                 if n == 0:
                     ew = x
                 else:
-                    ew = math.floor((num * x + (den - num) * ew) / float(den))
+                    # Python // is exact integer floor division at ANY
+                    # magnitude; the previous / float(den) converted the
+                    # exact integer numerator to a double first, which
+                    # loses integer exactness above 2^53 and breaks the
+                    # bit-for-bit oracle contract for |value| >~ 2.25e13
+                    # (review finding, round 7)
+                    ew = (num * x + (den - num) * ew) // den
                 n += 1
                 last_ts, last_id = int(ts_us), int(eid)
         state.update((n, ew, last_ts, last_id))
@@ -227,9 +245,14 @@ def ewma_smoothing(events: DataFrame, num: int = 1, den: int = 4) -> DataFrame:
     # running_totals) and a NULL event time has no position in an
     # order-dependent recurrence — exclude both explicitly; int(NaN)
     # in the fold otherwise kills the streaming query (r7 adversarial
-    # sweep crash).
+    # sweep crash).  A NULL event_id is excluded for the same reason:
+    # it is half of the (ts_us, event_id) ordering contract and
+    # int(NaN) on the id would kill the query identically (review
+    # finding, round 7).
     events = events.filter(
-        F.col("user_id").isNotNull() & F.col("ts_us").isNotNull()
+        F.col("user_id").isNotNull()
+        & F.col("ts_us").isNotNull()
+        & F.col("event_id").isNotNull()
     )
     return events.groupBy("user_id").applyInPandasWithState(
         _make_ewma_handler(num, den),

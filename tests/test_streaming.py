@@ -882,3 +882,54 @@ def test_running_totals_all_null_ts_chunk(spark, tmp_path):
     r = spark.sql("SELECT * FROM rt_nullts").collect()[0]
     assert r["n_events"] == 2 and r["sum_value"] == 4.0
     assert r["max_ts_us"] == 0  # initial state, never advanced
+
+
+def test_rollup_sink_rejects_zero_retention(tmp_path):
+    """keep_epochs=0 would silently disable pruning (prior[:-0] == [])
+    and grow state_dir forever; the minimum retention is 1 because the
+    latest prior epoch is required for replay-safe merging."""
+    import pytest as _pytest
+
+    from eventbridge_etl_spark.streaming.rollup import make_rollup_sink
+
+    with _pytest.raises(ValueError, match="keep_epochs"):
+        make_rollup_sink(str(tmp_path / "state"), keep_epochs=0)
+
+
+def test_running_totals_negative_event_times(spark, tmp_path):
+    """Pre-epoch ts_us must surface as the true (negative) max, not the
+    old 0 floor — and a user whose event times are all NULL still emits
+    the documented never-advanced sentinel 0."""
+    from eventbridge_etl_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "neg_src")
+    rows = [
+        (1, 1.0, -5_000_000),
+        (1, 2.0, -3_000_000),
+        (2, 4.0, None),
+    ]
+    schema = "user_id long, value double, ts_us long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals_neg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_neg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: r["max_ts_us"]
+        for r in spark.sql(
+            "SELECT user_id, max_ts_us FROM running_totals_neg WHERE NOT expired"
+        ).collect()
+    }
+    assert got[1] == -3_000_000, got
+    assert got[2] == 0, got
