@@ -71,5 +71,13 @@ def parse_detail(df: DataFrame, schema: T.StructType | str) -> DataFrame:
 def detail_field(path: str) -> Column:
     """``get_json_object`` accessor for ad-hoc detail fields (no full
     schema needed) — mirrors the reference's null-safe nested access
-    (s3SqsEventConsumer.ts:134-141)."""
-    return F.get_json_object(F.col("detail"), f"$.{path}")
+    (s3SqsEventConsumer.ts:134-141).
+
+    One wrapper, one path convention: delegates to
+    ``json_source.json_field`` with the ``$.``-prefixed form of
+    ``path`` (this helper takes dotted names; ``json_field`` takes full
+    JSONPath — an invalid path returns NULL silently, so keeping a
+    single underlying accessor stops the conventions drifting)."""
+    from eventbridge_etl_spark.sources.json_source import json_field
+
+    return json_field("detail", f"$.{path}")

@@ -74,7 +74,13 @@ def _with_corrupt(schema: T.StructType | str) -> T.StructType:
         schema = T.StructType.fromDDL(schema)
     if CORRUPT_COL in schema.fieldNames():
         return schema
-    return schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+    # build a NEW StructType: StructType.add mutates self and returns
+    # self (probed on PySpark 4.1.2), so the caller's module-level
+    # schema constant would silently grow a _corrupt_record field that
+    # every later reuse of that object inherits (review finding, r7)
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
 
 
 def corrupt_records(df: DataFrame) -> DataFrame:
@@ -91,10 +97,24 @@ def corrupt_records(df: DataFrame) -> DataFrame:
             f"read with keep_corrupt=True to materialize {CORRUPT_COL}"
         )
     if df.isStreaming:
-        # .cache() raises on streaming plans; the corrupt-only-column
-        # restriction the cache works around doesn't bite a filter
-        # that keeps every column (review r6: this helper crashed on
-        # the exact quarantine stream the module documents)
+        # .cache() raises on streaming plans, and a filter alone is NOT
+        # protection: column pruning passes through it, so a caller
+        # sinking ONLY the corrupt column (the natural quarantine
+        # write) still collapsed the scan to the corrupt field and
+        # crashed at stream start (probed; review finding, r7).  An
+        # observe() referencing a DATA column is never pruned, so it
+        # pins that column into the scan whatever the caller projects —
+        # and doubles as the quarantine audit metric (parsed vs corrupt
+        # counts in every QueryProgress).
+        data_cols = [c for c in df.columns if c != CORRUPT_COL]
+        if data_cols:
+            df = df.observe(
+                "corrupt_quarantine_audit",
+                F.count(F.col(data_cols[0])).alias("n_parsed"),
+                F.count(F.when(F.col(CORRUPT_COL).isNotNull(), 1)).alias(
+                    "n_corrupt"
+                ),
+            )
         return df.filter(F.col(CORRUPT_COL).isNotNull())
     return scoped_persist(df).filter(F.col(CORRUPT_COL).isNotNull())
 

@@ -34,9 +34,13 @@ def load_tables(
     (verify with ``.explain`` -> ``PushedFilters`` / ``ReadSchema``).
 
     ``events.ts`` has shipped in two fixture layouts: TIMESTAMP(NANOS)
-    (Spark reads it as long under ``nanosAsLong``; we convert with exact
-    int64 division — a double divide would lose precision above 2^53)
-    and plain TIMESTAMP(MICROS) with ``isAdjustedToUTC=false`` (Spark 4
+    (Spark reads it as long under ``nanosAsLong``; we convert with int64
+    division — a double divide would lose precision above 2^53.  ``div``
+    truncates toward zero, exact for the fixtures' whole-µs values; for
+    sub-µs PRE-EPOCH values it rounds toward the epoch, which matches
+    DuckDB's own ns→µs truncation — probed, the engines agree — but
+    differs from Python floor semantics) and plain TIMESTAMP(MICROS)
+    with ``isAdjustedToUTC=false`` (Spark 4
     infers TIMESTAMP_NTZ unless told otherwise; watermarks and windowing
     require LTZ, so we normalize).  DuckDB sees microsecond values either
     way, and with the UTC session zone both engines agree wall-clock.
@@ -58,6 +62,14 @@ def load_tables(
         # sessions observe a change.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # The NTZ->LTZ cast below interprets wall-clock in the SESSION
+        # zone: a foreign session running America/New_York would shift
+        # every micros-layout ts by hours against both the nanos layout
+        # (timestamp_micros is zone-independent) and the DuckDB oracle.
+        # The docstring's "with the UTC session zone both engines agree"
+        # assumption is the one conf this block previously didn't set
+        # (review finding, r7).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":

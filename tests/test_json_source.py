@@ -126,3 +126,51 @@ def test_keep_corrupt_without_schema_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="schema"):
         read_jsonl_batch(spark, str(tmp_path), keep_corrupt=True)
+
+
+def test_corrupt_records_streaming_corrupt_only_sink(spark, tmp_path):
+    """The natural quarantine write projects ONLY the corrupt column;
+    column pruning passes through the filter, so without the observe
+    pruning-barrier the scan collapsed to the corrupt field and raised
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN at stream start (review, r7)."""
+    from eventbridge_etl_spark.sources.json_source import (
+        CORRUPT_COL,
+        corrupt_records,
+        read_jsonl_stream,
+    )
+
+    land = str(tmp_path / "land")
+    import os
+
+    os.makedirs(land)
+    with open(os.path.join(land, "a.jsonl"), "w") as fh:
+        fh.write('{"k": 1}\n{"k": broken\n{"k": 3}\n')
+    bad = corrupt_records(
+        read_jsonl_stream(spark, land, "k bigint", keep_corrupt=True)
+    )
+    q = (
+        bad.select(CORRUPT_COL)
+        .writeStream.format("memory")
+        .queryName("quarantine_only_corrupt")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM quarantine_only_corrupt").collect()
+    assert len(rows) == 1 and "broken" in rows[0][CORRUPT_COL]
+
+
+def test_with_corrupt_does_not_mutate_caller_schema(spark, tmp_path):
+    """StructType.add mutates in place; read_jsonl_batch must not grow
+    a _corrupt_record field on the caller's schema object (review, r7)."""
+    from pyspark.sql import types as T
+
+    from eventbridge_etl_spark.sources.json_source import read_jsonl_batch
+
+    path = str(tmp_path / "b.jsonl")
+    with open(path, "w") as fh:
+        fh.write('{"k": 1}\n')
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    read_jsonl_batch(spark, path, schema, keep_corrupt=True).collect()
+    assert schema.fieldNames() == ["k"], schema.fieldNames()
