@@ -50,13 +50,19 @@ def release_tracked() -> int:
     results.  Returns the number of frames released (session-stopped
     frames count as already released).
     """
+    # swap FIRST, then iterate the private snapshot: iterating the
+    # shared list and clear()ing afterwards dropped (without
+    # unpersisting) any frame a concurrent scoped_persist registered
+    # mid-loop — exactly the cache-block accumulation this module
+    # exists to prevent (review finding, round 7)
+    snapshot = _TRACKED[:]
+    del _TRACKED[: len(snapshot)]
     released = 0
-    for df in _TRACKED:
+    for df in snapshot:
         try:
             df.unpersist()
             released += 1
         except Exception:
             # session stopped or block already dropped — already released
             pass
-    _TRACKED.clear()
     return released

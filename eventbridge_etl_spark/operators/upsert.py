@@ -22,6 +22,7 @@ effectively-once — strictly stronger than the reference.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -74,11 +75,42 @@ class KeyedParquetStore:
     """
 
     BUCKET_COL = "_kb"
+    #: store-parameters sidecar (underscore-prefixed: Spark's file index
+    #: skips it).  pmod(hash, n_buckets) bucket assignment means a store
+    #: reopened with a DIFFERENT n_buckets (or key set) maps keys to new
+    #: buckets while the old rows stay live in their original ones —
+    #: read() would then return two rows for one key with no error
+    #: (review finding, round 7).  The sidecar makes the mismatch loud.
+    META_FILE = "_store_meta.json"
 
     def __init__(self, path: str, keys: Sequence[str], n_buckets: int = 64) -> None:
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         self.path = path
         self.keys = list(keys)
         self.n_buckets = n_buckets
+
+    def _check_meta(self) -> None:
+        """Validate (or adopt) the store-parameters sidecar."""
+        meta_path = os.path.join(self.path, self.META_FILE)
+        if os.path.isfile(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            if meta["n_buckets"] != self.n_buckets or meta["keys"] != self.keys:
+                raise ValueError(
+                    f"store at {self.path!r} was created with "
+                    f"keys={meta['keys']} n_buckets={meta['n_buckets']}; "
+                    f"reopening with keys={self.keys} "
+                    f"n_buckets={self.n_buckets} would split keys across "
+                    "buckets (stale rows stay live in their old bucket)"
+                )
+            return
+        # no sidecar: new store, or one written before the sidecar
+        # existed — in both cases the current parameters ARE the store's
+        # parameters (the pre-sidecar contract was caller discipline)
+        os.makedirs(self.path, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            json.dump({"keys": self.keys, "n_buckets": self.n_buckets}, fh)
 
     def _bucket(self, df: DataFrame) -> DataFrame:
         key_cols = [F.col(k) for k in self.keys]
@@ -132,10 +164,25 @@ class KeyedParquetStore:
         the same buckets to the same content).
         """
         spark = batch.sparkSession
+        # reserved internal names would be silently clobbered (and then
+        # dropped from the stored table) — fail loudly instead
+        reserved = {self.BUCKET_COL, "_is_new"} & set(batch.columns)
+        if reserved:
+            raise ValueError(
+                f"batch columns {sorted(reserved)} collide with the "
+                "store's reserved internal names"
+            )
         self.recover()
-        new = self._bucket(batch)
+        self._check_meta()
+        # persist: `touched` (collected here) and the staged write below
+        # would otherwise be two separate evaluations of the batch
+        # lineage — doubled source I/O, and a non-deterministic or
+        # changed-underneath source could stage a bucket absent from
+        # `touched` (never published) or vice versa (review finding, r7)
+        new = self._bucket(batch).persist()
         touched = [r[self.BUCKET_COL] for r in new.select(self.BUCKET_COL).distinct().collect()]
         if not touched:
+            new.unpersist()
             return
         existing_dirs = [
             f"{self.path}/{self.BUCKET_COL}={b}"
@@ -174,7 +221,12 @@ class KeyedParquetStore:
         # manual recovery instead of data loss.
         token = uuid.uuid4().hex
         tmp = f"{self.path}__stage_{token}"
-        resolved.repartition(self.BUCKET_COL).write.partitionBy(self.BUCKET_COL).parquet(tmp)
+        try:
+            resolved.repartition(self.BUCKET_COL).write.partitionBy(
+                self.BUCKET_COL
+            ).parquet(tmp)
+        finally:
+            new.unpersist()
         os.makedirs(self.path, exist_ok=True)
         for b in touched:
             src = f"{tmp}/{self.BUCKET_COL}={b}"

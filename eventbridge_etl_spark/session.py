@@ -109,6 +109,27 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def _configured_master() -> bool:
+    """True when a cluster master is already configured for this process.
+
+    spark-submit passes ``--master`` as the ``spark.master`` entry of the
+    loaded SparkConf (JVM system properties / PYSPARK_SUBMIT_ARGS), NOT
+    as a ``SPARK_MASTER`` env var — the previous env-only probe made
+    ``builder.master(local[N])`` silently OVERRIDE ``--master yarn``,
+    running the "cluster" job single-node on the driver host (review
+    finding, round 7).  Check both the submitted conf and the legacy
+    env vars.
+    """
+    if os.environ.get("SPARK_MASTER") or os.environ.get("MASTER"):
+        return True
+    try:
+        from pyspark import SparkConf
+
+        return SparkConf().get("spark.master", None) is not None
+    except Exception:  # pragma: no cover — conf probe must never block
+        return False
+
+
 def get_spark(
     app_name: str = "eventbridge-etl-spark",
     master: str | None = None,
@@ -122,13 +143,18 @@ def get_spark(
     ``--master`` wins because we only set it if nothing else did.
     """
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_MASTER" not in os.environ:
+    if master is None and not _configured_master():
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
 
     conf = dict(ENGINE_CONF)
+    # re-derive at SESSION-BUILD time: ENGINE_CONF froze this at module
+    # import, so SPARK_GRAFT_DRIVER_MEM exported after the import was
+    # silently ignored despite the "wins outright" contract (review
+    # finding, round 7)
+    conf["spark.driver.memory"] = _default_driver_memory()
     if shuffle_partitions is None:
         # local default: match core count so sf-scale tests don't pay for
         # hundreds of empty partitions; AQE coalesces further.

@@ -115,20 +115,33 @@ def build_merge_sql(
         raise ValueError(f"key columns absent from batch: {missing}")
     if version_col is not None and version_col not in columns:
         raise ValueError(f"version column absent from batch: {version_col!r}")
+
+    # identifier quoting: escape embedded backticks (legal in Spark
+    # column names via CSV/JSON headers — unescaped they break OUT of
+    # the quoting) and quote the table/view identifiers the same way
+    # (a hyphenated or reserved-word table name otherwise fails to
+    # parse); dotted table names quote per path segment (review
+    # finding, round 7)
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def qt(name: str) -> str:
+        return ".".join(q(part) for part in name.split("."))
+
     # null-SAFE key equality: with plain `=`, a NULL-keyed row never
     # matches its own previous insert and every at-least-once replay
     # re-inserts it — upsert_by_key/KeyedParquetStore treat NULL keys
     # as one group, and this MERGE twin must too (review finding r6)
-    on = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
-    sets = ", ".join(f"t.`{c}` = s.`{c}`" for c in columns if c not in keys)
-    ins_cols = ", ".join(f"`{c}`" for c in columns)
-    ins_vals = ", ".join(f"s.`{c}`" for c in columns)
+    on = " AND ".join(f"t.{q(k)} <=> s.{q(k)}" for k in keys)
+    sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in columns if c not in keys)
+    ins_cols = ", ".join(q(c) for c in columns)
+    ins_vals = ", ".join(f"s.{q(c)}" for c in columns)
     # a null-versioned TARGET row must lose to any versioned source
     # (upsert_by_key's struct-wrapped contract); bare `>` is NULL
     # against a NULL target version and the stale row would win forever
     guard = (
-        f" AND (s.`{version_col}` > t.`{version_col}` "
-        f"OR t.`{version_col}` IS NULL)"
+        f" AND (s.{q(version_col)} > t.{q(version_col)} "
+        f"OR t.{q(version_col)} IS NULL)"
         if version_col
         else ""
     )
@@ -136,7 +149,7 @@ def build_merge_sql(
     # "UPDATE SET" would be a parse error, so emit insert-only MERGE
     matched = f"WHEN MATCHED{guard} THEN UPDATE SET {sets} " if sets else ""
     return (
-        f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
+        f"MERGE INTO {qt(target_table)} t USING {qt(source_view)} s ON {on} "
         f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )

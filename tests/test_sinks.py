@@ -183,8 +183,10 @@ def test_build_merge_sql_shape():
     # r6: null-SAFE key match (<=>) so replayed NULL-key rows stay
     # idempotent, and a null-versioned target row loses to any
     # versioned source (upsert_by_key's contract)
+    # r7: table identifiers quoted per dotted segment (hyphenated or
+    # reserved-word names parse), embedded backticks escaped
     assert sql == (
-        "MERGE INTO lake.events_latest t USING src s ON t.`user_id` <=> s.`user_id` "
+        "MERGE INTO `lake`.`events_latest` t USING `src` s ON t.`user_id` <=> s.`user_id` "
         "WHEN MATCHED AND (s.`ts` > t.`ts` OR t.`ts` IS NULL) "
         "THEN UPDATE SET t.`ts` = s.`ts`, "
         "t.`value` = s.`value` "

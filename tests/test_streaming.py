@@ -933,3 +933,26 @@ def test_running_totals_negative_event_times(spark, tmp_path):
     }
     assert got[1] == -3_000_000, got
     assert got[2] == 0, got
+
+
+def test_keyed_store_rejects_param_drift_and_reserved_columns(spark, tmp_path):
+    """Reopening a store with different n_buckets/keys must raise (keys
+    would silently split across buckets), and a batch carrying the
+    reserved _kb/_is_new names must raise instead of being clobbered."""
+    import pytest as _pytest
+
+    from eventbridge_etl_spark.operators.upsert import KeyedParquetStore
+
+    path = str(tmp_path / "store")
+    store = KeyedParquetStore(path, ["user_id"], n_buckets=8)
+    batch = spark.createDataFrame(
+        [(1, 10.0, 100)], "user_id long, value double, ver long"
+    )
+    store.upsert(batch, version_col="ver")
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        KeyedParquetStore(path, ["user_id"], n_buckets=16).upsert(
+            batch, version_col="ver"
+        )
+    with _pytest.raises(ValueError, match="reserved"):
+        store.upsert(batch.withColumn("_is_new", batch.value))
