@@ -337,6 +337,15 @@ def make_jpeg_codec():
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 raise ValueError(f"marker expected at {pos}")
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+            # marker; without skipping them, 'FF FF DB' read the second
+            # FF as the marker and the real DB byte as segment-length
+            # high byte — a misaligned parse of a spec-legal file
+            # (review finding, r7)
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > len(data):
+                break
             marker = data[pos + 1]
             pos += 2
             if marker == 0xD9:  # EOI
@@ -381,6 +390,17 @@ def make_jpeg_codec():
                 prec, fh, fw, nc = body[0], *_struct.unpack(">HH", body[1:5]), body[5]
                 if prec != 8:
                     raise ValueError("only 8-bit precision supported")
+                # 4-component (Adobe CMYK/YCCK) files would otherwise
+                # pass every check and silently decode the C/M/Y planes
+                # as YCbCr — wrong pixels poisoning downstream
+                # histograms/hashes; 2-component files crashed with
+                # IndexError instead of the contractual ValueError
+                # (review finding, r7)
+                if nc not in (1, 3):
+                    raise ValueError(
+                        f"only 1- (gray) or 3-component (YCbCr) JPEG "
+                        f"supported, got {nc} components"
+                    )
                 comps = []
                 for ci in range(nc):
                     cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]

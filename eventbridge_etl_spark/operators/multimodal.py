@@ -69,13 +69,6 @@ def attach_payload(
     )
 
 
-def _byte_histogram(data: bytes, n_buckets: int) -> list[int]:
-    counts = [0] * n_buckets
-    for b in data:
-        counts[b % n_buckets] += 1
-    return counts
-
-
 #: Mimes the real (non-fake) paths handle with stdlib parsers.  The
 #: mapInPandas closures capture these by value (they stay
 #: self-contained for cloudpickle), so this is the single source of
@@ -348,6 +341,19 @@ def decode_media(
         for pdf in batches:
             rows = {"id": [], "mime": [], "n_bytes": [], "features": []}
             for rid, payload in zip(pdf["_id"], pdf["_payload"]):
+                # null id arrives as NaN (int(NaN) kills the job — the
+                # compress.py/cdc_chunk.py guard, review r7) and a null
+                # payload STRUCT (left-join miss) arrives as None
+                # (subscripting it raises TypeError)
+                rid = None if rid != rid else int(rid)
+                if payload is None:
+                    # left-join miss: no media — emit a null row rather
+                    # than crashing (or faking an empty decode)
+                    rows["id"].append(rid)
+                    rows["mime"].append(None)
+                    rows["n_bytes"].append(0)
+                    rows["features"].append(None)
+                    continue
                 data = bytes(payload["data"] or b"")
                 mime = payload["meta"]["mime"]
                 if fake:
@@ -377,7 +383,7 @@ def decode_media(
                         f"no codec for mime {mime!r} in this environment; "
                         "pass fake=True for the byte-level decode"
                     )
-                rows["id"].append(int(rid))
+                rows["id"].append(rid)
                 rows["mime"].append(mime)
                 rows["n_bytes"].append(len(data))
                 rows["features"].append(feats)
@@ -405,9 +411,10 @@ def resize_media(
     gather), and re-encode as valid netpbm bytes of the same format;
     8-bit PNG decodes through the stdlib codec, resamples the same
     way (alpha preserved), and re-encodes as a valid PNG (paletted
-    input comes back as plain RGB).  Other mimes raise
-    NotImplementedError (no compressed-format codec
-    in this container); a PIL-backed build extends the same dispatch.
+    input comes back as plain RGB); baseline JPEG decodes through the
+    stdlib codec and re-encodes at fixed quality 90, 4:4:4
+    (deterministic bytes).  Other mimes raise NotImplementedError; a
+    PIL-backed build extends the same dispatch.
     ``fake=True`` keeps the deterministic byte-stride "resample"
     (keep every ceil(len/target_area)-th byte) — schema-correct and
     size-bounded like a real thumbnail pass, for any mime.
@@ -463,6 +470,18 @@ def resize_media(
         for pdf in batches:
             rows = {"id": [], "data": [], "mime": [], "width": [], "height": []}
             for rid, payload in zip(pdf["_id"], pdf["_payload"]):
+                # null id arrives as NaN (int(NaN) kills the job — the
+                # compress.py/cdc_chunk.py guard, review r7) and a null
+                # payload STRUCT (left-join miss) arrives as None
+                # (subscripting it raises TypeError)
+                rid = None if rid != rid else int(rid)
+                if payload is None:
+                    rows["id"].append(rid)
+                    rows["data"].append(None)
+                    rows["mime"].append(None)
+                    rows["width"].append(target_width)
+                    rows["height"].append(target_height)
+                    continue
                 data = bytes(payload["data"] or b"")
                 mime = payload["meta"]["mime"]
                 if fake:
@@ -488,7 +507,7 @@ def resize_media(
                         f"no codec for mime {mime!r} in this environment; "
                         "pass fake=True for the byte-stride resample"
                     )
-                rows["id"].append(int(rid))
+                rows["id"].append(rid)
                 rows["data"].append(out)
                 rows["mime"].append(mime)
                 rows["width"].append(target_width)
@@ -520,6 +539,11 @@ def frame_sample(df: DataFrame, id_col: str, n_frames_col: str, every_n: int) ->
     of each sampled frame would then run through ``decode_media``.
     Zero-frame payloads produce NO rows (explode of the null sequence),
     never a phantom frame 0."""
+    if every_n < 1:
+        raise ValueError(
+            f"every_n must be >= 1, got {every_n} (a zero step only "
+            "fails deep inside the executor's sequence() otherwise)"
+        )
     idxs = F.when(
         F.col(n_frames_col) > 0,
         F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n)),
@@ -596,7 +620,12 @@ def perceptual_hash(
             )
             counts = _np.maximum(bounds[1:] - bounds[:-1], 0)
             means = _np.where(counts > 0, sums / _np.maximum(counts, 1), 0.0)
-            return _pack(means > means.mean())
+            # threshold over NON-EMPTY cells only: with < 64 samples the
+            # zero-filled empty cells dragged the global mean down and
+            # near-identical tiny payloads of different lengths hashed
+            # ~32 bits apart (review finding, r7); empty cells emit 0
+            nz = counts > 0
+            return _pack((means > means[nz].mean()) & nz)
 
         def _netpbm_hash(data):
             m = header_re.match(data)
@@ -625,6 +654,13 @@ def perceptual_hash(
         for pdf in batches:
             ids, hashes = [], []
             for rid, payload in zip(pdf["_id"], pdf["_payload"]):
+                # null id arrives as NaN (int(NaN) kills the job — the
+                # compress.py/cdc_chunk.py guard, review r7) and a null
+                # payload STRUCT (left-join miss) arrives as None
+                # (subscripting it raises TypeError)
+                rid = None if rid != rid else int(rid)
+                if payload is None:
+                    payload = {"data": b"", "meta": {"mime": ""}}
                 data = bytes(payload["data"] or b"")
                 mime = payload["meta"]["mime"]
                 if not data:
@@ -654,7 +690,7 @@ def perceptual_hash(
                         f"no codec for mime {mime!r} in this environment; "
                         "pass fake=True for the byte-level hash"
                     )
-                ids.append(int(rid))
+                ids.append(rid)
                 hashes.append(ph)
             yield _pd.DataFrame({"id": ids, "phash": hashes})
 
@@ -690,7 +726,15 @@ def phash_near_dup_pairs(
     h = hashes.select(
         F.col(id_col).alias("_id"), F.col(hash_col).cast("long").alias("_h")
     )
-    mask = (1 << width) - 1
+    # max_hamming=0 -> one 64-bit band: (1 << 64) - 1 overflows LongType
+    # and F.lit raises at plan build (probed, review r7); the shifted
+    # value IS the whole hash there, so skip the mask entirely
+    def _band_val(b: int):
+        shifted = F.shiftrightunsigned(F.col("_h"), b * width)
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     bands = h.select(
         "_id",
         "_h",
@@ -699,10 +743,7 @@ def phash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        (
-                            F.shiftrightunsigned(F.col("_h"), b * width)
-                            .bitwiseAND(F.lit(mask))
-                        ).alias("val"),
+                        _band_val(b).alias("val"),
                     )
                     for b in range(n_bands)
                 ]
