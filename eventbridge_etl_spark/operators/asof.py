@@ -58,6 +58,26 @@ def asof_join(
     on = list(on)
     rts = right_ts_col or ts_col
     payload_cols = [c for c in right.columns if c not in on and c != rts]
+    # internal temp names and suffixed output names must not collide
+    # with input columns: '_ts' in left made the window ORDER BY
+    # ambiguous, and a left column equal to '<payload>{suffix}' emitted
+    # two identically-named output columns with no error until a
+    # downstream reference failed (review r7; the features.py guard
+    # pattern)
+    internal = {"_ts", "_tag", "_rpay", "_match"}
+    clash = sorted(internal & (set(left.columns) | set(right.columns)))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with asof_join's internal "
+            "temp columns; rename them first"
+        )
+    suffixed = {f"{rts}{suffix}"} | {f"{c}{suffix}" for c in payload_cols}
+    out_clash = sorted(suffixed & {c for c in left.columns if c not in on})
+    if out_clash:
+        raise ValueError(
+            f"left columns {out_clash} collide with the suffixed right "
+            f"payload names; pick a different suffix than {suffix!r}"
+        )
 
     r_clean = right.filter(F.col(rts).isNotNull())
     for k in on:

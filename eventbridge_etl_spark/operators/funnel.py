@@ -117,7 +117,11 @@ def retention_cohorts(
     that offset (offset 0 = cohort size).
 
     Period boundaries are epoch-aligned integer arithmetic (no calendar
-    ambiguity), so any engine reproduces them bitwise.
+    ambiguity), so any engine reproduces them bitwise.  The boundary
+    quotient truncates toward zero on BOTH engines (Spark long cast ==
+    DuckDB ``//`` — probed; the timeshift sweep pins agreement on
+    pre-epoch events), and the double image of epoch/period is exact to
+    far below the boundary gap for |epoch| < 2^45 (~year 3084).
     """
     p = F.lit(period_seconds).cast("long")
     epoch = F.unix_timestamp(F.col(ts_col))
@@ -146,6 +150,7 @@ def linear_attribution(
     ts_col: str = "ts",
     value_col: str = "value",
     id_col: str = "event_id",
+    type_col: str = "event_type",
 ) -> DataFrame:
     """Linear multi-touch attribution: each conversion's value is split
     EQUALLY across the user's touch events in the ``window_hours``
@@ -167,15 +172,21 @@ def linear_attribution(
     at skew.
     """
     us = F.unix_micros(F.col(ts_col))
-    conv = events.where(F.col("event_type") == conv_type).select(
+    # id_col is the per-conversion aggregation key: a NULL id never
+    # equi-joins its own touch pairs, so such a conversion would take
+    # full (direct) credit DESPITE in-window touches — exclude loudly
+    # by contract; ids must also be unique or shares dilute (review r7)
+    conv = events.where(
+        (F.col(type_col) == conv_type) & F.col(id_col).isNotNull()
+    ).select(
         F.col(key_col).alias("_u"),
         F.col(id_col).alias("_cid"),
         us.alias("_cus"),
         F.round(F.col(value_col), 2).alias("_cval"),
     )
-    touch = events.where(F.col("event_type").isin(*touch_types)).select(
+    touch = events.where(F.col(type_col).isin(*touch_types)).select(
         F.col(key_col).alias("_u"),
-        F.col("event_type").alias("_channel"),
+        F.col(type_col).alias("_channel"),
         us.alias("_tus"),
     )
     w_us = window_hours * 3_600_000_000

@@ -42,6 +42,18 @@ def hash_fraction(key: Column | str) -> Column:
     ) / F.lit(_DENOM)
 
 
+def _guard_internal(df: DataFrame, names: list[str]) -> None:
+    """Raise when input columns collide with internal temp names — the
+    transforms would silently overwrite then drop them (the
+    features._guard_temp_columns contract, applied here; review r7)."""
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with internal temp columns; "
+            "rename them before calling this transform"
+        )
+
+
 def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash — stable across
     runs, partitionings, and engines.  NULL-key rows are never kept at
@@ -85,6 +97,11 @@ def train_test_split(
     conservative side, since an unidentifiable row in the test set
     could silently duplicate training text; note the asymmetry with
     ``deterministic_sample``, which DROPS null keys."""
+    if split_col in df.columns:
+        raise ValueError(
+            f"split_col {split_col!r} already exists in the input; this "
+            "transform appends a new column — pick another name"
+        )
     return df.withColumn(
         split_col,
         F.when(hash_fraction(key) < test_fraction, "test").otherwise("train"),
@@ -108,6 +125,7 @@ def cap_per_group(
     """
     if n <= 0:
         raise ValueError("cap must be positive")
+    _guard_internal(df, ["_rn"])
     w = Window.partitionBy(group_col).orderBy(
         *[F.col(c) if isinstance(c, str) else c for c in order_cols]
     )
@@ -150,10 +168,14 @@ def temperature_resample(
     against a joined column and cannot push down on its own — verified
     in the physical plan.)
     """
+    _guard_internal(df, ["_n", "_d", "_k", "_rn"])
     # a null source would contribute tempered mass to the normalizer
     # and then vanish at the quota equi-join (null never equi-joins),
-    # silently deflating every real source's quota — drop it up front
-    df = df.filter(F.col(group_col).isNotNull())
+    # silently deflating every real source's quota; a null ROW KEY has
+    # md5(null)=null, sorts FIRST in the selection window, and ties with
+    # every other null key — preferentially selected in nondeterministic
+    # order (review, r7).  Drop both up front.
+    df = df.filter(F.col(group_col).isNotNull() & F.col(key_col).isNotNull())
     # alpha=0.5 routes through F.sqrt, not pow: Math.pow is specified
     # only to 1 ulp and does not special-case y=0.5, while the oracle's
     # sqrt is correctly rounded — a 1-ulp gap landing on a
@@ -223,6 +245,11 @@ def weighted_systematic_sample(
     against the naive single-machine cumsum at 1e6 rows under multiple
     input partitionings.
     """
+    if k < 1:
+        raise ValueError(
+            f"k must be >= 1, got {k} — a nonpositive k would silently "
+            "return an empty sample (no arrival point lands anywhere)"
+        )
     dtype = df.schema[weight_col].dataType.simpleString()
     if dtype not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(

@@ -58,10 +58,19 @@ def scd2_from_changelog(
         *[F.first(a).alias(a) for a in attrs],
     )
     w_run = Window.partitionBy(*keys).orderBy("_run")
+    w_key = Window.partitionBy(*keys)
     return (
         per_run.withColumn("valid_to", F.lead("valid_from").over(w_run))
         .withColumn("version", F.row_number().over(w_run))
-        .withColumn("is_current", F.col("valid_to").isNull())
+        # current = the LAST run per key, not valid_to IS NULL: two
+        # null-ts rows with distinct attrs form runs whose valid_from
+        # is NULL, making the preceding run's lead() NULL too — the
+        # old predicate then flagged BOTH as current (review r7).  A
+        # null-valid_from successor still leaves valid_to NULL (the
+        # boundary is genuinely unknown), but only one run is current.
+        .withColumn(
+            "is_current", F.col("version") == F.count(F.lit(1)).over(w_key)
+        )
         .drop("_run")
     )
 
@@ -103,18 +112,33 @@ def snapshot_diff(
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     compare_cols = (
+        # UNION of both sides' non-key columns: deriving only from
+        # ``old`` made a schema-evolution rebuild (new populated column)
+        # report every row 'unchanged' — the diff missed the one change
+        # the rebuild introduced (review r7).  A column absent on one
+        # side reads NULL there, so added/removed VALUES surface as
+        # 'changed' through the null-safe compare.
         [c for c in old.columns if c not in key_cols]
+        + [
+            c
+            for c in new.columns
+            if c not in key_cols and c not in old.columns
+        ]
         if compare_cols is None
         else compare_cols
     )
+
+    def _side(df: DataFrame, c: str):
+        return F.col(c) if c in df.columns else F.lit(None)
+
     o = old.select(
         *[F.col(k) for k in key_cols],
-        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        *[_side(old, c).alias(f"_o_{c}") for c in compare_cols],
         F.lit(True).alias("_in_old"),
     )
     n = new.select(
         *[F.col(k) for k in key_cols],
-        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        *[_side(new, c).alias(f"_n_{c}") for c in compare_cols],
         F.lit(True).alias("_in_new"),
     )
     joined = o.join(n, key_cols, "full_outer")

@@ -411,7 +411,10 @@ def dedup_minhash_admission(spark, sf_dir):
     WITH conv AS (
       SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cus,
              round(value, 2) AS cval
-      FROM events WHERE event_type = 'purchase'
+      -- null-id conversions are excluded by operator contract (a NULL
+      -- id never equi-joins its own touch pairs and would take full
+      -- direct credit despite in-window touches; review r7)
+      FROM events WHERE event_type = 'purchase' AND event_id IS NOT NULL
     ),
     touch AS (
       SELECT user_id AS u, event_type AS channel, epoch_us(ts) AS tus

@@ -211,7 +211,14 @@ def dedup_chunk_level(spark, sf_dir):
 @query(
     "sample_temperature",
     oracle="""
-    WITH n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    -- null sources AND null doc_ids are excluded from the quota mass,
+    -- mirroring the operator contract: the engine drops both up front,
+    -- while a bare GROUP BY here kept the null-source group's tempered
+    -- mass in the normalizer — green on the adv fixture only because no
+    -- per-source floor(+0.5) boundary happened to flip (review, r7)
+    WITH n AS (SELECT source, COUNT(*) AS cnt FROM documents
+               WHERE source IS NOT NULL AND doc_id IS NOT NULL
+               GROUP BY source),
     w AS (SELECT source, CAST(sqrt(cnt) AS DECIMAL(18,6)) AS d FROM n),
     z AS (SELECT SUM(d) AS z FROM w),
     q AS (
@@ -226,6 +233,7 @@ def dedup_chunk_level(spark, sf_dir):
                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                AS rn
       FROM documents
+      WHERE source IS NOT NULL AND doc_id IS NOT NULL
     )
     SELECT doc_id, source, lang, n_chars
     FROM r JOIN q USING (source)

@@ -361,7 +361,12 @@ def join_asof_attribution(spark, sf_dir):
     SELECT user_id, valid_from, event_type,
            lead(valid_from) OVER wr AS valid_to,
            CAST(ROW_NUMBER() OVER wr AS BIGINT) AS version,
-           lead(valid_from) OVER wr IS NULL AS is_current
+           -- current = LAST run per key (operator contract, review r7):
+           -- lead(valid_from) IS NULL also fired when the NEXT run's
+           -- valid_from was NULL (two distinct null-ts rows), flagging
+           -- two runs current for one key
+           ROW_NUMBER() OVER wr = COUNT(*) OVER (PARTITION BY user_id)
+             AS is_current
     FROM p
     WINDOW wr AS (PARTITION BY user_id ORDER BY run)
     """,
