@@ -31,14 +31,13 @@ functions, explode/groupBy/join) — no Python UDFs anywhere.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from eventbridge_etl_spark.operators.partitioning import fan_out as _fan_out
 from eventbridge_etl_spark.cache import scoped_persist
-from eventbridge_etl_spark.operators.text import tokens
+from eventbridge_etl_spark.operators.text import distinct_gram_hashes, tokens
 
 
 def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -75,6 +74,25 @@ def _int_encode(token_sets: DataFrame) -> DataFrame:
     )
 
 
+def _content_digest(content_cols: list[str]):
+    """Digest format v2 (round 6): md5 over \x1f-joined columns with a
+    \x00 sentinel for NULLs.  ONE definition — exact_dedup and
+    incremental_dedup must digest bit-identically or an admitted row
+    would not match its own digest in a persisted store (the copies
+    previously drifted only by code review; review r7).  A payload
+    containing the literal sentinel/separator bytes can still alias;
+    binary-clean payloads should digest a struct hash instead."""
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in content_cols
+            ],
+        )
+    )
+
+
 def exact_dedup(
     df: DataFrame, id_col: str, content_cols: list[str], keep: str = "min"
 ) -> DataFrame:
@@ -89,15 +107,9 @@ def exact_dedup(
     A payload containing the literal sentinel/separator bytes can
     still alias; binary-clean payloads should digest a struct hash
     instead."""
-    digest = F.md5(
-        F.concat_ws(
-            "\x1f",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                for c in content_cols
-            ],
-        )
-    )
+    digest = _content_digest(content_cols)
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     return (
         df.withColumn("_digest", digest)
@@ -262,8 +274,13 @@ def minhash_lsh_pairs(
     df = _fan_out(df)
     t = _token_sets(df, id_col, text_col)
     # canonical set digest: order-insensitive (array_sort), computed
-    # map-side so the group shuffle moves (digest, id) — never the text
-    set_key = F.md5(F.concat_ws("\x1f", F.array_sort("_toks")))
+    # map-side so the group shuffle moves (digest, id) — never the text.
+    # to_json, not concat_ws('\x1f'): a token CONTAINING \x1f (it is
+    # not \s, so it survives tokenization) aliased {'a\x1fb'} with
+    # {'a','b'}, fusing unrelated docs into one exact-dup group and
+    # fabricating jaccard-1.0 pairs (review r7); JSON escaping is
+    # collision-free for any token bytes
+    set_key = F.md5(F.to_json(F.array_sort("_toks")))
     # groups is read three times (rep selection + both expansion sides);
     # persist so the corpus is tokenized and the digest shuffled ONCE
     groups = scoped_persist(
@@ -601,14 +618,10 @@ def ngram_contamination(
         # interpreted, no codegen CSE) — O(tokens²) per doc, measured
         # 43 s at 40k tokens vs linear with the materialized column
         # (longtext probe, round 7)
-        toks = F.col("_toks")
-        tokenized = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        starts = F.when(
-            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-        ).otherwise(F.array().cast("array<int>"))
-        gs = F.array_distinct(
-            F.transform(starts, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")))
+        tokenized = df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
         )
+        gs = distinct_gram_hashes(F.col("_toks"), n)
         return tokenized.select(F.col(id_col), F.explode(gs).alias("_g"))
 
     bench = grams(benchmark).select("_g").distinct()
@@ -842,15 +855,7 @@ def incremental_dedup(
     # same null-sentinel encoding as exact_dedup (concat_ws skips
     # nulls; the two operators MUST digest identically or an admitted
     # row would not match its own exact_dedup digest in the store)
-    digest = F.md5(
-        F.concat_ws(
-            "\x1f",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                for c in content_cols
-            ],
-        )
-    )
+    digest = _content_digest(content_cols)
     batch = new_batch.withColumn("_digest", digest)
     # min-id representative per digest via one window on the digest key
     # (same shuffle a groupBy would take, no ambiguous self-join)
@@ -964,7 +969,11 @@ def tfidf_cosine_pairs(
         .groupBy("_id", "_tok")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
-    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    # N = rankable documents (non-null id AND text), the shared IDF
+    # contract with text.document_frequency / retrieval.bm25 (review r7)
+    n_docs = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.countDistinct(id_col).alias("_n"))
     dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     if max_df is not None:
         dfreq = dfreq.where(F.col("_df") <= max_df)

@@ -9,7 +9,7 @@ scan-bound.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from eventbridge_etl_spark.cache import scoped_persist
 
@@ -117,18 +117,35 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 def lang_id(text: Column | str, default: str = "und") -> Column:
     """argmax over lang_scores with deterministic alphabetical tiebreak;
-    'und' (undetermined) when nothing scores > 0."""
-    scores = lang_scores(text)
-    best = None
-    best_score = None
-    for lang in sorted(scores):  # alphabetical => ties resolve to first
-        s = scores[lang]
-        if best is None:
-            best, best_score = F.lit(lang), s
-        else:
-            best = F.when(s > best_score, F.lit(lang)).otherwise(best)
-            best_score = F.when(s > best_score, s).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit(default))
+    ``default`` ('und', undetermined) when nothing scores > 0; NULL for
+    NULL text — no verdict on a document with no signal, matching the
+    NULL-measurement convention of every sibling (gopher means, mode
+    fractions); the old non-null 'und' counted null-text rows as real
+    undetermined-language documents in distribution rollups (review r7).
+
+    Single-copy argmax: the previous fold nested best_score twice per
+    when(), doubling the expression tree per language (2^n growth —
+    the r7 re-evaluation family).  array_max over (score, -rank)
+    structs keeps ONE copy of each score; struct ordering compares
+    score first, then -rank, so ties resolve to the alphabetically
+    FIRST language exactly as before."""
+    col = F.col(text) if isinstance(text, str) else text
+    scores = lang_scores(col)
+    langs = sorted(scores)
+    top = F.array_max(
+        F.array(
+            *[
+                F.struct(scores[lang].alias("s"), F.lit(-i).alias("nr"))
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
+    best = F.element_at(F.array(*[F.lit(lang) for lang in langs]), -top["nr"] + 1)
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(top["s"] > 0, best)
+        .otherwise(F.lit(default))
+    )
 
 
 def shingles(text: Column | str, k: int = 8) -> Column:
@@ -252,7 +269,14 @@ def document_frequency(df, text_col: str = "text", id_col: str = "doc_id"):
     partial aggregation absorbs the Zipf head ("the" combines map-side
     to one row per partition before it moves).
     """
-    total = df.agg(F.count("*").alias("_n_docs"))
+    # N = rankable documents (non-null id AND text) — the BM25/tfidf
+    # contract; count(*) previously counted null-text and duplicate-id
+    # rows into N, shifting every IDF so universal tokens were no
+    # longer zero-weighted, and disagreed with tfidf_cosine_pairs' N
+    # on the same corpus (review r7)
+    total = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).agg(F.countDistinct(id_col).alias("_n_docs"))
     return (
         df.select(
             F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
@@ -679,6 +703,25 @@ def unigram_kl(
     )
 
 
+def distinct_gram_hashes(toks: Column, n: int) -> Column:
+    """Distinct xxhash64 word n-gram array over a MATERIALIZED token
+    attribute — the ONE gram-hash family shared by ``ngram_novelty``
+    and ``dedup.ngram_contamination`` (their grams must stay
+    comparable; the two copies previously drifted only by code review —
+    review r7).  ``toks`` MUST be a bound attribute, not an inline
+    tokenizer expression: HOF lambdas re-evaluate non-attribute
+    operands per element (the longtext class).  Documents shorter than
+    ``n`` tokens yield an empty array."""
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(
+            starts, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " "))
+        )
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str = "text",
@@ -705,15 +748,7 @@ def ngram_novelty(
     tokenized = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
-    toks = F.col("_toks")
-    starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gs = F.array_distinct(
-        F.transform(
-            starts, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " "))
-        )
-    )
+    gs = distinct_gram_hashes(F.col("_toks"), n)
     # per feeds the gram-frequency aggregate AND the join back; persist.
     # Not unpersisted here (the returned frame still references it) —
     # the registry's tracked-release hook reclaims it between queries

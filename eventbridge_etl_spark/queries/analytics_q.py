@@ -202,7 +202,8 @@ def skew_key_report(spark, sf_dir):
                unnest({SQL_TOKS_RAW}) AS token
         FROM documents) GROUP BY id, token
     ),
-    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
     dfq AS (SELECT token, COUNT(*) AS dfn FROM toks GROUP BY token),
     idf AS (
       SELECT token,
@@ -254,7 +255,8 @@ def dedup_tfidf_cosine(spark, sf_dir):
                unnest({SQL_TOKS_RAW}) AS token
         FROM documents) GROUP BY id, token
     ),
-    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
     dfq AS (
       SELECT token, COUNT(*) AS dfn FROM toks GROUP BY token
       HAVING COUNT(*) <= 390

@@ -105,10 +105,11 @@ def text_quality_score(spark, sf_dir):
       FROM toks
     )
     SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
-           -- COALESCE: a NULL text yields NULL scores; every compare
-           -- in the chain is then NULL (falsy) and the bare CASE would
-           -- fall through to 'de' — the engine says 'und' (no signal)
-           CASE WHEN COALESCE(greatest(score_de, score_en, score_es, score_fr), 0) = 0 THEN 'und'
+           -- NULL text -> NULL verdict (no signal, engine contract r7);
+           -- all-zero scores -> 'und'; otherwise argmax with the
+           -- alphabetical tiebreak encoded by the comparison order
+           CASE WHEN score_en IS NULL THEN NULL
+                WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
                 WHEN score_fr > score_es AND score_fr > score_en AND score_fr > score_de THEN 'fr'
                 WHEN score_es > score_en AND score_es > score_de THEN 'es'
                 WHEN score_en > score_de THEN 'en'
@@ -948,7 +949,10 @@ def text_chunk_windows(spark, sf_dir):
       FROM documents
     )
     SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df,
-           ROUND(LN((SELECT COUNT(*) FROM documents) / COUNT(DISTINCT doc_id)), 6) AS idf
+           -- N = rankable docs (id+text non-null): the shared IDF contract
+           ROUND(LN((SELECT COUNT(DISTINCT doc_id) FROM documents
+                     WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+                    / COUNT(DISTINCT doc_id)), 6) AS idf
     FROM tok
     GROUP BY token
     ORDER BY tf DESC, token

@@ -250,3 +250,29 @@ def test_chunk_dedup_null_text_round_trips(spark):
     assert set(out) == {1, 2}
     assert out[1]["new_text"] == "a b c d"
     assert out[2]["new_text"] == "" and out[2]["n_removed"] == 0
+
+
+def test_minhash_base_value_forms_agree(spark):
+    """The MinHash base value x = conv(md5(tok)[:8], 16, 10) % PRIME is
+    written twice — SQL-string form in _sign_token_sets, Column-API
+    form in source_overlap — and the cross-operator estimator-family
+    claim ('same frozen affine family as document minhash') holds only
+    while they stay bit-identical.  Pin them against each other on a
+    token sample covering ASCII/unicode/empty (review r7)."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators.dedup import MINHASH_PRIME
+
+    toks = spark.createDataFrame(
+        [("the",), ("straße",), ("数据库",), ("",), ("tok99999",)], ["tok"]
+    )
+    sql_form = F.expr(
+        f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+        f" % {MINHASH_PRIME}"
+    )
+    col_form = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
+    rows = toks.select(sql_form.alias("a"), col_form.alias("b")).collect()
+    assert all(r["a"] == r["b"] for r in rows), rows
