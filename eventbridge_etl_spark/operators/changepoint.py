@@ -57,7 +57,9 @@ def cusum_alarms(
         F.col(key_col).alias("_k"),
         F.unix_micros(F.col(ts_col)).alias("_us"),
         F.col(tiebreak_col).alias("_tb"),
-        F.expr(f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)").alias("_x"),
+        # backticked: an unquoted 'a-b' column name parses as
+        # subtraction (review r7)
+        F.expr(f"CAST(floor(`{value_col}` * {scale} + 0.5) AS BIGINT)").alias("_x"),
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -65,6 +67,10 @@ def cusum_alarms(
         # values (the suite-wide Spark ASC NULLS FIRST contract);
         # pandas' default puts NaN last, silently reordering the fold
         # (r7 adversarial-fixture finding)
+        # Exactness domain: a group containing any NULL arrives with _x
+        # as float64 (Arrow nullable), so int(x) is exact only for
+        # |value*scale| < 2^53 — |value| <= 9e13 at the default scale,
+        # far past the documented 1e9 events.value domain (review r7).
         pdf = pdf.sort_values(["_us", "_tb"], na_position="first")
         s = mx = alarms = 0
         for x in pdf["_x"]:

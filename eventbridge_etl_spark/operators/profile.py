@@ -21,13 +21,20 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 
+def _qcol(name: str):
+    """Backtick-quoted column reference: plain ``F.col``/``df[...]``
+    resolve a dotted name as struct-field access, so a column literally
+    named 'user.name' failed analysis (review r7)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Profile ``cols`` (default: all columns): returns one row per
     column — ``(column, n_rows, n_nulls, n_distinct, min_value,
     max_value)`` with min/max cast to string so heterogeneous column
     types share one schema.  ``n_distinct`` is exact and excludes
     nulls (SQL COUNT(DISTINCT) semantics in both engines)."""
-    return _profile(df, cols, lambda c: F.count_distinct(F.col(c)))
+    return _profile(df, cols, lambda c: F.count_distinct(_qcol(c)))
 
 
 def profile_columns_approx(
@@ -46,7 +53,7 @@ def profile_columns_approx(
     tests/test_plans.py.  Trade: ~rsd relative error on n_distinct;
     n_rows/n_nulls/min/max remain exact.
     """
-    return _profile(df, cols, lambda c: F.approx_count_distinct(F.col(c), rsd))
+    return _profile(df, cols, lambda c: F.approx_count_distinct(_qcol(c), rsd))
 
 
 def _profile(df: DataFrame, cols: Sequence[str] | None, nd_expr) -> DataFrame:
@@ -62,10 +69,10 @@ def _profile(df: DataFrame, cols: Sequence[str] | None, nd_expr) -> DataFrame:
     aggs = [F.count("*").alias("_n")]
     for c in cols:
         aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{c}"),
+            F.count(F.when(_qcol(c).isNull(), 1)).alias(f"_nn_{c}"),
             nd_expr(c).alias(f"_nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+            F.min(_qcol(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(_qcol(c)).cast("string").alias(f"_mx_{c}"),
         ]
     one = df.agg(*aggs)
     return _to_long_form(one, cols)
@@ -74,15 +81,19 @@ def _profile(df: DataFrame, cols: Sequence[str] | None, nd_expr) -> DataFrame:
 def _to_long_form(one: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Reshape the 1-row wide aggregate to one row per profiled column
     via an explode of a literal struct array (no data movement)."""
+    # every per-column reference is backtick-quoted: a profiled column
+    # literally named 'user.name' (common after JSON ingestion) would
+    # otherwise resolve as struct-field access and fail analysis
+    # (review r7; _qcol(c) indexing upstream, quoted F.col here)
     rows = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column"),
                 F.col("_n").alias("n_rows"),
-                F.col(f"_nn_{c}").alias("n_nulls"),
-                F.col(f"_nd_{c}").alias("n_distinct"),
-                F.col(f"_mn_{c}").alias("min_value"),
-                F.col(f"_mx_{c}").alias("max_value"),
+                F.col(f"`_nn_{c}`").alias("n_nulls"),
+                F.col(f"`_nd_{c}`").alias("n_distinct"),
+                F.col(f"`_mn_{c}`").alias("min_value"),
+                F.col(f"`_mx_{c}`").alias("max_value"),
             )
             for c in cols
         ]

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from eventbridge_etl_spark.operators.rounding import half_up_div
+from eventbridge_etl_spark.operators.rounding import decimal_sum, half_up_div
 
 
 def gap_fill_hourly(
@@ -149,7 +149,7 @@ def ohlc_bars(
             # module, and rounded IN DECIMAL (exact HALF_UP on both
             # engines) before the double cast: rounding the double
             # image flips on true .xx5 sums (signmag sweep, round 7)
-            F.round(F.sum(_dec(v)), 2).cast("double").alias("volume"),
+            decimal_sum(v, 2).alias("volume"),
         )
     )
 
@@ -188,6 +188,12 @@ def counter_increase(
             "total order)"
         )
     v = F.col(value_col)
+    # PromQL increase() SKIPS missing samples: deltas are computed over
+    # consecutive NON-NULL observations.  Unfiltered, one null value
+    # poisoned BOTH adjacent deltas (v - lag(v) is null either way), so
+    # a single sensor gap silently zeroed real counter growth and hid
+    # resets (review r7).  n_obs therefore counts real observations.
+    events = events.filter(v.isNotNull())
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     delta = v - F.lag(v).over(w)
     stepped = events.select(
@@ -198,12 +204,9 @@ def counter_increase(
         stepped.groupBy(key_col)
         .agg(
             F.count("*").alias("n_obs"),
-            F.round(
-                F.sum(
-                    F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0.0)).cast("decimal(28,6)")
-                ),
-                4,
-            ).cast("double").alias("total_increase"),
+            decimal_sum(
+                F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0.0)), 4
+            ).alias("total_increase"),
             F.count(F.when(F.col("_d") < 0, 1)).alias("n_resets"),
         )
     )
@@ -361,9 +364,7 @@ def sessionize(
             (
                 F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
             ).alias("duration_secs"),
-            F.round(
-                F.sum(F.col(value_col).cast("decimal(28,6)")), 4
-            ).cast("double").alias("sum_value"),
+            decimal_sum(F.col(value_col), 4).alias("sum_value"),
         )
     )
 
@@ -403,10 +404,20 @@ def prorate_intervals(
     (type, hour): a single shuffle carrying one row per group.
     """
     us = F.unix_micros(F.col(ts_col))
-    dur_s = F.least(F.round(F.abs(F.col(value_col)) * 60), F.lit(max_dur_s)).cast(
+    # duration/amount synthesis in pure-IEEE half-up (floor(x+0.5) on
+    # the non-negative magnitude, sign reapplied), NOT F.round: native
+    # double round is Spark BigDecimal-HALF_UP vs DuckDB nearbyint and
+    # diverges at true halves (the rounding.py class; review r7).  The
+    # fixtures' 2dp values never land on x*60 or x*100 halves, so this
+    # is value-identical there — but synthetic inputs like 0.875*60 =
+    # 52.5 flipped a whole bucket before.
+    dur_s = F.least(
+        F.floor(F.abs(F.col(value_col)) * 60 + F.lit(0.5)), F.lit(max_dur_s)
+    ).cast("long")
+    sign = F.when(F.col(value_col) < 0, -1).otherwise(1)
+    cents = (sign * F.floor(F.abs(F.col(value_col)) * 100 + F.lit(0.5))).cast(
         "long"
     )
-    amount = F.round(F.col(value_col), 2)
     hour_us = 3_600_000_000
     base = (
         events.select(
@@ -414,7 +425,7 @@ def prorate_intervals(
             us.alias("s_us"),
             (us + dur_s * 1_000_000).alias("e_us"),
             (dur_s * 1_000_000).alias("dur_us"),
-            amount.alias("amount"),
+            cents.alias("_cents"),
         )
         .where(F.col("dur_us") > 0)
     )
@@ -428,7 +439,7 @@ def prorate_intervals(
             "s_us",
             "e_us",
             "dur_us",
-            "amount",
+            "_cents",
             F.explode(
                 F.sequence(
                     F.expr(f"s_us div {hour_us}"), F.expr(f"e_us div {hour_us}")
@@ -441,10 +452,6 @@ def prorate_intervals(
         # as HALF_UP(cents * overlap_us * 1e4, dur_us) micro-units —
         # round(double, 6) diverged from DuckDB's scaled nearbyint on a
         # genuine half edge at sf0.1 (operators/rounding.py)
-        .withColumn(
-            "_cents",
-            (F.col("amount").cast("decimal(18,2)") * 100).cast("long"),
-        )
         .withColumn(
             "share_u6",
             # the numerator can reach cents × 3.6e9 × 1e4 ≈ 3.6e23 —

@@ -116,24 +116,28 @@ def events_latency_percentiles(spark, sf_dir):
     "events_prorate_hourly",
     oracle=f"""
     WITH base AS (
+      -- pure-IEEE half-up synthesis (floor(x+0.5) on the magnitude):
+      -- native double round() is nearbyint here vs BigDecimal-HALF_UP
+      -- in Spark and diverges at true halves (review r7)
       SELECT event_type AS etype, epoch_us(ts) AS s_us,
-             CAST(least(round(abs(value) * 60), 7200) AS BIGINT) * 1000000
-               AS dur_us,
-             round(value, 2) AS amount
+             CAST(least(floor(abs(value) * 60 + 0.5), 7200) AS BIGINT)
+               * 1000000 AS dur_us,
+             CAST((CASE WHEN value < 0 THEN -1 ELSE 1 END)
+                  * floor(abs(value) * 100 + 0.5) AS BIGINT) AS cents
       FROM events
     ),
     b2 AS (
-      SELECT etype, s_us, s_us + dur_us AS e_us, dur_us, amount
+      SELECT etype, s_us, s_us + dur_us AS e_us, dur_us, cents
       FROM base WHERE dur_us > 0
     ),
     hrs AS (
-      SELECT etype, s_us, e_us, dur_us, amount,
+      SELECT etype, s_us, e_us, dur_us, cents,
              unnest(generate_series(s_us // 3600000000,
                                     e_us // 3600000000)) AS h
       FROM b2
     ),
     seg AS (
-      SELECT etype, h, amount, dur_us,
+      SELECT etype, h, cents, dur_us,
              least(e_us, (h + 1) * 3600000000)
                - greatest(s_us, h * 3600000000) AS overlap_us
       FROM hrs
@@ -147,8 +151,7 @@ def events_latency_percentiles(spark, sf_dir):
       -- DECIMAL(38,0) for the same reason)
       SELECT etype, h,
              {half_up_div_sql(
-                 "CAST(CAST(amount AS DECIMAL(18,2)) * 100 AS HUGEINT)"
-                 " * overlap_us * 10000",
+                 "CAST(cents AS HUGEINT) * overlap_us * 10000",
                  "dur_us",
              )} AS share_u6
       FROM seg WHERE overlap_us > 0

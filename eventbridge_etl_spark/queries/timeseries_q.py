@@ -151,10 +151,12 @@ def events_ohlc_hourly(spark, sf_dir):
     "events_counter_increase",
     oracle="""
     WITH d AS (
+      -- PromQL increase() skips missing samples: deltas over
+      -- consecutive NON-NULL observations (operator contract, r7)
       SELECT user_id,
              value - lag(value) OVER (PARTITION BY user_id
                                       ORDER BY ts NULLS FIRST, event_id) AS d
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT user_id,
            COUNT(*) AS n_obs,
