@@ -128,8 +128,6 @@ def check_k_anonymity(
             "quasi_cols must be non-empty: an empty list degrades to ONE "
             "global group and the privacy gate vacuously passes"
         )
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     sizes = df.groupBy(*quasi_cols).agg(F.count("*").alias("_n"))

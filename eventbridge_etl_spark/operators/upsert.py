@@ -94,8 +94,18 @@ class KeyedParquetStore:
         """Validate (or adopt) the store-parameters sidecar."""
         meta_path = os.path.join(self.path, self.META_FILE)
         if os.path.isfile(meta_path):
-            with open(meta_path) as fh:
-                meta = json.load(fh)
+            try:
+                with open(meta_path) as fh:
+                    meta = json.load(fh)
+            except (json.JSONDecodeError, ValueError) as exc:
+                # a crash mid-write (pre-atomic-rename versions) leaves
+                # truncated JSON; surface the recovery path instead of
+                # an opaque decode error on every subsequent open
+                raise ValueError(
+                    f"corrupt store-parameters sidecar at {meta_path!r} "
+                    "(interrupted write?) — delete the sidecar file to "
+                    "re-adopt the current parameters as the store's"
+                ) from exc
             if meta["n_buckets"] != self.n_buckets or meta["keys"] != self.keys:
                 raise ValueError(
                     f"store at {self.path!r} was created with "
@@ -109,8 +119,12 @@ class KeyedParquetStore:
         # existed — in both cases the current parameters ARE the store's
         # parameters (the pre-sidecar contract was caller discipline)
         os.makedirs(self.path, exist_ok=True)
-        with open(meta_path, "w") as fh:
+        # atomic publish: a crash mid-write must not leave truncated JSON
+        # that bricks every subsequent open (review finding, round 8)
+        tmp_path = f"{meta_path}.tmp.{os.getpid()}"
+        with open(tmp_path, "w") as fh:
             json.dump({"keys": self.keys, "n_buckets": self.n_buckets}, fh)
+        os.replace(tmp_path, meta_path)
 
     def _bucket(self, df: DataFrame) -> DataFrame:
         key_cols = [F.col(k) for k in self.keys]

@@ -68,78 +68,15 @@ def query(name: str, oracle: str | None = None):
 #: order.  Anything importing the registries directly without calling
 #: ``load_all()`` sees plain module-import registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-7 WINDOW (positions 1-50) =================
-    # Plan per VERDICT r6 "Next round #1": no query's evidence may end
-    # the round older than r4.  Head: the 16 remaining r2-stale rows
-    # (4 rounds old — the only evidence older than r3).  Then the 9
-    # round-6-touched gates that were self-certified value-identical
-    # (VERDICT r6 "What's wrong #1" — they cycle through the normal
-    # window instead of staying permanently exempt).  Then the oldest
-    # 25 of the r3-evidence cohort in registration order.  NO new
-    # gates this round — the registry must not outrun the window.
-    # --- 16 r2-stale (last green CORRECTNESS_r02; code untouched) ---
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_predicates",
-    "q21_waiting_orders",
-    "q22_dormant_customers",
-    "q13_customer_distribution",
-    "q20_dominant_suppliers",
-    "dedup_clusters",
-    "dedup_embedding_lsh",
-    "sample_train_test_split",
-    "sample_stratified",
-    "multimodal_frame_sample",
-    "similarity_label_centroids",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    # --- 9 r6-touched gates self-certified as value-identical on the
-    # fixture (null/ANSI/boundary guards no fixture row triggers);
-    # driver re-check closes the self-certification loop.
-    # (similarity_label_centroids and q21_waiting_orders were also in
-    # that set and already occupy r2-stale slots above.) ---
-    "fn_json_surface",
-    "fn_map_surface",
-    "fn_string_surface",
-    "events_path_trigrams",
-    "multimodal_byte_histogram",
-    "dedup_chunk_level",
-    "set_except",
-    "text_token_stats",
-    "text_quality_score",
-    # --- 25 oldest r3-evidence rows (last green CORRECTNESS_r03),
-    # registration order ---
-    "text_lang_scores",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "similarity_ivf_recall",
-    "similarity_topk_lsh",
-    "similarity_quantize_int8",
-    "text_chunk_windows",
-    "text_document_frequency",
-    "dedup_contamination_flag",
-    "sample_source_cap",
-    "text_repetition_stats",
-    "pipeline_training_mix",
-    "pack_token_sequences",
-    "sample_global_shuffle",
-    "similarity_kmeans_refine",
-    "dedup_semantic",
-    "text_unigram_logprob",
-    "route_transform_rule",
-    "route_cidr_classifier",
-    # ============== OVERFLOW (position 51+) — LEADS ROUND 8 ============
-    # The 21 remaining r3-evidence rows; they MUST head the r8 window
-    # (they will be three rounds stale by r8 close otherwise), followed
-    # by the oldest of the r4 cohort (42 rows) under the normal no-
-    # evidence-older-than-two-rounds rotation.
+    # ================= ROUND-8 WINDOW (positions 1-50) =================
+    # Plan per VERDICT r7 "Next round #1": head with the 21 remaining
+    # r3-evidence rows (they would be four rounds stale by r8 close),
+    # then the oldest 29 of the r4-evidence cohort (38 rows) in their
+    # original registration order — including the r7 engine-hash-
+    # exempted tokenizer/mode-count gates (text_gopher_quality,
+    # text_collapse_runs, text_bigram_topk, agg_mode_deterministic),
+    # closing that self-certification loop.  NO new gates this round.
+    # --- 21 r3-stale (last green CORRECTNESS_r03) ---
     "route_observe_tap",
     "events_keyed_upsert",
     "scan_projection_filter",
@@ -161,6 +98,49 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_sessionize",
     "streaming_interval_join",
     "streaming_running_totals",
+    # --- 29 oldest r4-evidence rows (last green CORRECTNESS_r04),
+    # registration order ---
+    "fn_date_surface",
+    "fn_math_surface",
+    "fn_array_surface",
+    "fn_conditional_surface",
+    "fn_hash_surface",
+    "fn_regex_surface",
+    "sample_deterministic",
+    "pipeline_corpus_admission",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "text_gopher_quality",
+    "text_collapse_runs",
+    "text_bigram_topk",
+    "sample_temperature",
+    "join_full_outer_coalesce",
+    "agg_mode_deterministic",
+    "set_intersect_all",
+    "set_except_all",
+    "window_nth_value",
+    "join_salted_skew",
+    "fuzzy_match_part_names",
+    "scd2_user_state",
+    "profile_orders",
+    "expect_orders_contract",
+    "rollup_incremental_merge",
+    "fn_bitwise_surface",
+    "events_outlier_iqr",
+    "agg_correlation",
+    "join_lateral_top2",
+    # ============== OVERFLOW (position 51+) — LEADS ROUND 9 ============
+    # The 9 remaining r4-evidence rows MUST head the r9 window, followed
+    # by the oldest of the r5 cohort (46 rows) under the normal rotation.
+    "expect_referential_integrity",
+    "events_hopping_windows",
+    "events_time_hierarchy_rollup",
+    "events_value_histogram",
+    "events_dow_seasonality",
+    "streaming_rollup_merge",
+    "dedup_cluster_sizes",
+    "window_share_of_total",
+    "events_rfm_segments",
 )
 
 

@@ -109,22 +109,50 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
-def _configured_master() -> bool:
+def _configured_master(environ: dict[str, str] | None = None) -> bool:
     """True when a cluster master is already configured for this process.
 
-    spark-submit passes ``--master`` as the ``spark.master`` entry of the
-    loaded SparkConf (JVM system properties / PYSPARK_SUBMIT_ARGS), NOT
-    as a ``SPARK_MASTER`` env var — the previous env-only probe made
+    spark-submit passes ``--master`` to the driver JVM, not as a
+    ``SPARK_MASTER`` env var — an env-only probe made
     ``builder.master(local[N])`` silently OVERRIDE ``--master yarn``,
     running the "cluster" job single-node on the driver host (review
-    finding, round 7).  Check both the submitted conf and the legacy
-    env vars.
+    finding, round 7).  The r7 fix probed ``SparkConf()``, but BEFORE
+    the JVM gateway exists PySpark's SparkConf is a plain empty local
+    dict that never sees JVM system properties, so in a fresh
+    spark-submit driver the probe still returned False (review finding,
+    round 8).  Pre-JVM, the reliable spark-submit signals are env vars
+    the launcher itself exports:
+
+    - ``PYSPARK_GATEWAY_PORT``/``PYSPARK_GATEWAY_SECRET`` — set whenever
+      the python process was forked by a spark-submit'd JVM driver,
+      meaning the JVM already holds the submitted conf (master included).
+    - ``--master`` or ``spark.master`` inside ``PYSPARK_SUBMIT_ARGS``.
+
+    Post-JVM (a live gateway), SparkConf(loadDefaults=True) does read
+    the system properties, so keep that probe as the final check.
+
+    ``environ`` is injectable for tests simulating the pre-JVM
+    spark-submit state without launching one.
     """
-    if os.environ.get("SPARK_MASTER") or os.environ.get("MASTER"):
+    env = os.environ if environ is None else environ
+    if env.get("SPARK_MASTER") or env.get("MASTER"):
+        return True
+    # spark-submit launched this interpreter: the JVM driver that forked
+    # us owns the submitted --master; never override it.
+    if env.get("PYSPARK_GATEWAY_PORT"):
+        return True
+    submit_args = env.get("PYSPARK_SUBMIT_ARGS", "")
+    if "--master" in submit_args or "spark.master" in submit_args:
         return True
     try:
         from pyspark import SparkConf
+        from pyspark.context import SparkContext
 
+        # SparkConf() only reflects JVM system properties once a gateway
+        # exists; without one it is an empty local dict — skip it rather
+        # than read a false negative.
+        if SparkContext._jvm is None:  # noqa: SLF001 — documented probe
+            return False
         return SparkConf().get("spark.master", None) is not None
     except Exception:  # pragma: no cover — conf probe must never block
         return False

@@ -108,12 +108,21 @@ def corrupt_records(df: DataFrame) -> DataFrame:
         # counts in every QueryProgress).
         data_cols = [c for c in df.columns if c != CORRUPT_COL]
         if data_cols:
+            # n_parsed counts corrupt-IS-NULL rows, not non-null first
+            # data fields: a well-formed {"k": null} record was counted
+            # as neither parsed nor corrupt, skewing the reconciliation
+            # (review finding, round 8).  The third metric exists purely
+            # as the pruning barrier — a data-column reference observe()
+            # keeps in the scan whatever the caller projects.
             df = df.observe(
                 "corrupt_quarantine_audit",
-                F.count(F.col(data_cols[0])).alias("n_parsed"),
+                F.count(F.when(F.col(CORRUPT_COL).isNull(), 1)).alias(
+                    "n_parsed"
+                ),
                 F.count(F.when(F.col(CORRUPT_COL).isNotNull(), 1)).alias(
                     "n_corrupt"
                 ),
+                F.count(F.col(data_cols[0])).alias("n_first_field_present"),
             )
         return df.filter(F.col(CORRUPT_COL).isNotNull())
     return scoped_persist(df).filter(F.col(CORRUPT_COL).isNotNull())

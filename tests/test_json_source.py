@@ -161,6 +161,45 @@ def test_corrupt_records_streaming_corrupt_only_sink(spark, tmp_path):
     assert len(rows) == 1 and "broken" in rows[0][CORRUPT_COL]
 
 
+def test_quarantine_audit_counts_null_field_as_parsed(spark, tmp_path):
+    """A well-formed record whose first field is JSON null ({"k": null})
+    must count as PARSED in the reconciliation metric — the old
+    count(first-data-column) form counted it as neither parsed nor
+    corrupt (review finding, round 8)."""
+    import os
+
+    from eventbridge_etl_spark.sources.json_source import (
+        CORRUPT_COL,
+        corrupt_records,
+        read_jsonl_stream,
+    )
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    with open(os.path.join(land, "a.jsonl"), "w") as fh:
+        fh.write('{"k": 1}\n{"k": null}\n{"k": broken\n')
+    bad = corrupt_records(
+        read_jsonl_stream(spark, land, "k bigint", keep_corrupt=True)
+    )
+    q = (
+        bad.select(CORRUPT_COL)
+        .writeStream.format("memory")
+        .queryName("quarantine_audit_nullfield")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    metrics = None
+    for progress in q.recentProgress:
+        om = progress.observedMetrics or {}
+        if "corrupt_quarantine_audit" in om:
+            metrics = om["corrupt_quarantine_audit"]
+    assert metrics is not None, "audit metrics never observed"
+    assert metrics["n_parsed"] == 2, metrics
+    assert metrics["n_corrupt"] == 1, metrics
+
+
 def test_with_corrupt_does_not_mutate_caller_schema(spark, tmp_path):
     """StructType.add mutates in place; read_jsonl_batch must not grow
     a _corrupt_record field on the caller's schema object (review, r7)."""

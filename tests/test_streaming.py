@@ -956,3 +956,15 @@ def test_keyed_store_rejects_param_drift_and_reserved_columns(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="reserved"):
         store.upsert(batch.withColumn("_is_new", batch.value))
+
+    # a truncated sidecar (crash mid-write in a pre-atomic version) must
+    # surface the delete-to-re-adopt recovery path, not a JSONDecodeError
+    sidecar = os.path.join(path, KeyedParquetStore.META_FILE)
+    with open(sidecar, "w") as fh:
+        fh.write('{"keys": ["user')
+    with _pytest.raises(ValueError, match="corrupt store-parameters"):
+        store.upsert(batch, version_col="ver")
+    os.remove(sidecar)
+    # sidecar gone => re-adopt current parameters and proceed
+    store.upsert(batch, version_col="ver")
+    assert os.path.isfile(sidecar)
