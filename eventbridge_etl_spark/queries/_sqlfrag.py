@@ -11,11 +11,21 @@ Alignment contract (probed, byte-identical inputs — see
 scripts/gen_adversarial_fixture.py and the verify skill's unicode trap
 list):
 
-- ``SQL_LOWER`` reproduces Spark/Java ``lower()`` via the İ→i+U+0307
-  pre-replace (İ is Unicode's only length-changing lowercase special
-  case) — EXCEPT Java's conditional final-sigma rule (word-final Σ →
-  ς vs DuckDB's unconditional σ).  No fixture contains Greek capitals;
-  extend before crossing that boundary.
+- ``SQL_LOWER`` reproduces Spark/Java ``lower()`` via (a) a
+  final-sigma pre-guard and (b) the İ→i+U+0307 pre-replace (İ is
+  Unicode's only length-changing lowercase special case).  Java
+  applies the conditional Unicode Final_Sigma rule (Σ preceded by a
+  cased letter and not followed by one lowers to ς) while DuckDB
+  always emits σ.  The guard rewrites capital ``Σ`` in final context
+  to ``ς`` BEFORE lowering (RE2 has no lookaround, so the following
+  char is captured and re-emitted); it must act on Σ, not on σ after
+  the fact, because Java leaves a pre-existing lowercase word-final σ
+  unchanged.  Probed against the unicode fixture's Greek bucket plus
+  CJK-adjacent, standalone, and already-lowercase sigmas
+  (scripts/gen_adversarial_fixture.py, round 8).  Remaining
+  documented boundary: Java skips CASE-IGNORABLE characters (e.g. an
+  apostrophe) when evaluating the context — ``ΜΑΣ'Σ``-style
+  sequences stay outside the swept domain.
 - ``trim(…, ' ')`` reproduces Spark ``trim()`` exactly (DuckDB's bare
   ``trim`` strips Unicode Zs such as U+3000).
 - The split regex ``\\s+`` is ASCII-only in BOTH engines (Java regex
@@ -26,8 +36,22 @@ other lazily to avoid cycles, but every one of them can import these
 plain strings at module level.
 """
 
-#: Java/Spark-aligned lower() over the documents.text column.
-SQL_LOWER = "lower(replace(text, chr(304), 'i' || chr(775)))"
+#: Java/Spark-aligned lower() over the documents.text column:
+#: final-sigma pre-guard, then İ pre-replace, then lower().
+#:
+#: The sigma guard must run on the CAPITAL Σ in the original text, not
+#: on σ after lowering: Java lowercases a pre-existing word-final σ to
+#: itself (identity), so a post-guard would wrongly rewrite
+#: already-lowercase Greek (…ευσ → …ευς) that Java leaves alone.  It
+#: must also run BEFORE the İ replace — the replacement's combining
+#: U+0307 is not cased and would break the preceded-by-cased context
+#: for ``İΣ``-style sequences.
+_CASED = "\\p{Lu}\\p{Ll}\\p{Lt}"
+SQL_LOWER = (
+    "lower(replace("
+    f"regexp_replace(text, '([{_CASED}])Σ($|[^{_CASED}])', '\\1ς\\2', 'g'), "
+    "chr(304), 'i' || chr(775)))"
+)
 
 #: The canonical whitespace tokenizer, duplicates kept — one array
 #: element per token, Spark twin is ``F.split(F.trim(F.lower(col)),

@@ -158,18 +158,53 @@ def _configured_master(environ: dict[str, str] | None = None) -> bool:
         return False
 
 
+#: RocksDB state-store provider (bundled with Spark since 3.2).  At real
+#: cluster scale the default HDFS-backed provider keeps every state row
+#: on the executor HEAP — a 100 TB stream's keyspace OOMs executors long
+#: before the watermark maths matter.  RocksDB spills state to local SSD
+#: with bounded block-cache memory, and changelog checkpointing uploads
+#: per-batch DELTAS instead of full snapshots (the snapshot upload is
+#: the classic micro-batch latency cliff once state reaches GBs).
+ROCKSDB_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+    # bound the native memory RocksDB may take per executor; without it
+    # block caches default to unbounded growth across state store
+    # instances (one per partition x operator)
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "512",
+}
+
+
 def get_spark(
     app_name: str = "eventbridge-etl-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     when no cluster master is configured — on a real cluster, spark-submit's
     ``--master`` wins because we only set it if nothing else did.
+
+    ``state_store``: ``"rocksdb"`` applies :data:`ROCKSDB_CONF` (the
+    100 TB streaming deployment posture — disk-backed state, changelog
+    checkpoints); ``"hdfs"``/``None`` keeps Spark's default heap-backed
+    provider (fine for tests and small state).  Env override:
+    ``SPARK_GRAFT_STATE_STORE=rocksdb``.  NOTE: like every
+    ``spark.sql.streaming.stateStore.*`` conf this only takes effect on
+    a NEW query checkpoint — an existing checkpoint pins its provider.
     """
+    if state_store is None:
+        state_store = os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if state_store not in (None, "", "hdfs", "rocksdb"):
+        raise ValueError(
+            f"state_store must be None/'hdfs'/'rocksdb', got {state_store!r}"
+        )
     builder = SparkSession.builder.appName(app_name)
     if master is None and not _configured_master():
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -188,6 +223,8 @@ def get_spark(
         # hundreds of empty partitions; AQE coalesces further.
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if state_store == "rocksdb":
+        conf.update(ROCKSDB_CONF)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -59,16 +59,19 @@ derives two variants from a clean scale-factor directory:
   simple case mapping (İ→i) vs Java's full mapping (İ→i+U+0307);
   DuckDB ``upper`` maps ß→ẞ vs Java's ß→SS; DuckDB bare ``trim``
   strips Unicode whitespace (U+3000) vs Spark's ASCII-space-only.
-  Oracle alignment recipes (probed): ``lower(replace(s, chr(304),
-  'i' || chr(775)))`` reproduces Java lower EXCEPT the conditional
-  final-sigma rule (Java lowers word-final Σ to ς, DuckDB always σ —
-  probed); ``upper(replace(s, 'ß', 'ss'))`` reproduces Java upper
-  EXCEPT ligature/SpecialCasing expansions (Java upper('ﬁ') = 'FI',
-  DuckDB leaves 'ﬁ' — probed); ``trim(s, ' ')`` reproduces Spark trim
-  exactly.  This fixture deliberately contains no Greek capitals and
-  applies no upper() in any tokenizer oracle, so both boundaries stay
-  outside the swept domain; an oracle that upper()s document text or
-  meets Greek capital sigma needs its own alignment.
+  Oracle alignment recipes (probed): Java lower == DuckDB
+  final-sigma pre-guard + İ pre-replace + ``lower()`` (folded into
+  ``queries/_sqlfrag.SQL_LOWER`` as of round 8 — the Greek bucket
+  '81'/'82' below exercises mid-word ΣΣ, word-final Σ before
+  space/period/CJK/end, standalone Σ, and ﬀ/ﬁ/ﬄ ligatures);
+  ``upper(replace(s, 'ß', 'ss'))`` reproduces Java upper EXCEPT
+  ligature/SpecialCasing expansions (Java upper('ﬁ') = 'FI', DuckDB
+  leaves 'ﬁ' — probed); ``trim(s, ' ')`` reproduces Spark trim
+  exactly.  Remaining documented out-of-domain boundaries: no oracle
+  applies upper() to document text (ligature expansion unswept), and
+  Java's Final_Sigma context skips CASE-IGNORABLE chars (apostrophe-
+  adjacent sigma, ``ΜΑΣ'Σ``) which the regex guard does not — the
+  fixture contains neither.
 
 Selection is seedless and reproducible: a row is perturbed when the
 first two hex chars of ``md5(key)`` fall in a per-column bucket list
@@ -317,6 +320,9 @@ UNICODE_DOCS_SQL = f"""
                  THEN repeat('数据库系统很快 流式处理 分布式计算 ', 5)
                WHEN {_b('doc_id', '76', '77')}
                  THEN repeat('spark 🚀 rocket 😀😀 math 𝕊𝕆𝕃 bold 𝐀𝐁 ', 5)
+               WHEN {_b('doc_id', '81', '82')}
+                 THEN repeat('ΟΔΥΣΣΕΥΣ ΘΑΛΑΣΣΑ ΣΟΦΟΣ Σ ΒΑΣ. ΚΟΣΜΟΣ数 '
+                             || 'oﬀice ﬁeld baﬄe ΣΣ ', 5)
                WHEN {_b('doc_id', '7e', '7f')}
                  THEN repeat('caf' || 'e' || chr(769) || ' nai' || chr(776)
                              || 've deja' || chr(769) || ' vu tokens ', 5)

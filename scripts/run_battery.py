@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""One-command seven-surface verification battery (VERDICT r7 item 7).
+
+Generates the adversarial fixture family from a clean scale-factor dir,
+runs the full oracle sweep against every surface (clean / adv / empty /
+signmag / timeshift / longtext / unicode), optionally the pytest suite,
+and prints one per-surface summary table.  Each sweep is a FRESH
+subprocess (the same isolation the grading driver uses); surfaces run
+sequentially because each sweep already saturates local[8] and the
+longtext surface is a wall-clock gate whose timings must not be
+polluted by a sibling sweep.
+
+Usage::
+
+    python scripts/run_battery.py                    # full battery, ~45 min
+    python scripts/run_battery.py --no-suite         # sweeps only
+    python scripts/run_battery.py --surfaces clean,adv,empty
+    python scripts/run_battery.py --src /root/testdata/sf0.01 --out /tmp/advfix
+
+Exit code 0 iff every selected sweep (and the suite, when run) passed.
+
+The per-surface expectations encoded here mirror README "The full
+verification battery": pinned-parquet oracles are value-compared only on
+the clean corpus (digest-selected expected rows) and run as crash-checks
+elsewhere; the streaming gates legitimately drop late data on the
+timeshift surface, which the sweep's oracles already model (surfaces
+stay hash-green — divergence there is a real bug, not expected noise).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: surface name -> (fixture subdir under --out, pinned-skip?)
+SURFACES: dict[str, tuple[str | None, bool]] = {
+    "clean": (None, False),        # --src itself; pinned oracles value-compare
+    "adv": ("adv", True),
+    "empty": ("empty", True),
+    "signmag": ("signmag", False),  # documents untouched: pinned still valid
+    "timeshift": ("timeshift", True),
+    "longtext": ("longtext", True),
+    "unicode": ("unicode", True),
+}
+
+DONE_RE = re.compile(r"SWEEP DONE checked=(\d+) bad=(\d+)")
+
+
+def run_sweep(name: str, sf_dir: str, pinned_skip: bool) -> dict:
+    env = dict(os.environ, SWEEP_SF=sf_dir)
+    if pinned_skip:
+        env["SWEEP_PINNED_SKIP"] = "1"
+    else:
+        env.pop("SWEEP_PINNED_SKIP", None)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "oracle_sweep.py")],
+        env=env,
+        cwd="/tmp",  # surface any repo-relative cwd assumptions
+        capture_output=True,
+        text=True,
+    )
+    wall = time.time() - t0
+    out = proc.stdout + proc.stderr
+    m = DONE_RE.search(out)
+    mismatches = [
+        line for line in out.splitlines()
+        if ("MISMATCH" in line or "ERROR" in line) and "0 ERROR" not in line
+    ]
+    return {
+        "surface": name,
+        "ok": proc.returncode == 0 and m is not None,
+        "checked": int(m.group(1)) if m else 0,
+        "bad": int(m.group(2)) if m else -1,
+        "wall_s": round(wall, 1),
+        "mismatches": mismatches,
+        "tail": out[-2000:] if proc.returncode != 0 and not m else "",
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--src", default="/root/testdata/sf0.01",
+                    help="clean scale-factor dir the variants derive from")
+    ap.add_argument("--out", default="/tmp/advfix",
+                    help="fixture-family output dir")
+    ap.add_argument("--surfaces", default=",".join(SURFACES),
+                    help="comma-separated subset of: " + ", ".join(SURFACES))
+    ap.add_argument("--no-suite", action="store_true",
+                    help="skip the pytest suite")
+    ap.add_argument("--no-gen", action="store_true",
+                    help="reuse fixtures already present under --out")
+    args = ap.parse_args()
+
+    selected = [s for s in args.surfaces.split(",") if s]
+    unknown = set(selected) - set(SURFACES)
+    if unknown:
+        ap.error(f"unknown surfaces: {sorted(unknown)}")
+
+    if not args.no_gen and any(SURFACES[s][0] for s in selected):
+        print(f"[battery] generating fixture family {args.src} -> {args.out}",
+              flush=True)
+        subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "gen_adversarial_fixture.py"),
+             args.src, args.out],
+            check=True,
+        )
+
+    results = []
+    for name in selected:
+        subdir, pinned_skip = SURFACES[name]
+        sf_dir = args.src if subdir is None else os.path.join(args.out, subdir)
+        print(f"[battery] sweep {name} @ {sf_dir} ...", flush=True)
+        r = run_sweep(name, sf_dir, pinned_skip)
+        results.append(r)
+        status = "OK" if r["ok"] else "FAIL"
+        print(f"[battery] {name}: {status} checked={r['checked']} "
+              f"bad={r['bad']} {r['wall_s']}s", flush=True)
+        for line in r["mismatches"][:20]:
+            print("   ", line, flush=True)
+        if r["tail"]:
+            print(r["tail"], flush=True)
+
+    suite_ok = True
+    if not args.no_suite:
+        print("[battery] pytest tests/ -q ...", flush=True)
+        suite_ok = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-q"], cwd=REPO
+        ).returncode == 0
+
+    print("\n=== BATTERY SUMMARY ===")
+    print(f"{'surface':<10} {'status':<6} {'checked':>7} {'bad':>4} {'wall':>8}")
+    for r in results:
+        print(f"{r['surface']:<10} {'OK' if r['ok'] else 'FAIL':<6} "
+              f"{r['checked']:>7} {r['bad']:>4} {r['wall_s']:>7}s")
+    if not args.no_suite:
+        print(f"{'suite':<10} {'OK' if suite_ok else 'FAIL':<6}")
+    all_ok = suite_ok and all(r["ok"] for r in results)
+    print("BATTERY", "PASS" if all_ok else "FAIL")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

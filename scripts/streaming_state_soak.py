@@ -94,16 +94,29 @@ def main() -> None:
     from eventbridge_etl_spark.streaming.stateful import ewma_smoothing
 
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 90.0
+    # SOAK_STATE_STORE=rocksdb re-runs the soak under the deployment
+    # provider (session.ROCKSDB_CONF: disk-backed state + changelog
+    # checkpointing) for plateau parity vs the default heap provider —
+    # recorded side by side in SCALE.md.
+    state_store = os.environ.get("SOAK_STATE_STORE") or None
     spark = get_spark(
         app_name="state-soak",
         master="local[8]",
         shuffle_partitions=8,
+        state_store=state_store,
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.driver.memory": os.environ.get("SOAK_DRIVER_MEM", "4g"),
             # small microbatches -> many stateOperators samples
             "spark.sql.streaming.noDataMicroBatches.enabled": "false",
         },
+    )
+    print(
+        "state store provider:",
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "(default HDFSBackedStateStoreProvider)",
+        ),
     )
     rate = (
         spark.readStream.format("rate")

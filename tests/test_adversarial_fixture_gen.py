@@ -128,6 +128,13 @@ def test_unicode_touches_only_documents_text(fixture_dirs):
         f"text LIKE '%' || chr(769) || '%'",  # combining acute
         f"text LIKE chr(12288) || '%'",  # leading U+3000
         f"text LIKE '%' || chr(8203) || '%'",  # ZWSP
+        # Greek capitals (final-sigma guard domain, round 8): mid-word
+        # ΣΣ, word-final Σ (space/period/CJK/end contexts), standalone Σ
+        "text LIKE '%ΟΔΥΣΣΕΥΣ%'",
+        "text LIKE '%ΒΑΣ.%'",
+        "text LIKE '%ΚΟΣΜΟΣ数%'",
+        "text LIKE '% Σ %'",
+        "text LIKE '%ﬀ%'",  # ﬀ ligature (upper() boundary witness)
     ):
         assert _count(con, docs, pred) > 0, pred
     # n_chars stays consistent with the rewritten text

@@ -968,3 +968,67 @@ def test_keyed_store_rejects_param_drift_and_reserved_columns(spark, tmp_path):
     # sidecar gone => re-adopt current parameters and proceed
     store.upsert(batch, version_col="ver")
     assert os.path.isfile(sidecar)
+
+
+def test_rocksdb_state_store_watermarked_agg(spark, tmp_path):
+    """The deployment state-store posture (session.ROCKSDB_CONF) must
+    produce the same windowed results as the default heap provider.
+    providerClass is a runtime SQL conf read at QUERY start (a fresh
+    checkpoint pins it), so the suite session can flip it per-test.
+    Skips if the bundled RocksDB JNI cannot initialize on this host."""
+    from eventbridge_etl_spark.session import ROCKSDB_CONF
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    with open(os.path.join(land, "a.jsonl"), "w") as fh:
+        fh.write(
+            '{"ts": "2024-01-01T00:00:05", "k": "a", "v": 1}\n'
+            '{"ts": "2024-01-01T00:00:15", "k": "a", "v": 2}\n'
+            '{"ts": "2024-01-01T00:00:07", "k": "b", "v": 5}\n'
+        )
+    prior = {
+        key: spark.conf.get(key, None) for key in ROCKSDB_CONF
+    }
+    for key, val in ROCKSDB_CONF.items():
+        spark.conf.set(key, val)
+    try:
+        stream = (
+            spark.readStream.schema("ts timestamp, k string, v long")
+            .json(land)
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "10 seconds"), "k")
+            .agg(F.sum("v").alias("s"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rocksdb_windows")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception as exc:  # noqa: BLE001 — provider-absence skip
+            pytest.skip(f"RocksDB provider unavailable: {exc!r}"[:200])
+        rows = {
+            (r["k"], r["window"].start.second): r["s"]
+            for r in spark.sql("SELECT * FROM rocksdb_windows").collect()
+        }
+        assert rows == {("a", 0): 1, ("a", 10): 2, ("b", 0): 5}, rows
+        # the checkpoint really ran RocksDB (its dirs carry .changelog/
+        # .zip under state/, and offsets record the provider conf)
+        import glob
+
+        state_files = glob.glob(
+            str(tmp_path / "ck" / "state" / "**" / "*"), recursive=True
+        )
+        assert any(
+            f.endswith((".changelog", ".zip")) for f in state_files
+        ), state_files[:10]
+    finally:
+        for key, val in prior.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
