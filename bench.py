@@ -79,6 +79,13 @@ def main() -> None:
     shm = "/dev/shm/bench-spark-local"
     try:
         if os.path.isdir("/dev/shm"):
+            # sweep leftovers from a killed/crashed prior bench FIRST:
+            # orphaned shuffle files in tmpfs are resident RAM and would
+            # re-introduce the memory-pressure noise this dir exists to
+            # remove (review finding, round 8)
+            import shutil
+
+            shutil.rmtree(shm, ignore_errors=True)
             os.makedirs(shm, exist_ok=True)
             extra["spark.local.dir"] = shm
     except OSError:
@@ -89,7 +96,7 @@ def main() -> None:
     # Warm-up: trigger JVM classloading + codegen once, untimed.
     QUERIES["scan_projection_filter"](spark, sf_dir).count()
 
-    # Each query runs THREE times; the headline number is the min
+    # Each query runs FIVE times; the headline number is the min
     # (steady state), with the first-pass times reported alongside as
     # cold_queries/cold_value.  Rationale: at sf0.1 a complex plan's
     # first execution is dominated by per-plan codegen + JIT compile

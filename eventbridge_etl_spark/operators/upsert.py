@@ -97,16 +97,19 @@ class KeyedParquetStore:
             try:
                 with open(meta_path) as fh:
                     meta = json.load(fh)
-            except (json.JSONDecodeError, ValueError) as exc:
-                # a crash mid-write (pre-atomic-rename versions) leaves
-                # truncated JSON; surface the recovery path instead of
-                # an opaque decode error on every subsequent open
+                stored = (meta["n_buckets"], meta["keys"])
+            except (ValueError, KeyError, TypeError) as exc:
+                # truncated JSON (crash mid-write in pre-atomic
+                # versions) or wrong-shaped-but-valid JSON ('{}',
+                # 'null', a list): every malformed sidecar surfaces the
+                # same recovery path instead of an opaque decode/key
+                # error on every subsequent open (review findings, r8)
                 raise ValueError(
                     f"corrupt store-parameters sidecar at {meta_path!r} "
                     "(interrupted write?) — delete the sidecar file to "
                     "re-adopt the current parameters as the store's"
                 ) from exc
-            if meta["n_buckets"] != self.n_buckets or meta["keys"] != self.keys:
+            if stored != (self.n_buckets, self.keys):
                 raise ValueError(
                     f"store at {self.path!r} was created with "
                     f"keys={meta['keys']} n_buckets={meta['n_buckets']}; "

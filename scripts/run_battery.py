@@ -20,11 +20,14 @@ Usage::
 Exit code 0 iff every selected sweep (and the suite, when run) passed.
 
 The per-surface expectations encoded here mirror README "The full
-verification battery": pinned-parquet oracles are value-compared only on
-the clean corpus (digest-selected expected rows) and run as crash-checks
-elsewhere; the streaming gates legitimately drop late data on the
-timeshift surface, which the sweep's oracles already model (surfaces
-stay hash-green — divergence there is a real bug, not expected noise).
+verification battery" and SCALE.md: pinned-parquet oracles are
+value-compared only on the clean corpus (digest-selected expected rows)
+and run as crash-checks elsewhere, and on the TIMESHIFT surface exactly
+the five pure-watermark streaming gates legitimately diverge (wildly
+out-of-order arrival crosses the watermark, so the stream drops rows
+the batch oracle keeps — the r7-documented by-design set).  Those five
+are allow-listed for that surface only; any OTHER divergence anywhere,
+including a sixth streaming divergence on timeshift, is a failure.
 """
 
 from __future__ import annotations
@@ -51,9 +54,28 @@ SURFACES: dict[str, tuple[str | None, bool]] = {
 
 DONE_RE = re.compile(r"SWEEP DONE checked=(\d+) bad=(\d+)")
 
+#: surface -> gates whose MISMATCH is documented by-design (SCALE.md §r7
+#: timeshift: watermark late-drop on out-of-order arrival; the batch
+#: oracle keeps rows the stream must evict).  Applies to MISMATCH only —
+#: an ERROR on these gates still fails the surface.
+ALLOWED_DIVERGENCE: dict[str, frozenset[str]] = {
+    "timeshift": frozenset({
+        "streaming_dedup",
+        "streaming_enriched_windows",
+        "streaming_hourly_windows",
+        "streaming_rollup_merge",
+        "streaming_sessionize",
+    }),
+}
+
 
 def run_sweep(name: str, sf_dir: str, pinned_skip: bool) -> dict:
     env = dict(os.environ, SWEEP_SF=sf_dir)
+    # a scoped SWEEP_ONLY left exported in the shell would silently
+    # shrink every surface to a near-zero-coverage sweep that still
+    # prints BATTERY PASS (review finding, round 8) — the battery is
+    # by definition full-registry
+    env.pop("SWEEP_ONLY", None)
     if pinned_skip:
         env["SWEEP_PINNED_SKIP"] = "1"
     else:
@@ -69,15 +91,28 @@ def run_sweep(name: str, sf_dir: str, pinned_skip: bool) -> dict:
     wall = time.time() - t0
     out = proc.stdout + proc.stderr
     m = DONE_RE.search(out)
-    mismatches = [
-        line for line in out.splitlines()
-        if ("MISMATCH" in line or "ERROR" in line) and "0 ERROR" not in line
-    ]
+    # match the sweep's own per-gate line shapes ("<gate> MISMATCH ...",
+    # "<gate> ERROR ...", "<gate> ORACLE-ERROR ...") rather than any
+    # line containing ERROR — Spark log4j noise on a passing surface
+    # must not read as findings (review finding, round 8)
+    gate_line = re.compile(r"^([a-z][a-z0-9_]*)\s+(MISMATCH|ERROR|ORACLE-ERROR)\b")
+    allowed = ALLOWED_DIVERGENCE.get(name, frozenset())
+    mismatches, waived = [], []
+    for line in out.splitlines():
+        hit = gate_line.match(line)
+        if not hit:
+            continue
+        if hit.group(2) == "MISMATCH" and hit.group(1) in allowed:
+            waived.append(hit.group(1))
+        else:
+            mismatches.append(line)
     return {
         "surface": name,
-        "ok": proc.returncode == 0 and m is not None,
+        "ok": m is not None and not mismatches
+        and (proc.returncode == 0 or len(waived) == int(m.group(2))),
         "checked": int(m.group(1)) if m else 0,
         "bad": int(m.group(2)) if m else -1,
+        "waived": waived,
         "wall_s": round(wall, 1),
         "mismatches": mismatches,
         "tail": out[-2000:] if proc.returncode != 0 and not m else "",
@@ -121,8 +156,9 @@ def main() -> int:
         r = run_sweep(name, sf_dir, pinned_skip)
         results.append(r)
         status = "OK" if r["ok"] else "FAIL"
+        waived = f" waived={len(r['waived'])}" if r["waived"] else ""
         print(f"[battery] {name}: {status} checked={r['checked']} "
-              f"bad={r['bad']} {r['wall_s']}s", flush=True)
+              f"bad={r['bad']}{waived} {r['wall_s']}s", flush=True)
         for line in r["mismatches"][:20]:
             print("   ", line, flush=True)
         if r["tail"]:
@@ -136,10 +172,12 @@ def main() -> int:
         ).returncode == 0
 
     print("\n=== BATTERY SUMMARY ===")
-    print(f"{'surface':<10} {'status':<6} {'checked':>7} {'bad':>4} {'wall':>8}")
+    print(f"{'surface':<10} {'status':<6} {'checked':>7} {'bad':>4} "
+          f"{'waived':>6} {'wall':>8}")
     for r in results:
         print(f"{r['surface']:<10} {'OK' if r['ok'] else 'FAIL':<6} "
-              f"{r['checked']:>7} {r['bad']:>4} {r['wall_s']:>7}s")
+              f"{r['checked']:>7} {r['bad']:>4} {len(r['waived']):>6} "
+              f"{r['wall_s']:>7}s")
     if not args.no_suite:
         print(f"{'suite':<10} {'OK' if suite_ok else 'FAIL':<6}")
     all_ok = suite_ok and all(r["ok"] for r in results)

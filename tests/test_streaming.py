@@ -1009,8 +1009,15 @@ def test_rocksdb_state_store_watermarked_agg(spark, tmp_path):
         )
         try:
             q.awaitTermination(120)
-        except Exception as exc:  # noqa: BLE001 — provider-absence skip
-            pytest.skip(f"RocksDB provider unavailable: {exc!r}"[:200])
+        except Exception as exc:  # noqa: BLE001 — JNI-absence skip ONLY
+            # skip solely for native-library load failures (hosts where
+            # the bundled rocksdbjni cannot initialize); any other
+            # failure is a real RocksDB-path regression and must FAIL,
+            # not silently un-verify the parity claim (review, round 8)
+            msg = repr(exc)
+            if "UnsatisfiedLinkError" in msg or "librocksdb" in msg:
+                pytest.skip(f"RocksDB JNI unavailable: {msg[:160]}")
+            raise
         rows = {
             (r["k"], r["window"].start.second): r["s"]
             for r in spark.sql("SELECT * FROM rocksdb_windows").collect()
