@@ -127,9 +127,14 @@ def transition_edges(
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     # null labels are non-observations, dropped BEFORE the lag: with
     # them in the window, [A, NULL, B] would emit a phantom (A, NULL)
-    # edge and lose the true A->B transition entirely
+    # edge and lose the true A->B transition entirely.  Null KEYS are
+    # dropped too: partitionBy groups every null key into ONE pseudo-
+    # user whose ts-ordered events would chain into fabricated
+    # transitions that correspond to no real journey (same null-key
+    # contract as temperature_resample/balanced_class_sample; review
+    # finding, round 8)
     lagged = (
-        events.filter(F.col(label_col).isNotNull())
+        events.filter(F.col(label_col).isNotNull() & F.col(key_col).isNotNull())
         .select(
             F.lag(label_col).over(w).alias("src"), F.col(label_col).alias("dst")
         )
@@ -241,7 +246,11 @@ def bfs_hops(
     every few levels to cut lineage (not needed at the unrolled depths
     this targets — path-length analytics, 2-3 hop reach).
     """
-    e = edges.select(F.col("src"), F.col("dst"))
+    # the edge list is read once per unrolled level: persist it so an
+    # expensive upstream (window + aggregate + distinct for transition
+    # edges) computes once instead of max_hops times — the same reuse
+    # rationale as pagerank's nodes/frac persists (review finding, r8)
+    e = scoped_persist(edges.select(F.col("src"), F.col("dst")))
     dist = sources.select(F.col("node"), F.lit(0).alias("hop"))
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):

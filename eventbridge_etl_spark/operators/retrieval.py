@@ -60,7 +60,11 @@ def bm25_topk(
     terms = dfreq.orderBy(F.col("df").desc(), F.col("token").asc()).limit(n_terms)
 
     dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
-    corpus = df.agg(F.count("*").alias("n_docs")).crossJoin(
+    # N = DISTINCT rankable ids — the shared IDF contract with
+    # text.document_frequency / dedup.tfidf_cosine_pairs (r7); a
+    # duplicate-id re-ingest would otherwise inflate N here while df
+    # and dl merge the duplicates (review finding, round 8)
+    corpus = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs")).crossJoin(
         F.broadcast(dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl")))
     )
 

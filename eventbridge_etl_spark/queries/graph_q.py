@@ -30,7 +30,9 @@ def _pagerank_oracle(damping: float, iterations: int) -> str:
                                    ORDER BY ts NULLS FIRST, event_id) AS src,
              event_type AS dst
       FROM events
-      WHERE event_type IS NOT NULL  -- operator drops null labels pre-lag
+      -- operator drops null labels pre-lag AND null keys (a single
+      -- null-key pseudo-user would fabricate transitions; round 8)
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     ),
     e AS (
       SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
@@ -94,7 +96,9 @@ def _bfs_oracle(max_hops: int, source_type: str) -> str:
                                    ORDER BY ts NULLS FIRST, event_id) AS src,
              event_type AS dst
       FROM events
-      WHERE event_type IS NOT NULL  -- operator drops null labels pre-lag
+      -- operator drops null labels pre-lag AND null keys (a single
+      -- null-key pseudo-user would fabricate transitions; round 8)
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     ),
     e AS (SELECT DISTINCT src, dst FROM lagged WHERE src IS NOT NULL),
     f0 AS (SELECT '{source_type}' AS node)"""
@@ -139,7 +143,9 @@ def graph_bfs_hops(spark, sf_dir):
                                    ORDER BY ts NULLS FIRST, event_id) AS src,
              event_type AS dst
       FROM events
-      WHERE event_type IS NOT NULL  -- operator drops null labels pre-lag
+      -- operator drops null labels pre-lag AND null keys (a single
+      -- null-key pseudo-user would fabricate transitions; round 8)
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     ),
     e AS (
       SELECT src, dst, COUNT(*) AS n FROM lagged

@@ -100,14 +100,19 @@ def text_naive_bayes_lang(spark, sf_dir):
 @query(
     "text_bm25_retrieval",
     oracle=f"""
-    WITH toks AS ({_TOKS}),
+    WITH toks AS (
+      -- the operator drops null-id/null-text rows BEFORE tokenizing;
+      -- an unfiltered stream let a null-id doc shift avgdl while being
+      -- unrankable (latent divergence; review finding, round 8)
+      SELECT doc_id AS id, unnest({SQL_TOKS_RAW}) AS token
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
     dfreq AS (SELECT token, COUNT(DISTINCT id) AS df FROM toks GROUP BY token),
     terms AS (SELECT token, df FROM dfreq ORDER BY df DESC, token ASC LIMIT 3),
     dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
     corpus AS (
-      -- N counts rankable docs: the operator drops null-id/null-text
-      -- rows up front, so they contribute no corpus statistics
-      SELECT (SELECT COUNT(*) FROM documents
+      -- N = DISTINCT rankable ids, the shared IDF contract with
+      -- document_frequency / tfidf_cosine_pairs (review finding, r8)
+      SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents
               WHERE doc_id IS NOT NULL AND text IS NOT NULL) AS n_docs,
              (SELECT AVG(dl::DOUBLE) FROM dl) AS avgdl
     ),
@@ -459,7 +464,6 @@ def compaction_plan_events(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from eventbridge_etl_spark.operators.compaction import plan_compaction
-    from eventbridge_etl_spark.sources.tables import load_tables
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     # null-ts events belong to no daily file (no-time-bucket rule)
@@ -596,7 +600,6 @@ def window_rolling_median(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from eventbridge_etl_spark.sources.tables import load_tables
 
     ev = load_tables(spark, sf_dir, ("events",))["events"].filter(
         F.col("value").isNotNull()
@@ -630,8 +633,14 @@ def window_rolling_median(spark, sf_dir):
     "agg_chi_square_assoc",
     oracle="""
     WITH obs AS (
+      -- null category/timestamp rows are outside the contingency
+      -- table: keeping them made a phantom row/column that inflated
+      -- the marginals, n, and dof while the inner joins silently
+      -- dropped their cells from the chi2 sum (review finding, r8)
       SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
     ),
     rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
     ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY dow),
@@ -655,9 +664,12 @@ def agg_chi_square_assoc(spark, sf_dir):
     is engine-exact."""
     from pyspark.sql import functions as F
 
-    from eventbridge_etl_spark.sources.tables import load_tables
 
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = load_tables(spark, sf_dir, ("events",))["events"].filter(
+        # null category/timestamp rows are outside the contingency
+        # table — see the oracle comment (review finding, round 8)
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
     obs = ev.groupBy(
         "event_type", (F.weekday("ts") + 1).cast("long").alias("dow")
     ).agg(F.count("*").alias("o"))
@@ -903,7 +915,6 @@ def events_funnel_timed(spark, sf_dir):
     on integer epoch-micros."""
     from pyspark.sql import functions as F
 
-    from eventbridge_etl_spark.sources.tables import load_tables
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     v = (
@@ -1022,7 +1033,6 @@ def mining_association_rules(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from eventbridge_etl_spark.sources.tables import load_tables
 
     li = (
         load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
@@ -1068,7 +1078,12 @@ def mining_association_rules(spark, sf_dir):
 @query(
     "events_type_pmi",
     oracle="""
-    WITH se AS (SELECT DISTINCT user_id, event_type FROM events),
+    WITH se AS (
+      -- the null-user pseudo-row inflated per-type supports while
+      -- count_distinct/user-join excluded it, biasing every PMI
+      -- (review finding, round 8); null types are non-observations
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
     n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM se),
     tsup AS (SELECT event_type, COUNT(*) AS nt FROM se GROUP BY event_type),
     co AS (
@@ -1092,10 +1107,12 @@ def events_type_pmi(spark, sf_dir):
     self-join plus two broadcast support joins."""
     from pyspark.sql import functions as F
 
-    from eventbridge_etl_spark.sources.tables import load_tables
 
     se = (
         load_tables(spark, sf_dir, ("events",))["events"]
+        # null user/type rows are outside the per-user type-set model —
+        # see the oracle comment (review finding, round 8)
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
         .select("user_id", "event_type")
         .distinct()
     )
