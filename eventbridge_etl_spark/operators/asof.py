@@ -36,6 +36,7 @@ def asof_join(
     ts_col: str,
     right_ts_col: str | None = None,
     suffix: str = "_matched",
+    right_tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, joined to the latest ``right``
     row with ``right.ts <= left.ts`` for the same key (backward,
@@ -43,9 +44,13 @@ def asof_join(
     right row exists.
 
     ``right_ts_col`` names the right side's timestamp when it differs
-    from ``ts_col``.  Ties on (key, ts) inside ``right`` resolve to the
-    row latest in the (ts, payload) sort — pin a unique tiebreak column
-    into ``right`` if that matters.
+    from ``ts_col``.  Ties on (key, ts) inside ``right`` are
+    NONDETERMINISTIC (partition-order-dependent) unless
+    ``right_tiebreak_col`` names a unique right column — then the tied
+    row with the GREATEST tiebreak value wins, deterministically on
+    both engines (review finding, round 8; DuckDB's native ASOF picks
+    arbitrarily among ties, so oracles must resolve the tie the same
+    way explicitly).
 
     NULL semantics (SQL/DuckDB ASOF parity, review finding r6): right
     rows with a NULL timestamp or NULL key can never be "the latest
@@ -64,7 +69,7 @@ def asof_join(
     # two identically-named output columns with no error until a
     # downstream reference failed (review r7; the features.py guard
     # pattern)
-    internal = {"_ts", "_tag", "_rpay", "_match"}
+    internal = {"_ts", "_tag", "_rpay", "_match", "_tb"}
     clash = sorted(internal & (set(left.columns) | set(right.columns)))
     if clash:
         raise ValueError(
@@ -82,10 +87,16 @@ def asof_join(
     r_clean = right.filter(F.col(rts).isNotNull())
     for k in on:
         r_clean = r_clean.filter(F.col(k).isNotNull())
+    tb = (
+        F.col(right_tiebreak_col)
+        if right_tiebreak_col is not None
+        else F.lit(0)
+    )
     r = r_clean.select(
         *[F.col(k) for k in on],
         F.col(rts).alias("_ts"),
         F.lit(0).alias("_tag"),
+        tb.alias("_tb"),
         F.struct(
             F.col(rts).alias(f"{rts}{suffix}"),
             *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
@@ -97,12 +108,16 @@ def asof_join(
         *[F.col(k) for k in on],
         F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_tag"),
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
         F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
         *[F.col(c) for c in left.columns if c not in on],
     )
+    # _tb last: among right rows tied on _ts the greatest tiebreak
+    # sorts latest, so last(_rpay) picks it; left rows carry NULL _tb
+    # (sorts first, irrelevant — _tag already orders right before left)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts"), F.col("_tag"))
+        .orderBy(F.col("_ts"), F.col("_tag"), F.col("_tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).withColumn(

@@ -31,6 +31,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 from eventbridge_etl_spark.cache import scoped_persist
+from eventbridge_etl_spark.operators.rounding import half_up_div
 
 
 def funnel_steps(
@@ -176,13 +177,21 @@ def linear_attribution(
     # equi-joins its own touch pairs, so such a conversion would take
     # full (direct) credit DESPITE in-window touches — exclude loudly
     # by contract; ids must also be unique or shares dilute (review r7)
+    # exact integer cents (sign-split floor(+0.5), the prorate recipe):
+    # the downstream credit share must divide in integers — a native
+    # round(double/n, 6) diverges cross-engine at 6dp half edges
+    # (review finding, round 8; same class as the r7 quotient fixes)
+    sign = F.when(F.col(value_col) < 0, F.lit(-1)).otherwise(F.lit(1))
+    cents = (
+        sign * F.floor(F.abs(F.col(value_col)) * 100 + F.lit(0.5))
+    ).cast("long")
     conv = events.where(
         (F.col(type_col) == conv_type) & F.col(id_col).isNotNull()
     ).select(
         F.col(key_col).alias("_u"),
         F.col(id_col).alias("_cid"),
         us.alias("_cus"),
-        F.round(F.col(value_col), 2).alias("_cval"),
+        cents.alias("_cents"),
     )
     touch = events.where(F.col(type_col).isin(*touch_types)).select(
         F.col(key_col).alias("_u"),
@@ -202,7 +211,15 @@ def linear_attribution(
     counted = pairs.join(
         pairs.groupBy("_cid").agg(F.count(F.lit(1)).alias("_n")), "_cid"
     )
-    share = F.round(F.col("_cval") / F.col("_n"), 6).cast("decimal(28,6)")
+    # exact 6dp share in integer micro-units: HALF_UP(cents*1e4 / n),
+    # rescaled by an exact DECIMAL multiply (never an IEEE division —
+    # a large integer sum double-rounds through the 2^53 boundary) and
+    # decimal-summed, so the only double rounding is the final cast,
+    # exactly the decimal_sum discipline.
+    share_micros = half_up_div(F.col("_cents") * F.lit(10_000), F.col("_n"))
+    share = share_micros.cast("decimal(32,0)") * F.lit("0.000001").cast(
+        "decimal(7,6)"
+    )
     attributed = counted.groupBy(F.col("_channel").alias("channel")).agg(
         F.count(F.lit(1)).alias("n_credited"),
         F.sum(share).cast("double").alias("total_credit"),
@@ -211,9 +228,10 @@ def linear_attribution(
         conv.join(pairs.select("_cid").distinct(), "_cid", "left_anti")
         .agg(
             F.count(F.lit(1)).alias("n_credited"),
-            F.sum(F.col("_cval").cast("decimal(28,6)")).cast("double").alias(
-                "total_credit"
-            ),
+            F.sum(
+                F.col("_cents").cast("decimal(32,0)")
+                * F.lit("0.01").cast("decimal(3,2)")
+            ).cast("double").alias("total_credit"),
         )
         .select(F.lit("(direct)").alias("channel"), "n_credited", "total_credit")
         .where(F.col("n_credited") > 0)

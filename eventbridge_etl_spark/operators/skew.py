@@ -30,6 +30,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eventbridge_etl_spark.operators.rounding import half_up_div
+
 SALT_COL = "_salt"
 
 
@@ -106,14 +108,25 @@ def skew_report(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """
     keys = list(keys)
     per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("kn"))
-    kn = F.col("kn").cast("double")
+    # exact 6dp integer ratios (HALF_UP micro-units, decimal-rescaled):
+    # native round(double/double, 6) diverges cross-engine at 6dp half
+    # edges (review finding, round 8).  skew_ratio's denominator is the
+    # median of an INT vector, so 2*p50 is always an exact integer.
+    _micro = F.lit("0.000001").cast("decimal(7,6)")
+
+    def _ratio6(num, den):
+        return (
+            half_up_div(num, den).cast("decimal(32,0)") * _micro
+        ).cast("double")
+
+    two_p50 = (F.expr("percentile(kn, 0.5)") * 2).cast("long")
     return per_key.agg(
         F.sum("kn").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("kn").alias("max_key_rows"),
-        F.round(F.max("kn") / F.sum("kn"), 6).alias("top1_share"),
+        _ratio6(F.max("kn") * F.lit(1_000_000), F.sum("kn")).alias("top1_share"),
         F.round(F.expr("percentile(kn, 0.5)"), 6).alias("p50_key_rows"),
         F.round(F.expr("percentile(kn, 0.9)"), 6).alias("p90_key_rows"),
         F.round(F.expr("percentile(kn, 0.99)"), 6).alias("p99_key_rows"),
-        F.round(F.max(kn) / F.expr("percentile(kn, 0.5)"), 6).alias("skew_ratio"),
+        _ratio6(F.max("kn") * F.lit(2_000_000), two_p50).alias("skew_ratio"),
     )

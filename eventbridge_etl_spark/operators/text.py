@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from eventbridge_etl_spark.cache import scoped_persist
+from eventbridge_etl_spark.operators.rounding import half_up_div
 
 #: BPE-ish token pattern: letter runs, digit runs, or single punctuation —
 #: a cheap proxy for subword tokenizers' pre-tokenization split.
@@ -768,10 +769,15 @@ def ngram_novelty(
         )
         .withColumn(
             "novelty",
-            F.round(
-                F.col("n_unique").cast("double") / F.col("n_grams").cast("double"),
-                6,
-            ),
+            # exact 6dp integer-ratio (HALF_UP micro-units, decimal-
+            # rescaled): native round(double/double, 6) diverges cross-
+            # engine at 6dp half edges (review finding, round 8)
+            (
+                half_up_div(
+                    F.col("n_unique") * F.lit(1_000_000), F.col("n_grams")
+                ).cast("decimal(32,0)")
+                * F.lit("0.000001").cast("decimal(7,6)")
+            ).cast("double"),
         )
     )
 

@@ -178,15 +178,23 @@ def events_prorate_hourly(spark, sf_dir):
     WITH pk AS (SELECT user_id, COUNT(*) AS kn FROM events GROUP BY user_id)
     SELECT CAST(SUM(kn) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
            MAX(kn) AS max_key_rows,
-           round(CAST(MAX(kn) AS DOUBLE) / CAST(SUM(kn) AS DOUBLE), 6)
-             AS top1_share,
+           -- exact 6dp integer ratios (see stickiness note; review r8);
+           -- 2*median of an INT vector is always an exact integer
+           CAST(CAST({share} AS DECIMAL(32,0)) * 0.000001::DECIMAL(7,6)
+                AS DOUBLE) AS top1_share,
            round(quantile_cont(kn, 0.5), 6) AS p50_key_rows,
            round(quantile_cont(kn, 0.9), 6) AS p90_key_rows,
            round(quantile_cont(kn, 0.99), 6) AS p99_key_rows,
-           round(CAST(MAX(kn) AS DOUBLE) / quantile_cont(kn, 0.5), 6)
-             AS skew_ratio
+           CAST(CAST({ratio} AS DECIMAL(32,0)) * 0.000001::DECIMAL(7,6)
+                AS DOUBLE) AS skew_ratio
     FROM pk
-    """,
+    """.format(
+        share=half_up_div_sql("MAX(kn) * 1000000", "SUM(kn)"),
+        ratio=half_up_div_sql(
+            "MAX(kn) * 2000000",
+            "CAST(2 * quantile_cont(kn, 0.5) AS BIGINT)",
+        ),
+    ),
 )
 def skew_key_report(spark, sf_dir):
     """Pre-join shuffle-skew diagnostic over the events user_id key
@@ -196,9 +204,14 @@ def skew_key_report(spark, sf_dir):
     return skew_report(_t(spark, sf_dir, "events"), ["user_id"])
 
 
-@query(
-    "dedup_tfidf_cosine",
-    oracle=f"""
+def _tfidf_cosine_oracle(max_df: int | None = None) -> str:
+    """One oracle body for both tf-idf cosine gates — the uncapped and
+    df-capped variants differ by a single HAVING line, and two hand-
+    expanded 40-line copies WILL drift on the next tokenizer/rounding
+    alignment (the r7 lesson behind _sqlfrag.py / half_up_div_sql;
+    review finding, round 8)."""
+    cap = f"\n      HAVING COUNT(*) <= {max_df}" if max_df is not None else ""
+    return f"""
     WITH toks AS (
       SELECT id, token, COUNT(*) AS tf FROM (
         SELECT doc_id AS id,
@@ -207,7 +220,9 @@ def skew_key_report(spark, sf_dir):
     ),
     nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-    dfq AS (SELECT token, COUNT(*) AS dfn FROM toks GROUP BY token),
+    dfq AS (
+      SELECT token, COUNT(*) AS dfn FROM toks GROUP BY token{cap}
+    ),
     idf AS (
       SELECT token,
              round(ln(CAST(n AS DOUBLE) / CAST(dfn AS DOUBLE)), 6) AS idf
@@ -235,7 +250,12 @@ def skew_key_report(spark, sf_dir):
     GROUP BY a.id, b.id
     HAVING CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
                 AS DOUBLE) >= 0.8
-    """,
+    """
+
+
+@query(
+    "dedup_tfidf_cosine",
+    oracle=_tfidf_cosine_oracle(),
 )
 def dedup_tfidf_cosine(spark, sf_dir):
     """Exact tf-idf weighted-cosine near-dup pairs via an inverted-index
@@ -251,47 +271,7 @@ def dedup_tfidf_cosine(spark, sf_dir):
 
 @query(
     "dedup_tfidf_cosine_capped",
-    oracle=f"""
-    WITH toks AS (
-      SELECT id, token, COUNT(*) AS tf FROM (
-        SELECT doc_id AS id,
-               unnest({SQL_TOKS_RAW}) AS token
-        FROM documents) GROUP BY id, token
-    ),
-    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
-          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-    dfq AS (
-      SELECT token, COUNT(*) AS dfn FROM toks GROUP BY token
-      HAVING COUNT(*) <= 390
-    ),
-    idf AS (
-      SELECT token,
-             round(ln(CAST(n AS DOUBLE) / CAST(dfn AS DOUBLE)), 6) AS idf
-      FROM dfq CROSS JOIN nd
-    ),
-    w AS (
-      SELECT id, t.token,
-             round(CAST(tf AS DOUBLE) * idf, 6) AS w
-      FROM toks t JOIN idf USING (token)
-    ),
-    nrm AS (
-      SELECT id,
-             sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(38,12)))
-                       AS DOUBLE)) AS nrm
-      FROM w GROUP BY id
-    ),
-    unit AS (
-      SELECT w.id, token, round(w / nrm.nrm, 9) AS u
-      FROM w JOIN nrm ON nrm.id = w.id WHERE nrm.nrm > 0
-    )
-    SELECT a.id AS id_a, b.id AS id_b,
-           CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
-                AS DOUBLE) AS cosine
-    FROM unit a JOIN unit b ON a.token = b.token AND a.id < b.id
-    GROUP BY a.id, b.id
-    HAVING CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
-                AS DOUBLE) >= 0.8
-    """,
+    oracle=_tfidf_cosine_oracle(max_df=390),
 )
 def dedup_tfidf_cosine_capped(spark, sf_dir):
     """The SCALE path of tf-idf cosine dedup: ``max_df``-capped
@@ -412,10 +392,14 @@ def dedup_minhash_admission(spark, sf_dir):
 
 @query(
     "events_attribution_linear",
-    oracle="""
+    oracle=f"""
     WITH conv AS (
+      -- exact integer cents (sign-split floor(+0.5), the prorate
+      -- recipe): a native round(double/n, 6) credit share diverges
+      -- cross-engine at 6dp half edges (review finding, round 8)
       SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cus,
-             round(value, 2) AS cval
+             CAST(CASE WHEN value < 0 THEN -1 ELSE 1 END
+                  * floor(abs(value) * 100 + 0.5) AS BIGINT) AS cents
       -- null-id conversions are excluded by operator contract (a NULL
       -- id never equi-joins its own touch pairs and would take full
       -- direct credit despite in-window touches; review r7)
@@ -426,25 +410,27 @@ def dedup_minhash_admission(spark, sf_dir):
       FROM events WHERE event_type IN ('click', 'view')
     ),
     pairs AS (
-      SELECT c.cid, c.cval, t.channel
+      SELECT c.cid, c.cents, t.channel
       FROM conv c JOIN touch t ON t.u = c.u
       WHERE t.tus >= c.cus - 86400000000 AND t.tus < c.cus
     ),
     counted AS (
-      SELECT p.cid, p.cval, p.channel, n.n
+      SELECT p.cid, p.cents, p.channel, n.n
       FROM pairs p
       JOIN (SELECT cid, COUNT(*) AS n FROM pairs GROUP BY cid) n
         ON n.cid = p.cid
     ),
     attributed AS (
       SELECT channel, COUNT(*) AS n_credited,
-             CAST(SUM(CAST(round(cval / n, 6) AS DECIMAL(28,6)))
+             CAST(SUM(CAST({half_up_div_sql('cents * 10000', 'n')}
+                           AS DECIMAL(32,0)) * 0.000001::DECIMAL(7,6))
                   AS DOUBLE) AS total_credit
       FROM counted GROUP BY channel
     ),
     direct AS (
       SELECT '(direct)' AS channel, COUNT(*) AS n_credited,
-             CAST(SUM(CAST(cval AS DECIMAL(28,6))) AS DOUBLE) AS total_credit
+             CAST(SUM(CAST(cents AS DECIMAL(32,0)) * 0.01::DECIMAL(3,2))
+                  AS DOUBLE) AS total_credit
       FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM pairs)
       HAVING COUNT(*) > 0
     )
@@ -558,10 +544,13 @@ def text_unigram_kl_drift(spark, sf_dir):
     ),
     dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day)
     SELECT dau.day, dau.dau, wau.wau,
-           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
-             AS stickiness
+           -- exact 6dp integer-ratio: native round(double/double, 6)
+           -- diverges cross-engine at 6dp half edges (e.g. 41/640;
+           -- review finding, round 8)
+           CAST(CAST({hud} AS DECIMAL(32,0)) * 0.000001::DECIMAL(7,6)
+                AS DOUBLE) AS stickiness
     FROM dau JOIN wau ON wau.day = dau.day
-    """,
+    """.format(hud=half_up_div_sql("dau.dau * 1000000", "wau.wau")),
 )
 def events_dau_wau(spark, sf_dir):
     """DAU/WAU stickiness per day: WAU is a SLIDING 7-day distinct
@@ -592,13 +581,17 @@ def events_dau_wau(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("wau"))
     )
     dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    from eventbridge_etl_spark.operators.rounding import half_up_div
+
+    # exact 6dp integer-ratio, decimal-rescaled — see the oracle note
+    micro = half_up_div(F.col("dau") * F.lit(1_000_000), F.col("wau"))
     return dau.join(wau, dau["day"] == wau["wday"]).select(
         "day",
         "dau",
         "wau",
-        F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
-            "stickiness"
-        ),
+        (
+            micro.cast("decimal(32,0)") * F.lit("0.000001").cast("decimal(7,6)")
+        ).cast("double").alias("stickiness"),
     )
 
 
@@ -725,7 +718,16 @@ def events_interp_fill(spark, sf_dir):
     """Linear time-interpolation of the nulled 1-in-5 slice between the
     nearest non-null neighbors per user (operators/timeseries.py::
     interpolate_fill) — the continuous-signal companion to LOCF; edge
-    rows backfill/carry.  Two frames over one key shuffle."""
+    rows backfill/carry.  Two frames over one key shuffle.
+
+    Rounding note (r8 review triage): the final ``round(interp, 6)``
+    rounds a CONTINUOUS double product, not an integer ratio — unlike
+    the stickiness/novelty/share class converted to HALF_UP micro-units
+    this round, a 6dp half edge here requires the IEEE product's
+    shortest decimal string to end in ...5 at digit 7, which quantized
+    inputs never systematically produce (zero hits across all seven
+    sweep surfaces).  Converting would require quantizing the operands
+    first, i.e. changing the operator's semantics; documented instead."""
     from eventbridge_etl_spark.operators.timeseries import interpolate_fill
 
     ev = _t(spark, sf_dir, "events").withColumn(
@@ -872,8 +874,12 @@ def events_cusum_alarms(spark, sf_dir):
     SELECT p.doc_id, COUNT(*) AS n_grams,
            CAST(SUM(CASE WHEN d.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_unique,
-           round(CAST(SUM(CASE WHEN d.nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS novelty
+           -- exact 6dp integer-ratio (see stickiness note; review r8)
+           CAST(CAST({half_up_div_sql(
+               "SUM(CASE WHEN d.nd = 1 THEN 1 ELSE 0 END) * 1000000",
+               "COUNT(*)",
+           )} AS DECIMAL(32,0)) * 0.000001::DECIMAL(7,6) AS DOUBLE)
+             AS novelty
     FROM per p JOIN dfq d ON d.g = p.g
     GROUP BY p.doc_id
     """,
@@ -946,10 +952,17 @@ def text_nb_confusion(spark, sf_dir):
                 WHEN cshare <= 0.8 THEN 'B' ELSE 'C' END AS abc_class,
            COUNT(*) AS n_parts,
            CAST(round(SUM(r), 2) AS DOUBLE) AS revenue,
-           round(CAST(SUM(r) AS DOUBLE) / CAST(MAX(t) AS DOUBLE), 6)
-             AS revenue_share
+           -- exact 6dp decimal-ratio: scale-4 decimals ride to integers
+           -- x10000, then HALF_UP micro-units (see stickiness note; r8)
+           CAST(CAST({share} AS DECIMAL(32,0)) * 0.000001::DECIMAL(7,6)
+                AS DOUBLE) AS revenue_share
     FROM cum GROUP BY 1
-    """,
+    """.format(
+        share=half_up_div_sql(
+            "CAST(SUM(r) * 10000 AS HUGEINT) * 1000000",
+            "CAST(MAX(t) * 10000 AS HUGEINT)",
+        ),
+    ),
 )
 def parts_abc_classes(spark, sf_dir):
     """ABC/Pareto inventory classification: parts ranked by revenue,
@@ -984,12 +997,19 @@ def parts_abc_classes(spark, sf_dir):
         .when(F.col("cshare") <= 0.8, "B")
         .otherwise("C")
     )
+    from eventbridge_etl_spark.operators.rounding import half_up_div
+
+    # exact 6dp decimal-ratio — scale-4 decimals ride to integers x1e4,
+    # HALF_UP micro-units, decimal-rescaled (see the oracle note; r8)
+    num = (F.sum("r") * F.lit(10_000) * F.lit(1_000_000)).cast("decimal(38,0)")
+    den = (F.max("t") * F.lit(10_000)).cast("decimal(38,0)")
     return cum.groupBy(cls.alias("abc_class")).agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum("r"), 2).cast("double").alias("revenue"),
-        F.round(
-            F.sum("r").cast("double") / F.max("t").cast("double"), 6
-        ).alias("revenue_share"),
+        (
+            half_up_div(num, den).cast("decimal(32,0)")
+            * F.lit("0.000001").cast("decimal(7,6)")
+        ).cast("double").alias("revenue_share"),
     )
 
 

@@ -24,7 +24,10 @@ from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
 from eventbridge_etl_spark.queries._sqlfrag import SQL_TOKS_RAW
 
-_STOPS = "['the','and','of','to','a','in','is','that']"
+# derived from the ENGINE's lexicon, not hand-duplicated: an edit to
+# LANG_MARKERS['en'] must flow into the oracle automatically or the
+# gopher gate goes red for a pure-maintenance change (review, round 8)
+_STOPS = "[" + ",".join(f"'{w}'" for w in X.LANG_MARKERS["en"]) + "]"
 
 #: Pinned expected-output parquet directory, derived from this module's
 #: location so the oracles work from any checkout path (this file lives

@@ -299,12 +299,22 @@ def pipeline_header_zip_rename(spark, sf_dir):
       -- right rows with NULL ts/key can never be 'latest at-or-before'
       SELECT * FROM events WHERE event_type = 'click'
         AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS ts_matched
+      FROM (SELECT * FROM pur WHERE ts IS NOT NULL AND user_id IS NOT NULL) p
+      ASOF LEFT JOIN clk c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
     )
-    SELECT p.event_id, p.user_id, p.ts, p.value,
-           c.ts AS ts_matched, c.event_id AS event_id_matched
-    FROM (SELECT * FROM pur WHERE ts IS NOT NULL AND user_id IS NOT NULL) p
-    ASOF LEFT JOIN clk c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+    -- DuckDB's ASOF picks ARBITRARILY among clicks tied on ts; the
+    -- operator resolves ties to the greatest event_id
+    -- (right_tiebreak_col), so re-derive the matched id as the MAX
+    -- over the tied group (review finding, round 8)
+    SELECT m.event_id, m.user_id, m.ts, m.value, m.ts_matched,
+           (SELECT max(c2.event_id) FROM clk c2
+            WHERE c2.user_id = m.user_id AND c2.ts = m.ts_matched)
+             AS event_id_matched
+    FROM m
     UNION ALL
     -- a left row without a timestamp or key has no 'most recent prior'
     -- and comes back unmatched (DuckDB's bare ASOF instead matches a
@@ -329,7 +339,9 @@ def join_asof_attribution(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
     )
-    out = asof_join(purchases, clicks, ["user_id"], "ts")
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts", right_tiebreak_col="event_id"
+    )
     return out.select(
         "event_id", "user_id", "ts", "value", "ts_matched", "event_id_matched"
     )
@@ -345,11 +357,15 @@ def join_asof_attribution(spark, sf_dir):
              CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS nr
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_type)
+      -- NULLS FIRST on the event_type tiebreak too: DuckDB defaults
+      -- NULLS LAST while Spark sorts nulls first, so ts-tied rows
+      -- with a null type segmented into runs in opposite order
+      -- (review finding, round 8)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_type NULLS FIRST)
     ),
     r AS (
       SELECT user_id, ts, event_type,
-             SUM(nr) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_type
+             SUM(nr) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_type NULLS FIRST
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS run
       FROM o

@@ -217,9 +217,15 @@ def events_sessionize(spark, sf_dir):
     oracle="""
     WITH s1 AS (
       -- a funnel requires an identity: null-user rows excluded (the
-      -- operator filters them; one anonymous pseudo-user is not a user)
+      -- operator filters them; one anonymous pseudo-user is not a
+      -- user).  ts IS NOT NULL: a user whose EVERY view has a null
+      -- timestamp has no step-1 time — the engine's
+      -- step_1_ts IS NOT NULL filter drops them, while a bare
+      -- min(ts)=NULL row would still be counted here (review, r8)
       SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+      WHERE event_type = 'view' AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+      GROUP BY user_id
     ),
     s2 AS (
       SELECT e.user_id, min(e.ts) AS t2

@@ -95,3 +95,25 @@ def test_asof_ignores_null_right_timestamps_and_keys(spark):
     assert out["L1"]["ts_matched"] is None
     # NULL-key left row never matches the NULL-key right row
     assert out["Lnull"]["rv_matched"] is None
+
+
+def test_asof_right_tiebreak_deterministic(spark):
+    """Two right rows tied on (key, ts): with right_tiebreak_col the
+    GREATEST tiebreak wins, deterministically — without it the pick is
+    partition-order-dependent (review finding, round 8)."""
+    from eventbridge_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1")], "user_id long, ts long, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 7), (1, 50, 9), (1, 50, 8), (1, 40, 99)],
+        "user_id long, ts long, event_id long",
+    ).repartition(4)  # scatter the tied rows across partitions
+    for _ in range(3):  # stable across repeated runs
+        out = asof_join(
+            left, right, ["user_id"], "ts", right_tiebreak_col="event_id"
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["ts_matched"] == 50
+        assert out[0]["event_id_matched"] == 9, out
