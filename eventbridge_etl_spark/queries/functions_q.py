@@ -269,10 +269,19 @@ def fn_hash_surface(spark, sf_dir):
     )
     SELECT event_id,
            len(json_keys(obj))                                      AS n_keys,
-           list_aggregate(list_sort(json_keys(obj)),
-                          'string_agg', ',')                        AS keys_sorted,
+           -- COALESCE for the empty object: string_agg over an empty
+           -- list is NULL in DuckDB while Spark's array_join of an
+           -- empty array is '' (review finding, round 8)
+           CASE WHEN obj IS NOT NULL
+                THEN COALESCE(list_aggregate(list_sort(json_keys(obj)),
+                                             'string_agg', ','), '')
+           END                                                      AS keys_sorted,
            json_extract_string(obj, '$.k')                          AS k_value,
-           CASE WHEN json_extract_string(obj, '$.k') IS NOT NULL
+           -- KEY containment, not value-non-null: the engine's
+           -- map_contains_key counts {"k": null} as containing k,
+           -- json_extract_string cannot tell null value from missing
+           -- key (review finding, round 8)
+           CASE WHEN COALESCE(list_contains(json_keys(obj), 'k'), FALSE)
                 THEN 1 ELSE 0 END                                   AS has_k
     FROM j
     """,
@@ -288,7 +297,11 @@ def fn_map_surface(spark, sf_dir):
         "event_id",
         F.size(F.map_keys(m)).alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
-        F.element_at(m, "k").alias("k_value"),
+        # try_element_at: under ANSI, element_at on a map MISSING the
+        # key raises MAP_KEY_DOES_NOT_EXIST instead of returning NULL —
+        # and missing-k objects are squarely in this query's domain
+        # (has_k is computed right below; review finding, round 8)
+        F.try_element_at(m, F.lit("k")).alias("k_value"),
         F.when(F.map_contains_key(m, "k"), 1).otherwise(0).alias("has_k"),
     )
 

@@ -369,10 +369,27 @@ def dedup_clusters(spark, sf_dir):
     return D.near_dup_clusters(doc, pairs, "doc_id")
 
 
-_COS_SQL = """round(
-    list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-    / (sqrt(list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-     * sqrt(list_sum(list_transform(range(1,65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)"""
+def _cos_sql(x: str, y: str) -> str:
+    """DuckDB cosine(x, y) for 64-dim list columns, rounded to 6dp —
+    the SQL rendering of operators.similarity.cosine, INCLUDING its
+    zero-vector contract: the engine returns 0.0 when either norm is
+    zero, while a bare 0/0 is NULL in DuckDB and would rank below
+    negative cosines under DESC NULLS LAST instead of above them
+    (review finding, round 8)."""
+    nx = (f"sqrt(list_sum(list_transform(range(1,65), "
+          f"i -> {x}[i]::DOUBLE * {x}[i]::DOUBLE)))")
+    ny = (f"sqrt(list_sum(list_transform(range(1,65), "
+          f"i -> {y}[i]::DOUBLE * {y}[i]::DOUBLE)))")
+    dot = (f"list_sum(list_transform(range(1,65), "
+           f"i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))")
+    return (f"round(CASE WHEN {nx} * {ny} = 0 THEN 0.0 "
+            f"ELSE {dot} / ({nx} * {ny}) END, 6)")
+
+
+#: The dedup-family pair cosine — the SAME renderer as the similarity
+#: oracles, aliased a/b (two verbatim copies drifted-by-luck before;
+#: review finding, round 8).
+_COS_SQL = _cos_sql("a.embedding", "b.embedding")
 
 
 @query(
@@ -493,15 +510,6 @@ def similarity_topk_bruteforce(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.cosine_topk_bruteforce(emb, queries, k=10)
-
-
-def _cos_sql(x: str, y: str) -> str:
-    """DuckDB cosine(x, y) for 64-dim list columns, rounded to 6dp —
-    the SQL rendering of operators.similarity.cosine."""
-    return f"""round(
-    list_sum(list_transform(range(1,65), i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))
-    / (sqrt(list_sum(list_transform(range(1,65), i -> {x}[i]::DOUBLE * {x}[i]::DOUBLE)))
-     * sqrt(list_sum(list_transform(range(1,65), i -> {y}[i]::DOUBLE * {y}[i]::DOUBLE)))), 6)"""
 
 
 #: IVF top-10 oracle SELECT, shared with similarity_ivf_recall.

@@ -22,7 +22,11 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from eventbridge_etl_spark.operators.rounding import decimal_sum, half_up_div_sql
+from eventbridge_etl_spark.operators.rounding import (
+    decimal_sum,
+    half_up_div,
+    half_up_div_sql,
+)
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
 from eventbridge_etl_spark.streaming.file_pipeline import (
@@ -157,9 +161,13 @@ def streaming_dedup(spark, sf_dir):
     ),
     g AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
     SELECT user_id, COUNT(*) AS n_sessions,
-           ROUND(AVG(n_events), 4) AS avg_events_per_session
+           -- exact 4dp integer-ratio mean (HALF_UP in 1e-4 units): the
+           -- native ROUND(AVG(int), 4) is the measured divergent class
+           -- (operators/rounding.py; review finding, round 8)
+           CAST(CAST({avg4} AS DECIMAL(32,0)) * 0.0001::DECIMAL(5,4)
+                AS DOUBLE) AS avg_events_per_session
     FROM g GROUP BY user_id
-    """,
+    """.format(avg4=half_up_div_sql("SUM(n_events) * 10000", "COUNT(*)")),
 )
 def streaming_sessionize(spark, sf_dir):
     """Session-window aggregation (30 min gap) as a streaming query;
@@ -169,9 +177,13 @@ def streaming_sessionize(spark, sf_dir):
     hence >=)."""
     sess = sessionize(_event_stream(spark, sf_dir), gap="30 minutes", watermark="4 hours")
     out = _drain(sess, mode="complete")
+    # exact 4dp integer-ratio mean — see the oracle note (review, r8)
+    avg4 = half_up_div(F.sum("n_events") * F.lit(10_000), F.count(F.lit(1)))
     return out.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
-        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        (avg4.cast("decimal(32,0)") * F.lit("0.0001").cast("decimal(5,4)"))
+        .cast("double")
+        .alias("avg_events_per_session"),
     )
 
 
@@ -227,7 +239,12 @@ def streaming_interval_join(spark, sf_dir):
     "streaming_running_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value,
+           -- decimal-sum then round: the raw-double ROUND(SUM(value),2)
+           -- violated the suite's decimal_sum contract (accumulation
+           -- order + shortest-string HALF_UP vs scaled-binary at x.xx5
+           -- edges; review finding, round 8)
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_value,
            COALESCE(MAX(epoch_us(ts)), 0) AS max_ts_us,
            TRUE AS state_sum_ok
     -- null keys are excluded by contract (applyInPandasWithState
@@ -263,13 +280,20 @@ def streaming_running_totals(spark, sf_dir):
     exact = (
         load_tables(spark, sf_dir, ("events",))["events"]
         .groupBy("user_id")
-        .agg(F.sum("value").alias("_batch_sum"))
+        .agg(
+            F.sum("value").alias("_batch_sum"),
+            # published 2dp value rides the decimal_sum contract (order-
+            # free, exact HALF_UP) — see the oracle note (review, r8)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("_pub_sum"),
+        )
     )
     tol = F.greatest(F.lit(1.0), F.abs(F.col("_batch_sum"))) * 1e-9
     return final.join(exact, "user_id").select(
         "user_id",
         "n_events",
-        F.round("_batch_sum", 2).alias("sum_value"),
+        F.col("_pub_sum").alias("sum_value"),
         "max_ts_us",
         (F.abs(F.col("_state_sum") - F.col("_batch_sum")) <= tol).alias("state_sum_ok"),
     )
@@ -326,8 +350,17 @@ def streaming_rollup_merge(spark, sf_dir):
     half = F.crc32(F.coalesce(F.col("event_type"), F.lit("\x00")).cast("string")) + F.coalesce(
         F.unix_micros("ts"), F.lit(0)
     )
-    ev.filter(half % 2 == 0).coalesce(1).write.parquet(os.path.join(landing, "a"))
-    ev.filter(half % 2 == 1).coalesce(1).write.parquet(os.path.join(landing, "b"))
+    # pmod, not %: Spark's % takes the dividend's sign, so a negative
+    # half (pre-epoch unix_micros outweighs crc32) gave -1 — matching
+    # NEITHER predicate and silently dropping the row from the landing
+    # zone, the same vanish class as the null-coalesce above (review
+    # finding, round 8; fired on the timeshift surface's 1969 rows)
+    ev.filter(F.pmod(half, F.lit(2)) == 0).coalesce(1).write.parquet(
+        os.path.join(landing, "a")
+    )
+    ev.filter(F.pmod(half, F.lit(2)) == 1).coalesce(1).write.parquet(
+        os.path.join(landing, "b")
+    )
     state_dir = os.path.join(work, "state")
     stream = (
         spark.readStream.schema(ev.schema)

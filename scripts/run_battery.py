@@ -59,11 +59,15 @@ DONE_RE = re.compile(r"SWEEP DONE checked=(\d+) bad=(\d+)")
 #: oracle keeps rows the stream must evict).  Applies to MISMATCH only —
 #: an ERROR on these gates still fails the surface.
 ALLOWED_DIVERGENCE: dict[str, frozenset[str]] = {
+    # streaming_rollup_merge left this set in round 8: its "by-design"
+    # divergence was actually a sign-modulo row-vanish bug in the
+    # landing-zone split (fixed; it now MATCHES on timeshift) — the
+    # same lesson as r7's running_totals.  The four remaining are pure
+    # watermark late-drop.
     "timeshift": frozenset({
         "streaming_dedup",
         "streaming_enriched_windows",
         "streaming_hourly_windows",
-        "streaming_rollup_merge",
         "streaming_sessionize",
     }),
 }
