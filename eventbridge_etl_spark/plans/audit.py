@@ -70,9 +70,19 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     """
     p = plan_string(df)
     # a shuffle prints as bare "Exchange hashpartitioning(...)"; the
-    # non-letter guard excludes BroadcastExchange / ReusedExchange
+    # non-letter guard excludes BroadcastExchange, and ReusedExchange
+    # LINES are skipped entirely — ReusedExchangeExec embeds the reused
+    # child's "..., Exchange hashpartitioning(...)" description in its
+    # own line, which the token guard alone cannot see (probed: a
+    # self-joined aggregate read shuffles=2 for one physical exchange;
+    # review finding, round 8).  A reused exchange is the optimal plan,
+    # not a second shuffle.
     return PlanAudit(
-        shuffles=len(re.findall(r"[^A-Za-z]Exchange ", " " + p)),
+        shuffles=sum(
+            len(re.findall(r"[^A-Za-z]Exchange ", " " + line))
+            for line in p.splitlines()
+            if "ReusedExchange" not in line
+        ),
         broadcasts=p.count("BroadcastExchange"),
         has_cartesian="CartesianProduct" in p,
         has_bnl_join="BroadcastNestedLoopJoin" in p,
@@ -82,11 +92,19 @@ def plan_audit(df: DataFrame) -> PlanAudit:
             set(re.findall(r"\*\((\d+)\)", p))
             | set(re.findall(r"WholeStageCodegen \((\d+)\)", p))
         ),
-        # greedy-to-end-of-line capture: a filter like In(k, [1, 2, 3])
-        # contains `]` itself, so a lazy [^\]]* would truncate the list
-        # and under-report what reached the scan
-        pushed_filters=re.findall(r"PushedFilters: \[(.*)\]", p),
-        partition_filters=re.findall(r"PartitionFilters: \[(.*)\]", p),
+        # lazy capture with a next-metadata-field lookahead: greedy ran
+        # through to the LAST ']' on the FileScan line, so
+        # partition_filters swallowed the PushedFilters block whenever a
+        # scan had both (probed; review finding, round 8).  The
+        # lookahead — `], <Capitalized>: ` or end-of-line — still keeps
+        # In(k, [1, 2, 3])-style inner brackets intact (an inner ']' is
+        # never followed by a `, Word: ` metadata-field marker).
+        pushed_filters=re.findall(
+            r"PushedFilters: \[(.*?)\](?=, [A-Z][A-Za-z]+: |\s*$)", p, re.M
+        ),
+        partition_filters=re.findall(
+            r"PartitionFilters: \[(.*?)\](?=, [A-Z][A-Za-z]+: |\s*$)", p, re.M
+        ),
         read_schemas=re.findall(r"ReadSchema: (\S+)", p),
         top_k_pushed="TakeOrderedAndProject" in p,
         window_group_limit="WindowGroupLimit" in p,

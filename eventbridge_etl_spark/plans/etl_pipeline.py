@@ -28,6 +28,7 @@ from eventbridge_etl_spark.operators.etl import (
     ADDRESS_RENAMES,
     header_zip,
     rename_projection,
+    splinter,
     validity_filter,
 )
 from eventbridge_etl_spark.operators.routing import route
@@ -42,12 +43,27 @@ def csv_to_keyed_table(
     renames: Mapping[str, str] = ADDRESS_RENAMES,
     key: str = "id",
     version_col: str | None = None,
+    schema=None,
 ) -> DataFrame:
     """Direct plan: CSV -> renamed projection -> validity filter -> keyed
-    last-writer-wins table."""
-    raw = read_csv_batch(spark, path)
+    last-writer-wins table.
+
+    ``version_col`` requires a TYPED column: with no ``schema`` the CSV
+    ingest keeps everything as strings, and a string max_by resolves
+    last-writer-wins LEXICOGRAPHICALLY — version '9' would silently
+    beat '10' (review finding, round 8).  Pass ``schema`` (forwarded to
+    the reader) or pre-typed data; a string-typed version column raises.
+    """
+    raw = read_csv_batch(spark, path, schema=schema)
     renamed = rename_projection(raw, renames)
     valid = validity_filter(renamed, [key])
+    if version_col is not None and dict(valid.dtypes).get(version_col) == "string":
+        raise ValueError(
+            f"version_col {version_col!r} is string-typed: lexicographic "
+            "last-writer-wins silently keeps '9' over '10' — pass a typed "
+            "schema= (or cast the column) so versions compare numerically/"
+            "temporally"
+        )
     return upsert_by_key(valid, [key], version_col=version_col)
 
 
@@ -67,20 +83,30 @@ def csv_via_envelopes(
     (load.ts:61-81).
     """
     raw = read_csv_batch(spark, path)
-    headers = list(headers or raw.columns)
+    # None means "all columns"; an explicitly EMPTY allowlist is a
+    # caller bug and must not silently expand to every column — the
+    # same falsy-empty trap fixed in envelope.to_envelope (review, r8)
+    if headers is not None and not list(headers):
+        raise ValueError(
+            "headers=[] would serialize NO columns; pass None for all "
+            "columns or a non-empty allowlist"
+        )
+    headers = list(raw.columns if headers is None else headers)
 
     # O10 splinter: one envelope-shaped row per record.  Values are
     # re-encoded as a delimited string; we use unit-separator \x1f instead
     # of ',' so RFC-4180 fields containing commas survive the round-trip
     # (the reference's bare-comma re-join is its known corruption bug).
+    # The (headers, data) pair comes from operators.etl.splinter — ONE
+    # encoder owns the NULL-alignment subtlety (review finding, round 8).
     sep = "\x1f"
-    extracted = raw.select(
+    extracted = splinter(raw, headers, delimiter=sep).select(
         F.lit(DEFAULT_SOURCE).alias("source"),
         F.lit("s3RecordExtraction").alias("detail_type"),
         F.current_timestamp().alias("time"),
         F.lit("extracted").alias("status"),
-        F.lit(sep.join(headers)).alias("headers"),
-        F.concat_ws(sep, *[F.coalesce(F.col(h), F.lit("")) for h in headers]).alias("data"),
+        F.col("headers"),
+        F.col("data"),
     )
 
     # O11 transform route (lib/eventbridge-etl-stack.ts:203-212)

@@ -47,6 +47,14 @@ def read_jsonl_batch(
     if schema is not None:
         if keep_corrupt:
             schema = _with_corrupt(schema)
+            # pin the reader option: the PERMISSIVE parser writes
+            # failures to the CONF-named column
+            # (spark.sql.columnNameOfCorruptRecord) — under a session
+            # that renames it, malformed rows would come back null-
+            # filled with our _corrupt_record NULL and the quarantine
+            # silently empty (review finding, round 8; same pin as
+            # operators/etl.parse_json_quarantine)
+            reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
         reader = reader.schema(schema)
     return reader.json(path)
 
@@ -66,6 +74,8 @@ def read_jsonl_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if keep_corrupt:
         schema = _with_corrupt(schema)
+        # same conf-rename pin as read_jsonl_batch (review, round 8)
+        reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
     return reader.schema(schema).json(landing_dir)
 
 
