@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from eventbridge_etl_spark.queries import QUERIES, load_all
 from eventbridge_etl_spark.session import get_spark
 
@@ -72,20 +74,46 @@ def main() -> None:
     # the spikes vanished (round 8).  24g is ample for sf0.1's broadcast
     # builds; SPARK_GRAFT_DRIVER_MEM still wins for bigger SF dirs.
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-    extra = {
-        "spark.driver.memory": mem,
-        "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch",
-    }
-    shm = "/dev/shm/bench-spark-local"
+
+    # Memory guard (round-9 advice): the pre-committed heap (-Xms=-Xmx +
+    # AlwaysPreTouch) and a tmpfs local dir COMPETE for the same physical
+    # RAM.  On a host where MemAvailable doesn't comfortably exceed
+    # heap + expected shuffle spill (~8 GiB at sf0.1), fall back to the
+    # default lazy heap + disk local dirs — slower but degrades
+    # gracefully instead of OOMing.
+    def _mem_available_gib() -> float:
+        try:
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    if line.startswith("MemAvailable:"):
+                        return int(line.split()[1]) / (1024 * 1024)
+        except OSError:
+            pass
+        return 0.0
+
+    heap_gib = float(mem.rstrip("gG") or 24)
+    roomy = _mem_available_gib() >= heap_gib + 16  # heap + spill + slack
+
+    extra = {"spark.driver.memory": mem}
+    if roomy:
+        extra["spark.driver.extraJavaOptions"] = (
+            f"-Xms{mem} -XX:+AlwaysPreTouch"
+        )
+    # PID-suffixed so a concurrently running bench's live shuffle files
+    # are never clobbered (round-9 advice); stale siblings from
+    # killed/crashed prior benches ARE swept — orphaned tmpfs shuffle
+    # files are resident RAM and would re-introduce the memory-pressure
+    # noise this dir exists to remove (round-8 review finding).
+    shm = f"/dev/shm/bench-spark-local.{os.getpid()}"
     try:
-        if os.path.isdir("/dev/shm"):
-            # sweep leftovers from a killed/crashed prior bench FIRST:
-            # orphaned shuffle files in tmpfs are resident RAM and would
-            # re-introduce the memory-pressure noise this dir exists to
-            # remove (review finding, round 8)
+        if roomy and os.path.isdir("/dev/shm"):
+            import glob
             import shutil
 
-            shutil.rmtree(shm, ignore_errors=True)
+            for stale in glob.glob("/dev/shm/bench-spark-local*"):
+                pid = stale.rsplit(".", 1)[-1]
+                if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+                    shutil.rmtree(stale, ignore_errors=True)
             os.makedirs(shm, exist_ok=True)
             extra["spark.local.dir"] = shm
     except OSError:
@@ -95,6 +123,29 @@ def main() -> None:
 
     # Warm-up: trigger JVM classloading + codegen once, untimed.
     QUERIES["scan_projection_filter"](spark, sf_dir).count()
+
+    # Calibration canary (round-9 protocol): a CONSTANT-COST probe whose
+    # plan never touches engine code or fixture data — range -> modulo
+    # shuffle -> count, fixed at 32M rows / 32 partitions / 1000 keys.
+    # Its min-of-5 depends only on box state (CPU contention, memory
+    # pressure, JIT health), so every artifact self-documents the
+    # environment it ran on: engine regressions move `value` while the
+    # canary holds; a degraded box moves both together.  Reference floor
+    # on this host class: ~0.7 s min-of-5 (first measured r9 run:
+    # [3.899, 1.094, 0.804, 0.696, 0.727] alongside a 14.4 s total);
+    # treat a canary much above ~1.0 s as a degraded-box flag.
+    def _canary_once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 32_000_000, 1, 32)
+            .groupBy((F.col("id") % 1000).alias("k"))
+            .count()
+            .count()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    canary_runs = [_canary_once() for _ in range(5)]
+    canary = min(canary_runs)
 
     # Each query runs FIVE times; the headline number is the min
     # (steady state), with the first-pass times reported alongside as
@@ -142,11 +193,21 @@ def main() -> None:
                 "queries": timings,
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
+                "canary_sec": canary,
+                "canary_runs": canary_runs,
+                "tmpfs_shuffle": "spark.local.dir" in extra,
+                "pretouch_heap": roomy,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+    try:
+        import shutil
+
+        shutil.rmtree(shm, ignore_errors=True)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -933,35 +933,18 @@ def containment_pairs(
     )
 
 
-def tfidf_cosine_pairs(
+def _tfidf_unit_weights(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    tau: float = 0.3,
+    id_col: str,
+    text_col: str,
     max_df: int | None = None,
 ) -> DataFrame:
-    """EXACT weighted-cosine near-dup pairs over tf-idf vectors, computed
-    as an inverted-index self-join — no dense vectors, no cartesian
-    product: a pair is generated only if it shares at least one token,
-    which for any ``tau > 0`` loses nothing (disjoint documents have
-    cosine exactly 0).
-
-    Weighting: tf·ln(N/df) rounded to 6 decimals, L2-normalized per doc
-    (unit weights rounded to 9), per-pair contributions summed as
-    DECIMAL(38,15) so accumulation order is immaterial; the DuckDB
-    oracle replicates every rounding step.
-
-    Scale shape: candidate volume is Σ_token df(token)² — the hot end of
-    the Zipf curve pays quadratically, which is exactly the stop-word
-    mass idf already declares worthless.  ``max_df`` drops tokens whose
-    document frequency exceeds it from BOTH weighting and pairing
-    (lossy BY CONTRACT — a df-capped cosine, the standard production
-    trade; Bayardo-style cosine prefix filtering is the lossless
-    alternative and its Jaccard sibling lives in
-    ``jaccard_pairs_prefix_filtered``).  The default gate runs uncapped
-    for oracle exactness.  Join keys are xxhash64 token ids (fixed
-    width), the pair aggregate is one shuffle on (id_a, id_b).
-    """
+    """L2-normalized tf-idf postings ``(_id, _tid, _u)`` — the shared
+    weighting recipe of ``tfidf_cosine_pairs`` (all-pairs verifier) and
+    ``tfidf_cosine_on_candidates`` (the composed 100 TB path).  One
+    implementation so the two gates can never drift on a rounding step:
+    tf·ln(N/df) rounded to 6, norms summed as DECIMAL(38,12), unit
+    weights rounded to 9, tokens xxhash64-encoded to fixed width."""
     toks = (
         df.select(
             F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
@@ -997,7 +980,7 @@ def tfidf_cosine_pairs(
             )
         ).alias("_norm")
     )
-    unit = (
+    return (
         w.join(norms, "_id")
         .where(F.col("_norm") > 0)
         .select(
@@ -1006,6 +989,38 @@ def tfidf_cosine_pairs(
             F.round(F.col("_w") / F.col("_norm"), 9).alias("_u"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT weighted-cosine near-dup pairs over tf-idf vectors, computed
+    as an inverted-index self-join — no dense vectors, no cartesian
+    product: a pair is generated only if it shares at least one token,
+    which for any ``tau > 0`` loses nothing (disjoint documents have
+    cosine exactly 0).
+
+    Weighting: tf·ln(N/df) rounded to 6 decimals, L2-normalized per doc
+    (unit weights rounded to 9), per-pair contributions summed as
+    DECIMAL(38,15) so accumulation order is immaterial; the DuckDB
+    oracle replicates every rounding step.
+
+    Scale shape: candidate volume is Σ_token df(token)² — the hot end of
+    the Zipf curve pays quadratically, which is exactly the stop-word
+    mass idf already declares worthless.  ``max_df`` drops tokens whose
+    document frequency exceeds it from BOTH weighting and pairing
+    (lossy BY CONTRACT — a df-capped cosine, the standard production
+    trade; Bayardo-style cosine prefix filtering is the lossless
+    alternative and its Jaccard sibling lives in
+    ``jaccard_pairs_prefix_filtered``).  The default gate runs uncapped
+    for oracle exactness.  Join keys are xxhash64 token ids (fixed
+    width), the pair aggregate is one shuffle on (id_a, id_b).
+    """
+    unit = _tfidf_unit_weights(df, id_col, text_col, max_df)
     a, b = unit.alias("a"), unit.alias("b")
     return (
         a.join(b, (F.col("a._tid") == F.col("b._tid")) & (F.col("a._id") < F.col("b._id")))
@@ -1019,6 +1034,78 @@ def tfidf_cosine_pairs(
             F.round(
                 F.sum(
                     F.round(F.col("a._u") * F.col("b._u"), 15).cast("decimal(38,15)")
+                ),
+                6,
+            ).cast("double").alias("cosine")
+        )
+        .where(F.col("cosine") >= tau)
+    )
+
+
+def tfidf_cosine_on_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 2,
+) -> DataFrame:
+    """The composed 100 TB near-dup recipe: MinHash-LSH banded buckets
+    GENERATE candidate pairs; exact tf-idf cosine (the
+    ``tfidf_cosine_pairs`` weighting, bit-identical via the shared
+    ``_tfidf_unit_weights``) VERIFIES only those pairs.
+
+    Why the composition exists (SCALE.md round 8): the all-pairs tf-idf
+    verifier's candidate volume is Σ_token df(token)² — measured 4.5M →
+    448M → 45.1B per ×10 on the replica fixture — so it cannot be the
+    candidate GENERATOR at scale.  Banded LSH generates O(docs × bands)
+    bucket rows and pairs only within buckets, so the expensive weighted
+    cosine runs on a set whose size tracks the true near-dup density,
+    not the vocabulary's Zipf head.
+
+    Output contract: ``(id_a, id_b, cosine)`` for candidate pairs with
+    cosine >= tau.  Recall is the LSH sigmoid (P(candidate | jaccard j)
+    = 1-(1-j^r)^b), NOT 1.0 — by contract, same as ``minhash_lsh_pairs``.
+    In production, run ``exact_dedup`` collapse upstream so identical
+    docs pay the banding once; this operator bands the raw frame, which
+    is equivalent on exact-dup-free corpora and keeps the oracle 1:1.
+
+    Scale shape: one shuffle to band (docs × bands rows, ~50 B each), a
+    bucket self-join, a distinct to rebalance band-skew, then the
+    verify joins shuffle candidate×token rows on (pair, token-id) —
+    bounded by |candidates| × doc length, never df².
+    """
+    t = _token_sets(df, id_col, text_col)
+    # banded rows feed the self-join twice; persist so tokenization +
+    # signing run once (same rationale as _minhash_lsh_rep_pairs)
+    banded = scoped_persist(_band_rows(t, num_hashes, bands))
+    left = banded.select(F.col("_id").alias("id_a"), "_band", "_bh")
+    right = banded.select(F.col("_id").alias("id_b"), "_band", "_bh")
+    # the distinct's exchange rebalances pairs off the (band, bucket)
+    # partitioning — heavily skewed when near-dup clusters are large
+    cand = (
+        left.join(right, ["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    unit = _tfidf_unit_weights(df, id_col, text_col)
+    a = unit.select(
+        F.col("_id").alias("id_a"), "_tid", F.col("_u").alias("_ua")
+    )
+    b = unit.select(
+        F.col("_id").alias("id_b"), "_tid", F.col("_u").alias("_ub")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "_tid"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            # decimal-round the exact decimal sum, THEN cast — same
+            # half-edge admission contract as tfidf_cosine_pairs
+            F.round(
+                F.sum(
+                    F.round(F.col("_ua") * F.col("_ub"), 15).cast("decimal(38,15)")
                 ),
                 6,
             ).cast("double").alias("cosine")

@@ -171,6 +171,16 @@ def linear_attribution(
     the direct conversions.  Three shuffles total, each on a real key
     (user, conversion id, channel) — all broadcastable/AQE-splittable
     at skew.
+
+    Value-quantization contract (round-9 review): conversion values are
+    assumed 2dp-exact currency.  The cents recipe floor(|v|*100 + 0.5)
+    rounds the BINARY-scaled double, which differs from shortest-
+    decimal-string HALF_UP at binary half edges — e.g. the double
+    nearest 0.285 is 0.28499999999999998 and quantizes to 28 cents, not
+    29.  Engine and oracle share the recipe so gates are unaffected,
+    but callers feeding values with true sub-cent precision should
+    pre-quantize via an explicit DECIMAL(…,2) cast upstream if they
+    need decimal-string semantics.
     """
     us = F.unix_micros(F.col(ts_col))
     # id_col is the per-conversion aggregation key: a NULL id never

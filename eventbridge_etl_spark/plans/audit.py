@@ -96,14 +96,25 @@ def plan_audit(df: DataFrame) -> PlanAudit:
         # through to the LAST ']' on the FileScan line, so
         # partition_filters swallowed the PushedFilters block whenever a
         # scan had both (probed; review finding, round 8).  The
-        # lookahead — `], <Capitalized>: ` or end-of-line — still keeps
-        # In(k, [1, 2, 3])-style inner brackets intact (an inner ']' is
-        # never followed by a `, Word: ` metadata-field marker).
+        # lookahead is anchored to the KNOWN FileScan metadata-field
+        # names (round-9 review: the earlier any-Capitalized-word form
+        # could still truncate a capture if a string-literal filter
+        # value itself contained '], Xxx: '), so only a genuine next
+        # metadata block or end-of-line terminates the capture; inner
+        # In(k, [1, 2, 3])-style brackets stay intact.
         pushed_filters=re.findall(
-            r"PushedFilters: \[(.*?)\](?=, [A-Z][A-Za-z]+: |\s*$)", p, re.M
+            r"PushedFilters: \[(.*?)\]"
+            r"(?=, (?:Output|Batched|DataFilters|Format|Location"
+            r"|PartitionFilters|PushedFilters|ReadSchema): |\s*$)",
+            p,
+            re.M,
         ),
         partition_filters=re.findall(
-            r"PartitionFilters: \[(.*?)\](?=, [A-Z][A-Za-z]+: |\s*$)", p, re.M
+            r"PartitionFilters: \[(.*?)\]"
+            r"(?=, (?:Output|Batched|DataFilters|Format|Location"
+            r"|PartitionFilters|PushedFilters|ReadSchema): |\s*$)",
+            p,
+            re.M,
         ),
         read_schemas=re.findall(r"ReadSchema: (\S+)", p),
         top_k_pushed="TakeOrderedAndProject" in p,

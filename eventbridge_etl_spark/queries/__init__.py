@@ -68,79 +68,76 @@ def query(name: str, oracle: str | None = None):
 #: order.  Anything importing the registries directly without calling
 #: ``load_all()`` sees plain module-import registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-8 WINDOW (positions 1-50) =================
-    # Plan per VERDICT r7 "Next round #1": head with the 21 remaining
-    # r3-evidence rows (they would be four rounds stale by r8 close),
-    # then the oldest 29 of the r4-evidence cohort (38 rows) in their
-    # original registration order — including the r7 engine-hash-
-    # exempted tokenizer/mode-count gates (text_gopher_quality,
-    # text_collapse_runs, text_bigram_topk, agg_mode_deterministic),
-    # closing that self-certification loop.  NO new gates this round.
-    # --- 21 r3-stale (last green CORRECTNESS_r03) ---
-    "route_observe_tap",
-    "events_keyed_upsert",
-    "scan_projection_filter",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "join_broadcast_chain",
-    "sort_multi_key_topk",
-    "set_intersect",
-    "set_union_distinct",
-    "subquery_scalar_above_avg",
-    "conditional_pivot",
-    "agg_percentiles",
-    "reshape_unpivot",
-    "agg_pivot_native",
-    "agg_statistics",
-    "streaming_hourly_windows",
-    "streaming_dedup",
-    "streaming_sessionize",
-    "streaming_interval_join",
-    "streaming_running_totals",
-    # --- 29 oldest r4-evidence rows (last green CORRECTNESS_r04),
-    # registration order ---
-    "fn_date_surface",
-    "fn_math_surface",
-    "fn_array_surface",
-    "fn_conditional_surface",
-    "fn_hash_surface",
-    "fn_regex_surface",
-    "sample_deterministic",
-    "pipeline_corpus_admission",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "text_gopher_quality",
-    "text_collapse_runs",
-    "text_bigram_topk",
-    "sample_temperature",
-    "join_full_outer_coalesce",
-    "agg_mode_deterministic",
-    "set_intersect_all",
-    "set_except_all",
-    "window_nth_value",
-    "join_salted_skew",
-    "fuzzy_match_part_names",
-    "scd2_user_state",
-    "profile_orders",
-    "expect_orders_contract",
-    "rollup_incremental_merge",
-    "fn_bitwise_surface",
-    "events_outlier_iqr",
-    "agg_correlation",
-    "join_lateral_top2",
-    # ============== OVERFLOW (position 51+) — LEADS ROUND 9 ============
-    # The 9 remaining r4-evidence rows MUST head the r9 window, followed
-    # by the oldest of the r5 cohort (46 rows) under the normal rotation.
+    # ================= ROUND-9 WINDOW (positions 1-50) =================
+    # Plan per VERDICT r8 "Next round #2": head with the 9 remaining
+    # r4-evidence rows (streaming_rollup_merge FIRST — its sign-modulo
+    # engine fix landed in r8, so its driver evidence is genuinely behind
+    # the code), then the ONE new gate this round (the composed 100 TB
+    # dedup recipe, VERDICT r8 item 4), then the oldest 40 of the
+    # r5-evidence cohort (46 rows) in registration order.
+    # --- 9 r4-stale (last green CORRECTNESS_r04) ---
+    "streaming_rollup_merge",
     "expect_referential_integrity",
     "events_hopping_windows",
     "events_time_hierarchy_rollup",
     "events_value_histogram",
     "events_dow_seasonality",
-    "streaming_rollup_merge",
     "dedup_cluster_sizes",
     "window_share_of_total",
     "events_rfm_segments",
+    # --- new gate (round 9): LSH candidates -> exact tf-idf verify ---
+    "dedup_tfidf_on_candidates",
+    # --- 40 oldest r5-evidence rows (last green CORRECTNESS_r05),
+    # registration order ---
+    "window_distribution",
+    "fn_generator_surface",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_distinct_count",
+    "window_topk_per_group",
+    "window_rank_dense",
+    "window_lag_gap",
+    "window_running_total",
+    "window_moving_avg",
+    "window_range_frame_30d",
+    "events_gap_fill",
+    "events_counter_increase",
+    "text_compression_ratio",
+    "multimodal_cdc_dedup",
+    "zorder_events_cluster",
+    "sample_weighted_pps",
+    "text_naive_bayes_lang",
+    "text_bm25_retrieval",
+    "graph_triangle_census",
+    "multimodal_phash_near_dup",
+    "agg_heavy_hitters",
+    "sample_leakage_safe_split",
+    "dedup_source_overlap",
+    "text_bigram_logprob",
+    "streaming_ewma_smoothing",
+    "text_char_entropy",
+    "window_rolling_median",
+    "agg_chi_square_assoc",
+    "scd_snapshot_diff",
+    "expect_k_anonymity",
+    "sample_balanced_classes",
+    "dedup_incremental_admission",
+    "events_funnel_timed",
+    "dedup_containment_pairs",
+    "mining_association_rules",
+    "events_type_pmi",
+    "text_perplexity_buckets",
+    # ============== OVERFLOW (position 51+) — LEADS ROUND 10 ===========
+    # The 6 remaining r5-evidence rows MUST head the r10 window, followed
+    # by the oldest of the r6 cohort (50 rows) under the normal rotation.
+    "events_sessionize",
+    "fn_url_surface",
+    "graph_pagerank_transitions",
+    "events_robust_scale",
+    "doc_equidepth_bins",
+    "events_target_encode",
 )
 
 

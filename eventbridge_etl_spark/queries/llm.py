@@ -369,6 +369,66 @@ def dedup_clusters(spark, sf_dir):
     return D.near_dup_clusters(doc, pairs, "doc_id")
 
 
+@query(
+    "dedup_tfidf_on_candidates",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    wtoks AS (
+      SELECT id, token, COUNT(*) AS tf FROM (
+        SELECT doc_id AS id, unnest({SQL_TOKS_RAW}) AS token
+        FROM documents) GROUP BY id, token
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    dfq AS (SELECT token, COUNT(*) AS dfn FROM wtoks GROUP BY token),
+    idf AS (
+      SELECT token,
+             round(ln(CAST(n AS DOUBLE) / CAST(dfn AS DOUBLE)), 6) AS idf
+      FROM dfq CROSS JOIN nd
+    ),
+    w AS (
+      SELECT id, t.token, round(CAST(tf AS DOUBLE) * idf, 6) AS w
+      FROM wtoks t JOIN idf USING (token)
+    ),
+    nrm AS (
+      SELECT id,
+             sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nrm
+      FROM w GROUP BY id
+    ),
+    unit AS (
+      SELECT w.id, token, round(w / nrm.nrm, 9) AS u
+      FROM w JOIN nrm ON nrm.id = w.id WHERE nrm.nrm > 0
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
+                AS DOUBLE) AS cosine
+    FROM cand c
+      JOIN unit a ON a.id = c.id_a
+      JOIN unit b ON b.id = c.id_b AND b.token = a.token
+    GROUP BY c.id_a, c.id_b
+    HAVING CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
+                AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_tfidf_on_candidates(spark, sf_dir):
+    """THE composed 100 TB dedup recipe (VERDICT r8 item 4): MinHash-LSH
+    banded buckets generate candidate pairs, exact tf-idf cosine
+    verifies only those pairs (operators/dedup.py::
+    tfidf_cosine_on_candidates).  This is the gate the sf1 all-pairs
+    kill demanded — candidate volume tracks near-dup density
+    (O(docs x bands) bucket rows) instead of the vocabulary's Zipf head
+    (Σ df² = 45.1B at sf1, SCALE.md r8).  The oracle composes the SAME
+    banding CTEs as dedup_minhash_lsh with the SAME weighting CTEs as
+    dedup_tfidf_cosine, so neither half can drift from its parent gate;
+    the weighting recipe is shared engine-side too
+    (_tfidf_unit_weights)."""
+    doc = _doc(spark, sf_dir)
+    return D.tfidf_cosine_on_candidates(
+        doc, "doc_id", "text", tau=0.8, num_hashes=16, bands=2
+    )
+
+
 def _cos_sql(x: str, y: str) -> str:
     """DuckDB cosine(x, y) for 64-dim list columns, rounded to 6dp —
     the SQL rendering of operators.similarity.cosine, INCLUDING its

@@ -110,12 +110,20 @@ def run_sweep(name: str, sf_dir: str, pinned_skip: bool) -> dict:
             waived.append(hit.group(1))
         else:
             mismatches.append(line)
+    bad = int(m.group(2)) if m else -1
     return {
         "surface": name,
+        # ok requires: summary line present, no unwaived gate lines,
+        # every reported-bad gate accounted for by an allow-listed
+        # waiver, AND a nonzero exit explained by those gate failures —
+        # a crash AFTER "SWEEP DONE" (teardown, atexit) exits nonzero
+        # with bad == 0 and previously read as PASS whenever the waiver
+        # count happened to equal bad (review finding, round 9)
         "ok": m is not None and not mismatches
-        and (proc.returncode == 0 or len(waived) == int(m.group(2))),
+        and bad == len(waived)
+        and (proc.returncode == 0 or bad > 0),
         "checked": int(m.group(1)) if m else 0,
-        "bad": int(m.group(2)) if m else -1,
+        "bad": bad,
         "waived": waived,
         "wall_s": round(wall, 1),
         "mismatches": mismatches,

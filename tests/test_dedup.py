@@ -276,3 +276,45 @@ def test_minhash_base_value_forms_agree(spark):
     )
     rows = toks.select(sql_form.alias("a"), col_form.alias("b")).collect()
     assert all(r["a"] == r["b"] for r in rows), rows
+
+
+def test_tfidf_on_candidates_is_allpairs_restricted_to_lsh(spark):
+    """Compositional contract of the 100 TB recipe (round 9): the
+    composed operator must equal the ALL-PAIRS tf-idf verifier
+    restricted to the MinHash-LSH candidate set — same weighting, same
+    rounding, no extra or missing pairs.  The candidate set is read off
+    ``minhash_lsh_pairs`` at tau=0.0 (every bucket collision verifies
+    at jaccard >= 0), so the test re-derives it through the public API
+    rather than trusting the implementation's internal banding twice."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon eta"),
+        (4, "totally different words here entirely now"),
+        (6, "alpha beta"),
+        (7, "alpha beta gamma delta epsilon zeta theta"),
+        (8, "words here entirely different now totally"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    tau = 0.1
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(df, "doc_id", "text", tau=0.0).collect()
+    }
+    assert cand, "fixture produced no LSH candidates — test is vacuous"
+    allpairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.tfidf_cosine_pairs(df, "doc_id", "text", tau=tau).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.tfidf_cosine_on_candidates(
+            df, "doc_id", "text", tau=tau
+        ).collect()
+    }
+    want = {k: v for k, v in allpairs.items() if k in cand}
+    assert got == want
+    # the restriction must be REAL on this fixture: at least one
+    # above-tau all-pairs pair is not an LSH candidate (8 vs 4 share
+    # every token but LSH at 16/2 need not bucket them -- if it does,
+    # the sets coincide and this assert flags the fixture for rework)
+    assert set(allpairs) - cand, "fixture: candidate set covers all pairs"

@@ -36,6 +36,11 @@ FAMILY_RULES: dict[str, tuple[str, ...]] = {
     "window": ("window_topk_per_group", "window_group_limit", "shuffles<=1"),
     "sort": ("sort_multi_key_topk", "top_k_pushed", "no_shuffle"),
     "dedup-minhash": ("dedup_minhash_lsh", "no_cartesian", "no_bnl", "shuffles<=5"),
+    # the composed 100 TB recipe (round 9): LSH banding candidates ->
+    # exact tf-idf verify on candidates only.  The one BNL is the
+    # broadcast of the 1-row corpus-count frame into the idf map (same
+    # as the dedup_tfidf_cosine parent), so no "no_bnl" pin here.
+    "dedup-composed": ("dedup_tfidf_on_candidates", "no_cartesian", "shuffles<=6"),
     "dedup-embedding": ("dedup_embedding_lsh", "no_cartesian", "shuffles<=5"),
     "similarity": ("similarity_topk_ivf", "no_cartesian", "broadcasts>=1", "window_group_limit"),
     "text": ("text_token_stats", "no_shuffle", "no_cartesian"),
@@ -54,6 +59,7 @@ _CHECKS = {
     "shuffles<=1": lambda a: a["shuffles"] <= 1,
     "shuffles<=2": lambda a: a["shuffles"] <= 2,
     "shuffles<=5": lambda a: a["shuffles"] <= 5,
+    "shuffles<=6": lambda a: a["shuffles"] <= 6,
     "broadcasts>=1": lambda a: a["broadcasts"] >= 1,
     "broadcasts>=2": lambda a: a["broadcasts"] >= 2,
     "no_cartesian": lambda a: not a["has_cartesian"],
