@@ -63,7 +63,10 @@ ALLOWED_DIVERGENCE: dict[str, frozenset[str]] = {
     # divergence was actually a sign-modulo row-vanish bug in the
     # landing-zone split (fixed; it now MATCHES on timeshift) — the
     # same lesson as r7's running_totals.  The four remaining are pure
-    # watermark late-drop.
+    # watermark late-drop, and since round 9 that claim is MACHINE-
+    # CHECKED: scripts/timeshift_waiver_check.py derives the exact
+    # drop set (epoch-0 initial watermark) per gate and the battery
+    # fails if the observed divergence is anything else.
     "timeshift": frozenset({
         "streaming_dedup",
         "streaming_enriched_windows",
@@ -166,6 +169,32 @@ def main() -> int:
         sf_dir = args.src if subdir is None else os.path.join(args.out, subdir)
         print(f"[battery] sweep {name} @ {sf_dir} ...", flush=True)
         r = run_sweep(name, sf_dir, pinned_skip)
+        if name == "timeshift":
+            # every waiver must be DERIVED, not eyeballed: assert the
+            # observed divergence equals exactly the epoch-initial-
+            # watermark late-drop set (r7 and r8 each turned one
+            # "by-design" waiver into a bug fix; round-9 item 3)
+            print(f"[battery] timeshift waiver derivation @ {sf_dir} ...",
+                  flush=True)
+            t0 = time.time()
+            wproc = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "timeshift_waiver_check.py"),
+                 sf_dir],
+                cwd="/tmp", capture_output=True, text=True,
+            )
+            r["waiver_derivation_ok"] = wproc.returncode == 0
+            r["ok"] = r["ok"] and r["waiver_derivation_ok"]
+            tail = [ln for ln in wproc.stdout.splitlines()
+                    if "DERIVED-MATCH" in ln or "FAIL" in ln or "!!" in ln
+                    or ln.startswith("WAIVER CHECK")]
+            for ln in tail[-10:]:
+                print("   ", ln, flush=True)
+            if wproc.returncode != 0 and not tail:
+                print((wproc.stdout + wproc.stderr)[-1500:], flush=True)
+            print(f"[battery] waiver derivation: "
+                  f"{'OK' if r['waiver_derivation_ok'] else 'FAIL'} "
+                  f"{round(time.time() - t0, 1)}s", flush=True)
         results.append(r)
         status = "OK" if r["ok"] else "FAIL"
         waived = f" waived={len(r['waived'])}" if r["waived"] else ""
