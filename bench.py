@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -91,22 +92,28 @@ def main() -> None:
             pass
         return 0.0
 
-    heap_gib = float(mem.rstrip("gG") or 24)
-    roomy = _mem_available_gib() >= heap_gib + 16  # heap + spill + slack
+    def _heap_gib(size: str) -> float | None:
+        """GiB value of a Spark/JVM memory string ('24g', '4096m', '1t',
+        plain bytes); None when the format is unrecognized — the guard
+        then stays conservative (not roomy) instead of crashing on a
+        size SPARK_GRAFT_DRIVER_MEM legitimately accepts."""
+        hit = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([kmgt]?)b?\s*", size, re.I)
+        if not hit:
+            return None
+        scale = {"": 2.0**-30, "k": 2.0**-20, "m": 2.0**-10, "g": 1.0, "t": 1024.0}
+        return float(hit.group(1)) * scale[hit.group(2).lower()]
 
-    extra = {"spark.driver.memory": mem}
-    if roomy:
-        extra["spark.driver.extraJavaOptions"] = (
-            f"-Xms{mem} -XX:+AlwaysPreTouch"
-        )
     # PID-suffixed so a concurrently running bench's live shuffle files
     # are never clobbered (round-9 advice); stale siblings from
-    # killed/crashed prior benches ARE swept — orphaned tmpfs shuffle
-    # files are resident RAM and would re-introduce the memory-pressure
-    # noise this dir exists to remove (round-8 review finding).
+    # killed/crashed prior benches are swept FIRST and UNCONDITIONALLY —
+    # orphaned tmpfs shuffle files are resident RAM, so they both
+    # re-introduce the memory-pressure noise this dir exists to remove
+    # (round-8 review finding) AND depress the MemAvailable reading the
+    # roomy guard takes next (sweeping only when already roomy could
+    # leave a box wedged under its own orphans forever).
     shm = f"/dev/shm/bench-spark-local.{os.getpid()}"
     try:
-        if roomy and os.path.isdir("/dev/shm"):
+        if os.path.isdir("/dev/shm"):
             import glob
             import shutil
 
@@ -114,6 +121,22 @@ def main() -> None:
                 pid = stale.rsplit(".", 1)[-1]
                 if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
                     shutil.rmtree(stale, ignore_errors=True)
+    except OSError:
+        pass
+
+    heap_gib = _heap_gib(mem)
+    roomy = (
+        heap_gib is not None
+        and _mem_available_gib() >= heap_gib + 16  # heap + spill + slack
+    )
+
+    extra = {"spark.driver.memory": mem}
+    if roomy:
+        extra["spark.driver.extraJavaOptions"] = (
+            f"-Xms{mem} -XX:+AlwaysPreTouch"
+        )
+    try:
+        if roomy and os.path.isdir("/dev/shm"):
             os.makedirs(shm, exist_ok=True)
             extra["spark.local.dir"] = shm
     except OSError:
@@ -195,6 +218,10 @@ def main() -> None:
                 "cold_queries": cold,
                 "canary_sec": canary,
                 "canary_runs": canary_runs,
+                # the probe's min-of-5 floor measured on a healthy box
+                # (round 9); canary_sec / canary_ref_sec quantifies the
+                # box's elevation factor for the reader of this artifact
+                "canary_ref_sec": 0.70,
                 "tmpfs_shuffle": "spark.local.dir" in extra,
                 "pretouch_heap": roomy,
                 "sf": sf,

@@ -60,3 +60,49 @@ SQL_TOKS_RAW = f"regexp_split_to_array(trim({SQL_LOWER}, ' '), '\\s+')"
 
 #: Distinct token SET — Spark twin adds ``F.array_distinct``.
 SQL_TOKS_SET = f"list_distinct({SQL_TOKS_RAW})"
+
+
+def tfidf_weighting_ctes(toks_cte: str = "toks", max_df: int | None = None) -> str:
+    """The tf-idf weighting CTE chain (``<toks_cte>`` -> nd -> dfq ->
+    idf -> w -> nrm -> unit) shared by the all-pairs cosine oracles
+    (analytics_q ``_tfidf_cosine_oracle``) and the composed
+    LSH-candidates oracle (llm ``dedup_tfidf_on_candidates``) — ONE
+    rendering, so the engine-shared ``_tfidf_unit_weights`` recipe has
+    exactly one SQL image and the gates cannot drift on a rounding step
+    (the same lesson as this module's tokenizer constants).
+
+    ``toks_cte`` renames the head CTE for callers composing with a
+    chain that already defines ``toks`` (the MinHash CTEs); ``max_df``
+    renders the df-cap HAVING of the capped variant."""
+    cap = f"\n      HAVING COUNT(*) <= {max_df}" if max_df is not None else ""
+    return f"""{toks_cte} AS (
+      SELECT id, token, COUNT(*) AS tf FROM (
+        SELECT doc_id AS id,
+               unnest({SQL_TOKS_RAW}) AS token
+        FROM documents) GROUP BY id, token
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    dfq AS (
+      SELECT token, COUNT(*) AS dfn FROM {toks_cte} GROUP BY token{cap}
+    ),
+    idf AS (
+      SELECT token,
+             round(ln(CAST(n AS DOUBLE) / CAST(dfn AS DOUBLE)), 6) AS idf
+      FROM dfq CROSS JOIN nd
+    ),
+    w AS (
+      SELECT id, t.token,
+             round(CAST(tf AS DOUBLE) * idf, 6) AS w
+      FROM {toks_cte} t JOIN idf USING (token)
+    ),
+    nrm AS (
+      SELECT id,
+             sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nrm
+      FROM w GROUP BY id
+    ),
+    unit AS (
+      SELECT w.id, token, round(w / nrm.nrm, 9) AS u
+      FROM w JOIN nrm ON nrm.id = w.id WHERE nrm.nrm > 0
+    )"""

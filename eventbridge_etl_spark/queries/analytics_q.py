@@ -20,7 +20,7 @@ from eventbridge_etl_spark.operators.skew import skew_report
 from eventbridge_etl_spark.operators.timeseries import prorate_intervals
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
-from eventbridge_etl_spark.queries._sqlfrag import SQL_TOKS_RAW
+from eventbridge_etl_spark.queries._sqlfrag import SQL_TOKS_RAW, tfidf_weighting_ctes
 
 
 def _t(spark, sf_dir, name):
@@ -209,40 +209,12 @@ def _tfidf_cosine_oracle(max_df: int | None = None) -> str:
     df-capped variants differ by a single HAVING line, and two hand-
     expanded 40-line copies WILL drift on the next tokenizer/rounding
     alignment (the r7 lesson behind _sqlfrag.py / half_up_div_sql;
-    review finding, round 8)."""
-    cap = f"\n      HAVING COUNT(*) <= {max_df}" if max_df is not None else ""
+    review finding, round 8).  The weighting CTE chain itself lives in
+    _sqlfrag.tfidf_weighting_ctes, shared with the composed
+    LSH-candidates oracle (llm.dedup_tfidf_on_candidates) for the same
+    reason."""
     return f"""
-    WITH toks AS (
-      SELECT id, token, COUNT(*) AS tf FROM (
-        SELECT doc_id AS id,
-               unnest({SQL_TOKS_RAW}) AS token
-        FROM documents) GROUP BY id, token
-    ),
-    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
-          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-    dfq AS (
-      SELECT token, COUNT(*) AS dfn FROM toks GROUP BY token{cap}
-    ),
-    idf AS (
-      SELECT token,
-             round(ln(CAST(n AS DOUBLE) / CAST(dfn AS DOUBLE)), 6) AS idf
-      FROM dfq CROSS JOIN nd
-    ),
-    w AS (
-      SELECT id, t.token,
-             round(CAST(tf AS DOUBLE) * idf, 6) AS w
-      FROM toks t JOIN idf USING (token)
-    ),
-    nrm AS (
-      SELECT id,
-             sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(38,12)))
-                       AS DOUBLE)) AS nrm
-      FROM w GROUP BY id
-    ),
-    unit AS (
-      SELECT w.id, token, round(w / nrm.nrm, 9) AS u
-      FROM w JOIN nrm ON nrm.id = w.id WHERE nrm.nrm > 0
-    )
+    WITH {tfidf_weighting_ctes(max_df=max_df)}
     SELECT a.id AS id_a, b.id AS id_b,
            CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
                 AS DOUBLE) AS cosine

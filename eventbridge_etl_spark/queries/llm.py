@@ -22,7 +22,11 @@ from eventbridge_etl_spark.operators import similarity as S
 from eventbridge_etl_spark.operators import text as X
 from eventbridge_etl_spark.operators.multimodal import attach_payload, decode_media
 from eventbridge_etl_spark.queries import query
-from eventbridge_etl_spark.queries._sqlfrag import SQL_TOKS_RAW, SQL_TOKS_SET
+from eventbridge_etl_spark.queries._sqlfrag import (
+    SQL_TOKS_RAW,
+    SQL_TOKS_SET,
+    tfidf_weighting_ctes,
+)
 from eventbridge_etl_spark.sources.tables import load_tables
 
 #: DuckDB rendering of the shared tokenization contract (one source:
@@ -373,33 +377,7 @@ def dedup_clusters(spark, sf_dir):
     "dedup_tfidf_on_candidates",
     oracle=f"""
     WITH {_MINHASH_CTES},
-    wtoks AS (
-      SELECT id, token, COUNT(*) AS tf FROM (
-        SELECT doc_id AS id, unnest({SQL_TOKS_RAW}) AS token
-        FROM documents) GROUP BY id, token
-    ),
-    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
-          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-    dfq AS (SELECT token, COUNT(*) AS dfn FROM wtoks GROUP BY token),
-    idf AS (
-      SELECT token,
-             round(ln(CAST(n AS DOUBLE) / CAST(dfn AS DOUBLE)), 6) AS idf
-      FROM dfq CROSS JOIN nd
-    ),
-    w AS (
-      SELECT id, t.token, round(CAST(tf AS DOUBLE) * idf, 6) AS w
-      FROM wtoks t JOIN idf USING (token)
-    ),
-    nrm AS (
-      SELECT id,
-             sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(38,12)))
-                       AS DOUBLE)) AS nrm
-      FROM w GROUP BY id
-    ),
-    unit AS (
-      SELECT w.id, token, round(w / nrm.nrm, 9) AS u
-      FROM w JOIN nrm ON nrm.id = w.id WHERE nrm.nrm > 0
-    )
+    {tfidf_weighting_ctes(toks_cte="wtoks")}
     SELECT c.id_a, c.id_b,
            CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
                 AS DOUBLE) AS cosine

@@ -30,8 +30,11 @@ late-dropped in the very first micro-batch:
 For each gate the script asserts BOTH:
 
 1. **drop-only** — the engine result never contains anything the
-   unfiltered batch oracle lacks (no fabricated rows / no count above
-   the batch count), and
+   unfiltered batch oracle lacks, in the gate's own shape: no
+   fabricated rows (windows), no count above the batch count (dedup),
+   no group key absent from the batch output (sessionize — its
+   surviving per-user stats are legitimately RECOMPUTED over the
+   surviving rows, so full rows need not be a subset), and
 2. **exact derivation** — the engine result EQUALS the derived oracle
    (batch SQL + the epoch-watermark late-drop predicate above).
 
@@ -134,6 +137,15 @@ DERIVED: dict[str, str] = {
 #: count <= the batch count for the same group) rather than row sets.
 COUNT_SHAPED = {"streaming_dedup"}
 
+#: gates whose surviving groups are RECOMPUTED over the surviving rows
+#: (sessions rebuilt after the drop), so a full-row subset check vs the
+#: batch oracle is the wrong invariant: a user whose rows straddle the
+#: cut (the fixture's epoch-straddle band, e.g. 15 users at sf0.1)
+#: legitimately keeps different session stats than the batch oracle.
+#: Drop-only there means no fabricated KEYS — every engine group key
+#: must exist in the batch output.  Value: gate -> key column.
+KEY_SUBSET = {"streaming_sessionize": "user_id"}
+
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/advfix/timeshift"
@@ -142,8 +154,11 @@ def main() -> int:
     import __spark_entry__ as m
 
     spark = (
+        # mirror oracle_sweep.py's session knobs so the derivation runs
+        # in the same environment as the sweep whose waivers it certifies
         SparkSession.builder.master(os.environ.get("SWEEP_MASTER", "local[8]"))
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SWEEP_SHUF", "8"))
+        .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "4g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
@@ -178,7 +193,7 @@ def main() -> int:
         plain = con.execute(oracles[name]).fetchdf()
         derived = con.execute(derived_sql).fetchdf()
         gc, gr = normalize_frame(got)
-        pc, pr = normalize_frame(plain)
+        _pc, pr = normalize_frame(plain)
         dc, dr = normalize_frame(derived)
 
         problems = []
@@ -186,11 +201,9 @@ def main() -> int:
             problems.append(f"derived-oracle columns differ: {gc} vs {dc}")
         # (1) drop-only vs the PLAIN batch oracle
         if name in COUNT_SHAPED:
-            pmap = dict((r[:-1], r[-1]) for r in pr)  # cols sorted: count last?
             # normalize_frame sorts columns by name; build group->count by
             # re-reading the frames column-wise instead of guessing order
-            gkey = sorted(got.columns)
-            cidx = gkey.index("n_events")
+            cidx = sorted(got.columns).index("n_events")
             gmap = {tuple(v for i, v in enumerate(r) if i != cidx): r[cidx]
                     for r in gr}
             pmap = {tuple(v for i, v in enumerate(r) if i != cidx): r[cidx]
@@ -199,6 +212,15 @@ def main() -> int:
                     if pmap.get(k) is None or gmap[k] > pmap[k]}
             if over:
                 problems.append(f"engine count EXCEEDS batch oracle: {over}")
+        elif name in KEY_SUBSET:
+            kidx = sorted(got.columns).index(KEY_SUBSET[name])
+            fab_keys = {r[kidx] for r in gr} - {r[kidx] for r in pr}
+            if fab_keys:
+                problems.append(
+                    f"{len(fab_keys)} engine group keys absent from the "
+                    f"batch oracle (fabricated groups): "
+                    f"{sorted(fab_keys, key=repr)[:3]}"
+                )
         else:
             fabricated = set(gr) - set(pr)
             if fabricated:
