@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from eventbridge_etl_spark.operators.rounding import half_up_div
+
 
 def heavy_hitters(
     df: DataFrame,
@@ -105,7 +107,20 @@ def heavy_hitters(
         .select(
             "value",
             "n",
-            F.round(F.col("n").cast("double") / F.col("_n_total"), 6).alias("share"),
+            # exact 6dp integer ratio (HALF_UP micro-units, decimal-
+            # rescaled): native round(double_quotient, 6) diverges
+            # cross-engine when n/total lands on a 6dp half edge —
+            # Spark HALF_UPs the shortest decimal string, DuckDB
+            # nearbyints the scaled binary (probed: 249/2,000,000 →
+            # 0.000125 vs 0.000124).  Same discipline as skew.py's
+            # _ratio6 / the round-8 share conversions.
+            (
+                half_up_div(F.col("n") * F.lit(1_000_000), F.col("_n_total"))
+                .cast("decimal(32,0)")
+                * F.lit("0.000001").cast("decimal(7,6)")
+            )
+            .cast("double")
+            .alias("share"),
         )
     )
     return exact

@@ -87,6 +87,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_rfm_segments",
     # --- new gate (round 9): LSH candidates -> exact tf-idf verify ---
     "dedup_tfidf_on_candidates",
+    # --- value-changed (slot-policy rule 2): q11's part sums moved to
+    # exact decimal products for the 0.1%-threshold compare; two parts'
+    # rounded values flipped a cent on clean (true .xx5 half edges the
+    # old double-sum round landed below) — empirical old-vs-new diff,
+    # so the gate takes a window slot.  The displaced tail row
+    # (text_perplexity_buckets) joins the r10 overflow head.
+    "q11_important_parts",
     # --- 40 oldest r5-evidence rows (last green CORRECTNESS_r05),
     # registration order ---
     "window_distribution",

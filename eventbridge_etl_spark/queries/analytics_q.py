@@ -777,8 +777,13 @@ def agg_jackknife_mean(spark, sf_dir):
     oracle="""
     WITH RECURSIVE ordered AS (
       SELECT user_id,
+             -- NULLS FIRST on BOTH keys: the operator sorts with
+             -- pandas na_position='first', which applies to the
+             -- tiebreak column too (DuckDB would default event_id's
+             -- nulls LAST, diverging the fold order on tied ts)
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts NULLS FIRST, event_id) AS rn,
+                                ORDER BY ts NULLS FIRST,
+                                         event_id NULLS FIRST) AS rn,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
       FROM events
     ),

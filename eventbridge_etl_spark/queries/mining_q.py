@@ -12,6 +12,7 @@ from __future__ import annotations
 from eventbridge_etl_spark.operators.classify import naive_bayes_self_score
 from eventbridge_etl_spark.operators.graph import triangle_count
 from eventbridge_etl_spark.operators.retrieval import bm25_topk
+from eventbridge_etl_spark.operators.rounding import half_up_div_sql
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.queries._sqlfrag import SQL_TOKS_RAW
 from eventbridge_etl_spark.sources.tables import load_tables
@@ -278,7 +279,12 @@ def multimodal_phash_near_dup(spark, sf_dir):
     WITH toks AS ({_TOKS}),
     tot AS (SELECT COUNT(*) AS n FROM toks)
     SELECT token AS value, COUNT(*) AS n,
-           round(COUNT(*)::DOUBLE / tot.n, 6) AS share
+           -- exact 6dp integer ratio (HALF_UP micro-units), mirroring
+           -- the operator: native round(double_quotient, 6) flips at
+           -- 6dp half edges cross-engine (round-8 share class)
+           CAST(CAST({half_up_div_sql("COUNT(*) * 1000000", "tot.n")}
+                     AS DECIMAL(32,0)) * 0.000001::DECIMAL(7,6) AS DOUBLE)
+             AS share
     FROM toks CROSS JOIN tot
     GROUP BY token, tot.n
     HAVING COUNT(*) > tot.n * 0.002

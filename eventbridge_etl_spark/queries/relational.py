@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from eventbridge_etl_spark.operators.rounding import half_up_div, half_up_div_sql
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
 
@@ -594,7 +595,10 @@ def window_moving_avg(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
     FROM lineitem
-    ORDER BY l_extendedprice DESC, l_shipdate, l_orderkey, l_linenumber
+    -- NULLS FIRST spells Spark's ASC default: a NULL l_shipdate tied
+    -- on l_extendedprice at the 15-row boundary must land on the same
+    -- side in both engines (DuckDB defaults to NULLS LAST)
+    ORDER BY l_extendedprice DESC, l_shipdate NULLS FIRST, l_orderkey, l_linenumber
     LIMIT 15
     """,
 )
@@ -955,8 +959,12 @@ def join_full_outer_coalesce(spark, sf_dir):
     ),
     r AS (
       SELECT o_orderstatus, o_orderpriority, n,
+             -- NULLS FIRST spells Spark's ASC default: a NULL priority
+             -- group tied on count with a named priority must win on
+             -- both engines (DuckDB defaults to NULLS LAST and would
+             -- pick the named one)
              ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-                                ORDER BY n DESC, o_orderpriority) AS rk
+                                ORDER BY n DESC, o_orderpriority NULLS FIRST) AS rk
       FROM c
     )
     SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
@@ -1164,7 +1172,7 @@ def join_lateral_top2(spark, sf_dir):
 
 @query(
     "window_share_of_total",
-    oracle="""
+    oracle=f"""
     WITH j AS (
       SELECT r_name, n_name, c_acctbal
       FROM customer
@@ -1172,30 +1180,57 @@ def join_lateral_top2(spark, sf_dir):
       JOIN region ON n_regionkey = r_regionkey
     ),
     a AS (
-      SELECT r_name, n_name, ROUND(SUM(c_acctbal), 2) AS nation_bal
+      -- decimal sum + 2dp decimal round (order-free, exact HALF_UP;
+      -- signmag class), then exact integer cents for the share ratio
+      SELECT r_name, n_name,
+             ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS bal
       FROM j GROUP BY r_name, n_name
+    ),
+    c AS (
+      SELECT r_name, n_name, bal, CAST(bal * 100 AS BIGINT) AS cents
+      FROM a
     )
-    SELECT r_name, n_name, nation_bal,
-           ROUND(nation_bal / SUM(nation_bal) OVER (PARTITION BY r_name), 6)
+    SELECT r_name, n_name, CAST(bal AS DOUBLE) AS nation_bal,
+           -- exact 6dp integer ratio (HALF_UP micro-units): native
+           -- round(double/double, 6) flips at 6dp half edges, and the
+           -- window-summed double denominator is accumulation-order-
+           -- dependent on top (round-8 share class)
+           CAST(CAST({half_up_div_sql(
+               "cents * 1000000",
+               "SUM(cents) OVER (PARTITION BY r_name)",
+           )} AS DECIMAL(32,0)) * 0.000001::DECIMAL(7,6) AS DOUBLE)
              AS share_in_region
-    FROM a
+    FROM c
     """,
 )
 def window_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's account
     balance — a windowed aggregate over an ALREADY-aggregated frame, so
-    the window sees region-cardinality rows (the share division runs on
-    the pre-rounded sums, keeping both engines on identical operands)."""
+    the window sees region-cardinality rows.  The nation sums are exact
+    decimal (order-free) and the share is an exact integer HALF_UP
+    micro-unit ratio over cents: a double share quotient would hinge on
+    the window sum's accumulation order and the engines' divergent
+    double-rounding at 6dp half edges."""
     cu, na, re = _t(spark, sf_dir, "customer", "nation", "region")
     j = cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey).join(
         F.broadcast(re), na.n_regionkey == re.r_regionkey
     )
     a = j.groupBy("r_name", "n_name").agg(
-        F.round(F.sum("c_acctbal"), 2).alias("nation_bal")
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(28,6)")), 2).alias("_bal")
     )
+    cents = (F.col("_bal") * 100).cast("long")
     w = Window.partitionBy("r_name")
-    return a.select(
-        "r_name", "n_name", "nation_bal",
-        F.round(F.col("nation_bal") / F.sum("nation_bal").over(w), 6)
-        .alias("share_in_region"),
+    share = (
+        half_up_div(F.col("_cents") * F.lit(1_000_000), F.sum("_cents").over(w))
+        .cast("decimal(32,0)")
+        * F.lit("0.000001").cast("decimal(7,6)")
+    ).cast("double")
+    return (
+        a.withColumn("_cents", cents)
+        .select(
+            "r_name",
+            "n_name",
+            F.col("_bal").cast("double").alias("nation_bal"),
+            share.alias("share_in_region"),
+        )
     )

@@ -34,7 +34,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from eventbridge_etl_spark.queries import query
-from eventbridge_etl_spark.sources.tables import load_tables
 
 
 # shared with relational.py — one table-loading shim for the whole
@@ -403,7 +402,10 @@ def q14_promo_effect(spark, sf_dir):
     WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                          GROUP BY l_orderkey HAVING SUM(l_quantity) > 90)
     GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
-    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    -- NULLS FIRST spells Spark's ASC default: a NULL o_orderdate tied
+    -- on o_totalprice at the 100-row boundary must land on the same
+    -- side in both engines (DuckDB defaults to NULLS LAST)
+    ORDER BY o_totalprice DESC, o_orderdate NULLS FIRST, o_orderkey
     LIMIT 100
     """,
 )
@@ -524,14 +526,21 @@ def q22_dormant_customers(spark, sf_dir):
     "q15_top_supplier",
     oracle="""
     WITH revenue AS (
+      -- decimal product, not double (see q9): the WHERE below compares
+      -- total_revenue for EQUALITY with the max, so the sum must be
+      -- order-free — double sums of mathematically tied suppliers can
+      -- differ by an ulp per engine/partitioning, flipping how many
+      -- suppliers "tie" for the top spot
       SELECT l_suppkey AS supplier_no,
-             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(8,6))) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     ORDER BY s_suppkey
@@ -557,7 +566,16 @@ def q15_top_supplier(spark, sf_dir):
             & F.col("l_suppkey").isNotNull()
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        # decimal product, not double: the max filter below is an
+        # EQUALITY on this sum, so it must be order-free — double sums
+        # of mathematically tied suppliers differ by an ulp per
+        # engine/partitioning, flipping the tie set's cardinality
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+            ).alias("total_revenue")
+        )
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     return (
@@ -565,7 +583,9 @@ def q15_top_supplier(spark, sf_dir):
         .filter(F.col("total_revenue") == F.col("_max_rev"))
         .join(F.broadcast(su), F.col("s_suppkey") == F.col("supplier_no"))
         .select(
-            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -760,16 +780,26 @@ def q2_min_cost_supplier(spark, sf_dir):
     "q11_important_parts",
     oracle="""
     WITH part_value AS (
-      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+      -- decimal product, not double (see q9/q15): the threshold below
+      -- compares a part's sum against 0.1% of the total — both sides
+      -- must be order-free sums or a part landing exactly on the cut
+      -- flips with the engines' accumulation order
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,6)))
+                  AS DECIMAL(28,8)) AS value
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_3'
       GROUP BY l_partkey
     )
-    SELECT l_partkey, ROUND(value, 2) AS value
+    SELECT l_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
     FROM part_value
-    WHERE value > (SELECT SUM(value) * 0.001 FROM part_value)
+    -- value * 1000 > total, not value > total * 0.001: stays in exact
+    -- decimal (typed literal keeps the product inside precision 38 on
+    -- both engines), no engine-specific double threshold
+    WHERE value * 1000::DECIMAL(4,0) > (SELECT SUM(value) FROM part_value)
     ORDER BY value DESC, l_partkey
     """,
 )
@@ -787,13 +817,29 @@ def q11_important_parts(spark, sf_dir):
     part_value = (
         li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+        # decimal product, not double (see q9/q15): the threshold
+        # filter below compares this sum against 0.1% of the total, so
+        # both sides must be order-free or a part exactly on the cut
+        # flips with accumulation order
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+            )
+            .cast("decimal(28,8)")
+            .alias("value")
+        )
     )
-    total = part_value.agg((F.sum("value") * 0.001).alias("_cut"))
+    total = part_value.agg(F.sum("value").alias("_total"))
     return (
         part_value.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("_cut"))
-        .select("l_partkey", F.round("value", 2).alias("value"))
+        # value * 1000 > total: stays in exact decimal (typed literal
+        # keeps the product inside precision 38 — a bare int literal
+        # would widen past 38 and silently round), no double threshold
+        .filter(
+            F.col("value") * F.lit("1000").cast("decimal(4,0)") > F.col("_total")
+        )
+        .select("l_partkey", F.round("value", 2).cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")
     )
 
