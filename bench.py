@@ -153,10 +153,13 @@ def main() -> None:
     # Its min-of-5 depends only on box state (CPU contention, memory
     # pressure, JIT health), so every artifact self-documents the
     # environment it ran on: engine regressions move `value` while the
-    # canary holds; a degraded box moves both together.  Reference floor
-    # on this host class: ~0.7 s min-of-5 (first measured r9 run:
-    # [3.899, 1.094, 0.804, 0.696, 0.727] alongside a 14.4 s total);
-    # treat a canary much above ~1.0 s as a degraded-box flag.
+    # canary holds; a degraded box moves both together.  Healthy floor
+    # on this host class: ~0.28 s min-of-5 (quiet-box r9 run:
+    # [1.218, 0.407, 0.371, 0.310, 0.284] alongside the 9.46 s best-ever
+    # total; the same code on the mildly-degraded morning box read
+    # canary 0.696 with a 14.4 s total — the canary tracks box state,
+    # which is exactly its job).  Treat canary >~0.5 s as a degraded-box
+    # flag when comparing `value` across artifacts.
     def _canary_once() -> float:
         t0 = time.perf_counter()
         (
@@ -221,7 +224,7 @@ def main() -> None:
                 # the probe's min-of-5 floor measured on a healthy box
                 # (round 9); canary_sec / canary_ref_sec quantifies the
                 # box's elevation factor for the reader of this artifact
-                "canary_ref_sec": 0.70,
+                "canary_ref_sec": 0.28,
                 "tmpfs_shuffle": "spark.local.dir" in extra,
                 "pretouch_heap": roomy,
                 "sf": sf,
