@@ -94,6 +94,15 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # so the gate takes a window slot.  The displaced tail row
     # (text_perplexity_buckets) joins the r10 overflow head.
     "q11_important_parts",
+    # --- value-changed (rule 2, round-9 sf1 sweep): q1's sum_charge and
+    # q5's NATION_12 revenue flipped their last rounded cent between
+    # engines at sf1's 832k-row groups — the double-sum speed trade
+    # documented in r5 fails the r6 size-class test at sf1, so both
+    # gates moved to exact decimal sums (q9 recipe) and take window
+    # slots; events_type_pmi + text_perplexity_buckets displace to the
+    # r10 overflow head.
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
     # --- 40 oldest r5-evidence rows (last green CORRECTNESS_r05),
     # registration order ---
     "window_distribution",
@@ -137,8 +146,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_type_pmi",
     "text_perplexity_buckets",
     # ============== OVERFLOW (position 51+) — LEADS ROUND 10 ===========
-    # The 6 remaining r5-evidence rows MUST head the r10 window, followed
-    # by the oldest of the r6 cohort (50 rows) under the normal rotation.
+    # With the three rule-2 slots above, the last three r5 rows listed
+    # above (mining_association_rules, events_type_pmi,
+    # text_perplexity_buckets) sit at positions 51-53 and MUST head the
+    # r10 window together with the 6 r5 rows below, followed by the
+    # oldest of the r6 cohort (50 rows) under the normal rotation.
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",

@@ -56,10 +56,17 @@ def scan_projection_filter(spark, sf_dir):
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -72,17 +79,36 @@ def scan_projection_filter(spark, sf_dir):
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: single hash aggregate with map-side partial
     aggregation — the 6-group output means the exchange moves ~nothing
-    regardless of input size."""
+    regardless of input size.
+
+    The four SUMs run in exact decimal (2dp-exact inputs cast to
+    DECIMAL before multiply/accumulate — the q9 recipe): the earlier
+    double-sum-then-round form was correct through sf0.1 but at sf1's
+    832k-row groups the double accumulation noise reaches the cent
+    boundary on ~4e10 magnitudes, and sum_charge flipped its last
+    rounded digit between engines (round-9 sf1 sweep — the r6
+    "size classes flip edges" lesson).  The 4dp AVGs keep the double
+    path: their error is ~1e-8 of magnitude, six orders below the
+    rounding scale.  Cites reference scope: the reference's
+    container/s3DataExtractionTask emits rows without any aggregation;
+    this gate is the E5 extension surface."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # 2dp-exact inputs (probed on the fixture family: discount/tax/price
+    # decimals are representation noise below 1e-9); narrow scales keep
+    # the two-multiply product at scale 6 / width 22 so DuckDB's ROUND
+    # over the decimal SUM never rescales past width 38
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    tax1 = F.lit(1) + F.col("l_tax").cast("decimal(4,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(ep), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(ep * disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(ep * disc * tax1), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -277,7 +303,10 @@ def q3_shipping_priority(spark, sf_dir):
 @query(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE)
+             AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -293,7 +322,10 @@ def q3_shipping_priority(spark, sf_dir):
 def q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: six-way join; region/nation/supplier broadcast,
     facts shuffle once on orderkey.  The c_nationkey = s_nationkey
-    equi-condition rides the supplier join."""
+    equi-condition rides the supplier join.  Revenue accumulates in
+    exact decimal (q9 recipe): the double-sum form flipped NATION_12's
+    cent between engines at sf1 (round-9 sweep — same size-class edge
+    as q1)."""
     cu, od, li, su, na, re = _t(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
@@ -314,9 +346,15 @@ def q5_local_supplier_volume(spark, sf_dir):
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
