@@ -1,0 +1,49 @@
+#!/bin/bash
+# sf1 full-registry sweep (VERDICT r8 item 5): run every gate's
+# engine+oracle pair at the /tmp/sf1 replica (gen_scale_replica.py),
+# module-sized chunks so each chunk is a fresh JVM and a failure does
+# not poison later chunks.  Pair-output dedup gates whose sf1 result
+# is ~1e8 rows by replica construction are swept with the
+# aggregate-fingerprint comparator instead (see
+# aggregate_fingerprint_sweep.py docstring); the two all-pairs tf-idf
+# verifiers stay excluded per the measured 45.1B-candidate kill
+# (SCALE.md round 8).
+set -u
+SF=${SWEEP_SF:-/tmp/sf1}
+LOGDIR=${1:-/tmp/sf1_sweep}
+mkdir -p "$LOGDIR"
+cd "$(dirname "$0")/.."
+
+run_chunk() {
+  local name=$1 only=$2
+  echo "=== chunk $name start $(date +%T) ==="
+  SWEEP_SF=$SF SWEEP_MASTER=local[16] SWEEP_SHUF=32 SWEEP_DRIVER_MEM=24g \
+    SWEEP_PINNED_SKIP=1 SWEEP_ONLY=$only \
+    timeout 3600 python scripts/oracle_sweep.py >"$LOGDIR/$name.log" 2>"$LOGDIR/$name.err"
+  echo "chunk $name rc=$? $(date +%T)"
+  tail -3 "$LOGDIR/$name.log"
+}
+
+run_chunk graph_q graph_bfs_hops,graph_entropy_rate,graph_pagerank_transitions
+run_chunk features_q doc_equidepth_bins,events_robust_scale,events_target_encode
+run_chunk corpus_q dedup_chunk_level,multimodal_cdc_dedup,sample_temperature,sample_weighted_pps,text_bigram_topk,text_collapse_runs,text_compression_ratio,text_gopher_quality
+run_chunk functions_q fn_array_surface,fn_bitwise_surface,fn_conditional_surface,fn_date_surface,fn_generator_surface,fn_hash_surface,fn_higher_order_surface,fn_json_surface,fn_map_surface,fn_math_surface,fn_regex_surface,fn_string_surface,fn_url_surface,window_distribution
+run_chunk streaming_q streaming_dedup,streaming_enriched_windows,streaming_ewma_smoothing,streaming_hourly_windows,streaming_interval_join,streaming_rollup_merge,streaming_running_totals,streaming_sessionize
+run_chunk pipeline_q events_hourly_rollup,events_json_projection,events_keyed_upsert,events_reconciliation,events_validity_filter,expect_orders_contract,expect_referential_integrity,join_asof_attribution,pipeline_header_zip_rename,profile_orders,route_cidr_classifier,route_observe_tap,route_transform_rule,scd2_user_state
+run_chunk tpch_more q10_returned_items,q11_important_parts,q12_priority_shipping,q13_customer_distribution,q14_promo_effect,q15_top_supplier,q16_supplier_part_counts,q17_small_quantity_revenue,q18_large_volume_customer,q19_disjunctive_predicates,q20_dominant_suppliers,q21_waiting_orders,q22_dormant_customers,q2_min_cost_supplier,q4_order_priority,q6_forecast_revenue,q7_volume_shipping,q8_market_share,q9_product_profit
+run_chunk relational agg_approx_distinct,agg_approx_percentile,agg_cube,agg_distinct_count,agg_grouping_sets,agg_having,agg_mode_deterministic,agg_percentiles,agg_pivot_native,agg_rollup,agg_statistics,conditional_pivot,fuzzy_match_part_names,join_anti,join_broadcast_chain,join_full_outer_coalesce,join_lateral_top2,join_left_outer_agg,join_range_nonequi,join_salted_skew,join_semi,q1_pricing_summary,q3_shipping_priority,q5_local_supplier_volume,reshape_unpivot,scan_projection_filter,set_except,set_except_all,set_intersect,set_intersect_all,set_union_distinct,sort_multi_key_topk,subquery_scalar_above_avg,window_lag_gap,window_moving_avg,window_nth_value,window_range_frame_30d,window_rank_dense,window_running_total,window_share_of_total,window_topk_per_group
+run_chunk timeseries_q agg_correlation,events_anomaly_zscore,events_counter_increase,events_dow_seasonality,events_funnel_conversion,events_gap_fill,events_hopping_windows,events_ohlc_hourly,events_outlier_iqr,events_path_trigrams,events_retention_cohorts,events_rfm_segments,events_sessionize,events_time_hierarchy_rollup,events_value_histogram,rollup_incremental_merge,zorder_events_cluster
+run_chunk analytics_q agg_jackknife_mean,agg_ols_trend,dedup_minhash_admission,events_attribution_linear,events_cusum_alarms,events_dau_wau,events_interp_fill,events_latency_percentiles,events_locf_fill,events_prorate_hourly,nation_supplier_hhi,orders_psi_drift,parts_abc_classes,pipeline_json_quarantine,skew_key_report,text_nb_confusion,text_ngram_novelty,text_sentence_spans,text_unigram_kl_drift
+run_chunk mining_q agg_chi_square_assoc,agg_heavy_hitters,compaction_plan_events,dedup_incremental_admission,dedup_source_overlap,events_funnel_timed,events_type_pmi,expect_k_anonymity,graph_triangle_census,mining_association_rules,multimodal_phash_near_dup,sample_balanced_classes,sample_leakage_safe_split,scd_snapshot_diff,text_bigram_logprob,text_bm25_retrieval,text_char_entropy,text_naive_bayes_lang,text_perplexity_buckets,window_rolling_median
+run_chunk llm_a dedup_cluster_sizes,dedup_clusters,dedup_contamination_flag,dedup_exact,dedup_semantic,multimodal_byte_histogram,multimodal_frame_sample,pack_token_sequences,pipeline_corpus_admission,pipeline_training_mix,sample_deterministic,sample_global_shuffle,sample_source_cap,sample_stratified,sample_train_test_split
+run_chunk llm_b text_chunk_windows,text_document_frequency,text_fingerprint,text_lang_scores,text_pii_redact,text_quality_score,text_repetition_stats,text_token_stats,text_unigram_logprob
+run_chunk llm_sim dedup_embedding_cosine,dedup_embedding_lsh,similarity_ivf_recall,similarity_kmeans_refine,similarity_label_centroids,similarity_quantize_int8,similarity_topk_bruteforce,similarity_topk_ivf,similarity_topk_lsh
+
+echo "=== fingerprint chunk (pair-output dedup family) $(date +%T) ==="
+SWEEP_SF=$SF timeout 5400 python scripts/aggregate_fingerprint_sweep.py \
+  dedup_jaccard_prefix dedup_minhash_lsh dedup_simhash \
+  dedup_containment_pairs dedup_tfidf_on_candidates \
+  >"$LOGDIR/fp_pairs.log" 2>"$LOGDIR/fp_pairs.err"
+echo "fp chunk rc=$? $(date +%T)"
+tail -8 "$LOGDIR/fp_pairs.log"
+echo "=== SWEEP COMPLETE $(date +%T) ==="
