@@ -61,6 +61,13 @@ assert len(rows) > 0, "entry() empty"
 print("entry() rows:", len(rows), flush=True)
 
 con = duckdb.connect()
+# Bound the oracle's memory and give it a spill directory: DuckDB's
+# default limit is ~80% of RAM, and at sf1 the pair-graph oracles
+# (minhash CTEs feeding cluster closure) materialize ~1.5e8 candidate
+# rows — unbounded, that ballooned to 105 GiB and took the box to the
+# OOM edge (round-9 sf1 sweep); capped, DuckDB spills and completes.
+con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '24GB')}'")
+con.execute("SET temp_directory='/tmp/duck_spill'")
 for t in (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split():
