@@ -2,12 +2,24 @@
 # sf1 full-registry sweep (VERDICT r8 item 5): run every gate's
 # engine+oracle pair at the /tmp/sf1 replica (gen_scale_replica.py),
 # module-sized chunks so each chunk is a fresh JVM and a failure does
-# not poison later chunks.  Pair-output dedup gates whose sf1 result
-# is ~1e8 rows by replica construction are swept with the
-# aggregate-fingerprint comparator instead (see
-# aggregate_fingerprint_sweep.py docstring); the two all-pairs tf-idf
-# verifiers stay excluded per the measured 45.1B-candidate kill
-# (SCALE.md round 8).
+# not poison later chunks.  Instrument routing (all boundaries
+# MEASURED, round 9 — see SCALE.md):
+#
+# - ALL-PAIRS VERIFIERS (dedup_tfidf_cosine/containment all-pairs
+#   forms, dedup_embedding_cosine): excluded at sf1 on BOTH engines —
+#   they are the precision verifiers, quadratic by design (45.1B
+#   candidates / 2e10 vector pairs); candidate generation at scale is
+#   LSH's job and LSH-composed gates ARE swept.
+# - MINHASH PAIR FAMILY (the five pair-output gates + the three
+#   cluster-closure gates): the Spark side completes at sf1, but the
+#   DuckDB oracle's candidate materialization needs >100 GiB RAM+spill
+#   on this box (measured: 105 GiB RSS uncapped; 24 GiB cap spilled
+#   >78 GiB and filled the disk).  Evidence ladder instead:
+#   row-hash/fingerprint cross-engine checks up to sf0.5 (/tmp/sf05,
+#   ~37M candidates — fits), plus the sf1 ENGINE probe
+#   (engine_scale_probe.py: fingerprint aggregates recorded for a
+#   bigger box + internal-consistency invariants).
+# - Everything else: row-hash compare at sf1.
 set -u
 SF=${SWEEP_SF:-/tmp/sf1}
 LOGDIR=${1:-/tmp/sf1_sweep}
@@ -34,16 +46,42 @@ run_chunk tpch_more q10_returned_items,q11_important_parts,q12_priority_shipping
 run_chunk relational agg_approx_distinct,agg_approx_percentile,agg_cube,agg_distinct_count,agg_grouping_sets,agg_having,agg_mode_deterministic,agg_percentiles,agg_pivot_native,agg_rollup,agg_statistics,conditional_pivot,fuzzy_match_part_names,join_anti,join_broadcast_chain,join_full_outer_coalesce,join_lateral_top2,join_left_outer_agg,join_range_nonequi,join_salted_skew,join_semi,q1_pricing_summary,q3_shipping_priority,q5_local_supplier_volume,reshape_unpivot,scan_projection_filter,set_except,set_except_all,set_intersect,set_intersect_all,set_union_distinct,sort_multi_key_topk,subquery_scalar_above_avg,window_lag_gap,window_moving_avg,window_nth_value,window_range_frame_30d,window_rank_dense,window_running_total,window_share_of_total,window_topk_per_group
 run_chunk timeseries_q agg_correlation,events_anomaly_zscore,events_counter_increase,events_dow_seasonality,events_funnel_conversion,events_gap_fill,events_hopping_windows,events_ohlc_hourly,events_outlier_iqr,events_path_trigrams,events_retention_cohorts,events_rfm_segments,events_sessionize,events_time_hierarchy_rollup,events_value_histogram,rollup_incremental_merge,zorder_events_cluster
 run_chunk analytics_q agg_jackknife_mean,agg_ols_trend,dedup_minhash_admission,events_attribution_linear,events_cusum_alarms,events_dau_wau,events_interp_fill,events_latency_percentiles,events_locf_fill,events_prorate_hourly,nation_supplier_hhi,orders_psi_drift,parts_abc_classes,pipeline_json_quarantine,skew_key_report,text_nb_confusion,text_ngram_novelty,text_sentence_spans,text_unigram_kl_drift
-run_chunk mining_q agg_chi_square_assoc,agg_heavy_hitters,compaction_plan_events,dedup_incremental_admission,dedup_source_overlap,events_funnel_timed,events_type_pmi,expect_k_anonymity,graph_triangle_census,mining_association_rules,multimodal_phash_near_dup,sample_balanced_classes,sample_leakage_safe_split,scd_snapshot_diff,text_bigram_logprob,text_bm25_retrieval,text_char_entropy,text_naive_bayes_lang,text_perplexity_buckets,window_rolling_median
-run_chunk llm_a dedup_cluster_sizes,dedup_clusters,dedup_contamination_flag,dedup_exact,dedup_semantic,multimodal_byte_histogram,multimodal_frame_sample,pack_token_sequences,pipeline_corpus_admission,pipeline_training_mix,sample_deterministic,sample_global_shuffle,sample_source_cap,sample_stratified,sample_train_test_split
+run_chunk mining_q agg_chi_square_assoc,agg_heavy_hitters,compaction_plan_events,dedup_incremental_admission,dedup_source_overlap,events_funnel_timed,events_type_pmi,expect_k_anonymity,graph_triangle_census,mining_association_rules,multimodal_phash_near_dup,sample_balanced_classes,scd_snapshot_diff,text_bigram_logprob,text_bm25_retrieval,text_char_entropy,text_naive_bayes_lang,text_perplexity_buckets,window_rolling_median
+run_chunk llm_a dedup_contamination_flag,dedup_exact,dedup_semantic,multimodal_byte_histogram,multimodal_frame_sample,pack_token_sequences,pipeline_corpus_admission,pipeline_training_mix,sample_deterministic,sample_global_shuffle,sample_source_cap,sample_stratified,sample_train_test_split
 run_chunk llm_b text_chunk_windows,text_document_frequency,text_fingerprint,text_lang_scores,text_pii_redact,text_quality_score,text_repetition_stats,text_token_stats,text_unigram_logprob
-run_chunk llm_sim dedup_embedding_cosine,dedup_embedding_lsh,similarity_ivf_recall,similarity_kmeans_refine,similarity_label_centroids,similarity_quantize_int8,similarity_topk_bruteforce,similarity_topk_ivf,similarity_topk_lsh
+run_chunk llm_sim dedup_embedding_lsh,similarity_ivf_recall,similarity_kmeans_refine,similarity_label_centroids,similarity_quantize_int8,similarity_topk_bruteforce,similarity_topk_ivf,similarity_topk_lsh
 
-echo "=== fingerprint chunk (pair-output dedup family) $(date +%T) ==="
-SWEEP_SF=$SF timeout 5400 python scripts/aggregate_fingerprint_sweep.py \
+# Minhash pair family: cross-engine checks top out at sf0.5 (the
+# DuckDB oracle's sf1 candidate materialization exceeds this box —
+# header note); the sf1 half of the evidence is the engine probe.
+SF05=${SWEEP_SF05:-/tmp/sf05}
+[ -d "$SF05" ] || python scripts/gen_scale_replica.py "$SF05" 5
+
+echo "=== sf0.5 row-compare (cluster-closure family) $(date +%T) ==="
+DUCK_MEM=24GB SWEEP_SF=$SF05 SWEEP_MASTER=local[16] SWEEP_SHUF=32 \
+  SWEEP_DRIVER_MEM=16g SWEEP_PINNED_SKIP=1 \
+  SWEEP_ONLY=dedup_clusters,dedup_cluster_sizes,sample_leakage_safe_split \
+  timeout 7200 python scripts/oracle_sweep.py \
+  >"$LOGDIR/sf05_clusters.log" 2>"$LOGDIR/sf05_clusters.err"
+echo "sf0.5 cluster chunk rc=$? $(date +%T)"
+tail -4 "$LOGDIR/sf05_clusters.log"
+
+echo "=== sf0.5 fingerprint chunk (pair-output dedup family) $(date +%T) ==="
+DUCK_MEM=24GB SWEEP_SF=$SF05 timeout 7200 \
+  python scripts/aggregate_fingerprint_sweep.py \
   dedup_jaccard_prefix dedup_minhash_lsh dedup_simhash \
   dedup_containment_pairs dedup_tfidf_on_candidates \
-  >"$LOGDIR/fp_pairs.log" 2>"$LOGDIR/fp_pairs.err"
+  >"$LOGDIR/fp_pairs_sf05.log" 2>"$LOGDIR/fp_pairs_sf05.err"
 echo "fp chunk rc=$? $(date +%T)"
-tail -8 "$LOGDIR/fp_pairs.log"
+tail -8 "$LOGDIR/fp_pairs_sf05.log"
+
+echo "=== sf1 engine probe (minhash pair family) $(date +%T) ==="
+SWEEP_SF=$SF SWEEP_MASTER=local[16] SWEEP_SHUF=32 SWEEP_DRIVER_MEM=24g \
+  timeout 7200 python scripts/engine_scale_probe.py \
+  dedup_jaccard_prefix dedup_minhash_lsh dedup_simhash \
+  dedup_containment_pairs dedup_tfidf_on_candidates \
+  dedup_clusters dedup_cluster_sizes sample_leakage_safe_split \
+  >"$LOGDIR/sf1_engine_probe.log" 2>"$LOGDIR/sf1_engine_probe.err"
+echo "engine probe rc=$? $(date +%T)"
+tail -6 "$LOGDIR/sf1_engine_probe.log"
 echo "=== SWEEP COMPLETE $(date +%T) ==="
