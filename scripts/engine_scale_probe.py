@@ -68,9 +68,13 @@ def main() -> int:
     results: dict[str, dict] = {}
     bad = 0
     for name in names:
+        # the timer wraps gate CONSTRUCTION too: iterative operators
+        # (near_dup_clusters' label propagation) run eager actions
+        # inside the constructor, so timing only the final aggregate
+        # under-reports them to ~0 s
+        t0 = time.time()
         df = qs[name](spark, sf)
         specs = _specs(df.dtypes)
-        t0 = time.time()
         row = df.selectExpr(
             *[f"{expr} AS `{lbl}`" for lbl, expr, _ in specs]
         ).collect()[0]
