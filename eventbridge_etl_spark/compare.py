@@ -70,3 +70,100 @@ def normalize_frame(df):
         for tup in df.itertuples(index=False, name=None)
     ]
     return cols, sorted(rows, key=repr)
+
+
+#: DuckDB column types (prefix-matched) → the canon_value type tag the
+#: column's values would carry.  Any type outside this map (DECIMAL,
+#: LIST, STRUCT, BLOB — pandas object columns) makes frame_digest
+#: return None: caller must fall back to normalize_frame.
+_DIGEST_TAGS = (
+    ("BOOLEAN", "b"),
+    ("TINYINT", "i"), ("SMALLINT", "i"), ("INTEGER", "i"), ("BIGINT", "i"),
+    ("UTINYINT", "i"), ("USMALLINT", "i"), ("UINTEGER", "i"), ("UBIGINT", "i"),
+    ("HUGEINT", "i"),
+    ("FLOAT", "f"), ("DOUBLE", "f"),
+    ("VARCHAR", "s"),
+    ("TIMESTAMP", "t"), ("DATE", "t"),
+)
+
+
+def frame_digest(df, con=None):
+    """Order-insensitive multiset digest of a pandas frame, vectorized
+    in DuckDB — the O(1)-memory, no-Python-row-loop equivalent of
+    ``normalize_frame`` for scalar-typed frames.
+
+    Two frames with equal digests have equal ``normalize_frame``
+    outputs (up to 64-bit-hash multiset collision odds, ~2^-64 per
+    comparison) and unequal digests ALWAYS mean unequal frames.  The
+    canonicalization mirrors ``canon_value`` clause by clause — NaN
+    unifies with NULL, floats round to 9 digits with -0.0 → 0.0,
+    timestamps compare on their µs instant, per-column type tags keep
+    ``126 != 126.0 != True`` — and BOTH engines' frames are hashed by
+    the same DuckDB build, so no cross-engine repr/hash drift exists by
+    construction.  Motivation: the Python-side canonical sort cost
+    867 s of events_gap_fill's 1016 s sf1 sweep chunk (SCALE.md r9);
+    this digest runs the same comparison in seconds.
+
+    Returns ``(sorted_cols, tags, n_rows, hash_sum, hash_xor, h_min,
+    h_max)`` or ``None`` when any column's type has no canonical tag
+    (arrays/decimals/objects — caller falls back to normalize_frame).
+    Equality contract vs normalize_frame is pinned by
+    tests/test_compare_digest.py (agreement + perturbation cases).
+    """
+    import duckdb
+
+    owns = con is None
+    if owns:
+        con = duckdb.connect()
+    try:
+        cols = sorted(df.columns)
+        view = f"_digest_{id(df)}"
+        con.register(view, df[cols])
+        try:
+            types = {
+                name: typ
+                for name, typ, *_ in con.execute(f"DESCRIBE {view}").fetchall()
+            }
+            tags, exprs = [], []
+            for c in cols:
+                typ = types[f"{c}"].upper()
+                # nested/exotic types never tag ("DOUBLE[]" must not
+                # prefix-match DOUBLE): arrays, structs, maps, decimals
+                if any(m in typ for m in ("[", "STRUCT", "MAP", "DECIMAL",
+                                          "BLOB", "UNION", "ENUM")):
+                    return None
+                tag = next(
+                    (t for pfx, t in _DIGEST_TAGS if typ.startswith(pfx)), None
+                )
+                if tag is None:
+                    return None
+                tags.append(tag)
+                q = f'"{c}"'
+                if tag == "f":
+                    exprs.append(
+                        f"CASE WHEN isnan({q}) THEN NULL "
+                        f"WHEN round({q}, 9) = 0 THEN 0.0 "
+                        f"ELSE round({q}, 9) END"
+                    )
+                elif tag == "t":
+                    exprs.append(f"epoch_us(CAST({q} AS TIMESTAMP))")
+                else:
+                    exprs.append(q)
+            n, hsum, hxor, hmin, hmax = con.execute(
+                f"SELECT count(*), sum(h::HUGEINT), bit_xor(h), min(h), max(h) "
+                f"FROM (SELECT hash({', '.join(exprs)}) AS h FROM {view})"
+            ).fetchone()
+            return (
+                tuple(cols),
+                tuple(tags),
+                int(n),
+                None if hsum is None else int(hsum),
+                None if hxor is None else int(hxor),
+                None if hmin is None else int(hmin),
+                None if hmax is None else int(hmax),
+            )
+        finally:
+            con.unregister(view)
+    finally:
+        if owns:
+            con.close()

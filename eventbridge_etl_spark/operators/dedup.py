@@ -1075,6 +1075,26 @@ def tfidf_cosine_on_candidates(
     verify joins shuffle candidate×token rows on (pair, token-id) —
     bounded by |candidates| × doc length, never df².
     """
+    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
+    return tfidf_cosine_verify_candidates(df, cand, id_col, text_col, tau)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 2,
+) -> DataFrame:
+    """Candidate-GENERATION half of ``tfidf_cosine_on_candidates``:
+    distinct ``(id_a, id_b)`` pairs sharing at least one MinHash band
+    bucket.  Exposed separately so a production run can CHECKPOINT the
+    candidate set to parquet between generation and verification — the
+    candidate table is small (16 bytes/pair; 148.85M pairs ≈ 2 GiB at
+    the sf1 replica) while the verify join's shuffle scratch is
+    |candidates| × doc length, so staging bounds peak scratch to
+    max(stage) instead of sum and makes the expensive half resumable.
+    """
     t = _token_sets(df, id_col, text_col)
     # banded rows feed the self-join twice; persist so tokenization +
     # signing run once (same rationale as _minhash_lsh_rep_pairs)
@@ -1083,12 +1103,30 @@ def tfidf_cosine_on_candidates(
     right = banded.select(F.col("_id").alias("id_b"), "_band", "_bh")
     # the distinct's exchange rebalances pairs off the (band, bucket)
     # partitioning — heavily skewed when near-dup clusters are large
-    cand = (
+    return (
         left.join(right, ["_band", "_bh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def tfidf_cosine_verify_candidates(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.8,
+) -> DataFrame:
+    """Verification half of ``tfidf_cosine_on_candidates``: exact
+    tf-idf cosine over an EXPLICIT candidate-pair frame ``cand``
+    (columns ``id_a``, ``id_b``) — which may come straight from
+    ``lsh_candidate_pairs`` (the fused gate) or be read back from a
+    parquet checkpoint, including a hash-partitioned SLICE of it: the
+    verify is per-pair independent, so verifying disjoint candidate
+    chunks and unioning the outputs is value-identical to one pass
+    (scripts/staged_tfidf_sf1.py runs exactly that shape at sf1).
+    """
     unit = _tfidf_unit_weights(df, id_col, text_col)
     a = unit.select(
         F.col("_id").alias("id_a"), "_tid", F.col("_u").alias("_ua")

@@ -68,95 +68,78 @@ def query(name: str, oracle: str | None = None):
 #: order.  Anything importing the registries directly without calling
 #: ``load_all()`` sees plain module-import registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-9 WINDOW (positions 1-50) =================
-    # Plan per VERDICT r8 "Next round #2": head with the 9 remaining
-    # r4-evidence rows (streaming_rollup_merge FIRST — its sign-modulo
-    # engine fix landed in r8, so its driver evidence is genuinely behind
-    # the code), then the ONE new gate this round (the composed 100 TB
-    # dedup recipe, VERDICT r8 item 4), then the oldest 40 of the
-    # r5-evidence cohort (46 rows) in registration order.
-    # --- 9 r4-stale (last green CORRECTNESS_r04) ---
-    "streaming_rollup_merge",
-    "expect_referential_integrity",
-    "events_hopping_windows",
-    "events_time_hierarchy_rollup",
-    "events_value_histogram",
-    "events_dow_seasonality",
-    "dedup_cluster_sizes",
-    "window_share_of_total",
-    "events_rfm_segments",
-    # --- new gate (round 9): LSH candidates -> exact tf-idf verify ---
-    "dedup_tfidf_on_candidates",
-    # --- value-changed (slot-policy rule 2): q11's part sums moved to
-    # exact decimal products for the 0.1%-threshold compare; two parts'
-    # rounded values flipped a cent on clean (true .xx5 half edges the
-    # old double-sum round landed below) — empirical old-vs-new diff,
-    # so the gate takes a window slot.  The displaced tail row
-    # (text_perplexity_buckets) joins the r10 overflow head.
-    "q11_important_parts",
-    # --- value-changed (rule 2, round-9 sf1 sweep): q1's sum_charge and
-    # q5's NATION_12 revenue flipped their last rounded cent between
-    # engines at sf1's 832k-row groups — the double-sum speed trade
-    # documented in r5 fails the r6 size-class test at sf1, so both
-    # gates moved to exact decimal sums (q9 recipe) and take window
-    # slots; events_type_pmi + text_perplexity_buckets displace to the
-    # r10 overflow head.
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    # --- 40 oldest r5-evidence rows (last green CORRECTNESS_r05),
-    # registration order ---
-    "window_distribution",
-    "fn_generator_surface",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_distinct_count",
-    "window_topk_per_group",
-    "window_rank_dense",
-    "window_lag_gap",
-    "window_running_total",
-    "window_moving_avg",
-    "window_range_frame_30d",
-    "events_gap_fill",
-    "events_counter_increase",
-    "text_compression_ratio",
-    "multimodal_cdc_dedup",
-    "zorder_events_cluster",
-    "sample_weighted_pps",
-    "text_naive_bayes_lang",
-    "text_bm25_retrieval",
-    "graph_triangle_census",
-    "multimodal_phash_near_dup",
-    "agg_heavy_hitters",
-    "sample_leakage_safe_split",
-    "dedup_source_overlap",
-    "text_bigram_logprob",
-    "streaming_ewma_smoothing",
-    "text_char_entropy",
-    "window_rolling_median",
-    "agg_chi_square_assoc",
-    "scd_snapshot_diff",
-    "expect_k_anonymity",
-    "sample_balanced_classes",
-    "dedup_incremental_admission",
-    "events_funnel_timed",
-    "dedup_containment_pairs",
+    # ================= ROUND-10 WINDOW (positions 1-50) ================
+    # Plan per VERDICT r9 "Next round #2": head with the 9 r5-evidence
+    # rows (last green CORRECTNESS_r05 — four rounds stale; the r9
+    # overflow order first, then the 6 rows the r9 tail listed), then
+    # the oldest 41 of the r6-evidence cohort (49 rows) in registration
+    # order.  No new gates take slots this round — VERDICT r9 items 1/3/5
+    # are scale-evidence work on already-gated queries, not new surface.
+    # --- 9 r5-stale (last green CORRECTNESS_r05) ---
     "mining_association_rules",
     "events_type_pmi",
     "text_perplexity_buckets",
-    # ============== OVERFLOW (position 51+) — LEADS ROUND 10 ===========
-    # With the three rule-2 slots above, the last three r5 rows listed
-    # above (mining_association_rules, events_type_pmi,
-    # text_perplexity_buckets) sit at positions 51-53 and MUST head the
-    # r10 window together with the 6 r5 rows below, followed by the
-    # oldest of the r6 cohort (50 rows) under the normal rotation.
     "events_sessionize",
     "fn_url_surface",
     "graph_pagerank_transitions",
     "events_robust_scale",
     "doc_equidepth_bins",
     "events_target_encode",
+    # --- 41 oldest r6-evidence rows (last green CORRECTNESS_r06),
+    # registration order ---
+    "agg_ols_trend",
+    "events_latency_percentiles",
+    "events_prorate_hourly",
+    "skew_key_report",
+    "dedup_tfidf_cosine",
+    "dedup_tfidf_cosine_capped",
+    "pipeline_json_quarantine",
+    "text_pii_redact",
+    "dedup_minhash_admission",
+    "events_attribution_linear",
+    "events_locf_fill",
+    "text_unigram_kl_drift",
+    "events_dau_wau",
+    "orders_psi_drift",
+    "events_interp_fill",
+    "agg_jackknife_mean",
+    "events_cusum_alarms",
+    "text_ngram_novelty",
+    "compaction_plan_events",
+    "text_nb_confusion",
+    "parts_abc_classes",
+    "nation_supplier_hhi",
+    "text_sentence_spans",
+    "fn_higher_order_surface",
+    "graph_bfs_hops",
+    "graph_entropy_rate",
+    "events_json_projection",
+    "events_validity_filter",
+    "events_reconciliation",
+    "events_hourly_rollup",
+    "pipeline_header_zip_rename",
+    "join_asof_attribution",
+    "join_semi",
+    "join_anti",
+    "join_left_outer_agg",
+    "join_range_nonequi",
+    "streaming_enriched_windows",
+    "events_anomaly_zscore",
+    "events_ohlc_hourly",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    # ============== OVERFLOW (position 51+) — LEADS ROUND 11 ===========
+    # The remaining 8 r6-evidence rows (registration order).  These MUST
+    # head the r11 window, followed by the oldest of the r7 cohort
+    # (50 rows) under the normal rotation.
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q2_min_cost_supplier",
+    "q12_priority_shipping",
 )
 
 

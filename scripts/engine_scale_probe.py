@@ -67,17 +67,27 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     bad = 0
+    errored = 0
     for name in names:
         # the timer wraps gate CONSTRUCTION too: iterative operators
         # (near_dup_clusters' label propagation) run eager actions
         # inside the constructor, so timing only the final aggregate
         # under-reports them to ~0 s
         t0 = time.time()
-        df = qs[name](spark, sf)
-        specs = _specs(df.dtypes)
-        row = df.selectExpr(
-            *[f"{expr} AS `{lbl}`" for lbl, expr, _ in specs]
-        ).collect()[0]
+        # per-gate isolation: one gate dying at scale (e.g. a
+        # shuffle-scratch exhaustion) must not discard the fingerprints
+        # and invariant checks of gates that already completed in this
+        # invocation — record the failure and keep probing
+        try:
+            df = qs[name](spark, sf)
+            specs = _specs(df.dtypes)
+            row = df.selectExpr(
+                *[f"{expr} AS `{lbl}`" for lbl, expr, _ in specs]
+            ).collect()[0]
+        except Exception as e:  # noqa: BLE001 — report and keep probing
+            print(f"{name:32s} ENGINE-ERROR {repr(e)[:200]}", flush=True)
+            errored += 1
+            continue
         dt = time.time() - t0
         fp = {lbl: _canon(row[lbl]) for lbl, _, _ in specs}
         results[name] = fp
@@ -95,12 +105,19 @@ def main() -> int:
         # dedup_cluster_sizes is the (n_members, n_clusters) histogram —
         # its weighted sum must reproduce the doc count exactly
         n_docs = results["dedup_clusters"]["n_rows"]
-        got = _canon(
-            qs["dedup_cluster_sizes"](spark, sf)
-            .selectExpr("SUM(CAST(n_members AS DECIMAL(38,0)) * n_clusters) s")
-            .collect()[0]["s"]
-        )
-        if got != n_docs:
+        try:
+            got = _canon(
+                qs["dedup_cluster_sizes"](spark, sf)
+                .selectExpr("SUM(CAST(n_members AS DECIMAL(38,0)) * n_clusters) s")
+                .collect()[0]["s"]
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"!! INVARIANT FAIL: histogram re-run died: {repr(e)[:200]}")
+            bad += 1
+            got = None
+        if got is None:
+            pass
+        elif got != n_docs:
             print(f"!! INVARIANT FAIL: sum(n_members*n_clusters)={got} "
                   f"!= docs={n_docs}")
             bad += 1
@@ -122,10 +139,11 @@ def main() -> int:
                 print("!! INVARIANT FAIL: split row count != clusters row count")
                 bad += 1
 
-    print(f"ENGINE PROBE DONE gates={len(names)} invariant_failures={bad}",
+    print(f"ENGINE PROBE DONE gates={len(names)} errors={errored} "
+          f"invariant_failures={bad}",
           flush=True)
     spark.stop()
-    return 1 if bad else 0
+    return 1 if bad or errored else 0
 
 
 if __name__ == "__main__":

@@ -20,7 +20,10 @@ JVM default OOMs mid-dedup and every later gate ERRORs),
 ``SWEEP_PINNED_SKIP`` (skip value-compare for the three pinned-parquet
 oracles whose expected rows are digest-selected for the clean corpus;
 they still run as crash-checks), ``SWEEP_ONLY`` (comma-separated gate
-names for a scoped re-check after touching an operator or oracle).
+names for a scoped re-check after touching an operator or oracle),
+``DUCK_MEM`` (DuckDB memory cap, default 24GB), ``DUCK_SPILL_DIR``
+(DuckDB spill dir, default ``/tmp/duck_spill.<pid>`` — per-process so
+concurrent sweeps never share spill, removed at exit).
 
 Adversarial/empty fixtures come from ``scripts/gen_adversarial_fixture.py``.
 All three fixtures (clean, adv, empty) must stay green when touching
@@ -28,7 +31,9 @@ oracles or null paths — the initial adversarial run flushed 52 real
 divergences the clean fixture could never trigger (SCALE.md, round 7).
 """
 
+import atexit
 import os
+import shutil
 import sys
 import time
 
@@ -37,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import __spark_entry__ as m
+from eventbridge_etl_spark.compare import frame_digest
 from eventbridge_etl_spark.compare import normalize_frame as norm
 from pyspark.sql import SparkSession
 
@@ -67,7 +73,13 @@ con = duckdb.connect()
 # rows — unbounded, that ballooned to 105 GiB and took the box to the
 # OOM edge (round-9 sf1 sweep); capped, DuckDB spills and completes.
 con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '24GB')}'")
-con.execute("SET temp_directory='/tmp/duck_spill'")
+# Per-process spill dir (env-overridable): concurrent sweeps must not
+# share one spill dir, and a dead sweep's >78 GiB spill (measured r9)
+# must not silently eat the scratch space sf1 engine runs need — so
+# register cleanup at exit too.
+_spill = os.environ.get("DUCK_SPILL_DIR", f"/tmp/duck_spill.{os.getpid()}")
+con.execute(f"SET temp_directory='{_spill}'")
+atexit.register(lambda: shutil.rmtree(_spill, ignore_errors=True))
 for t in (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split():
@@ -106,9 +118,30 @@ for name in sorted(qs):
         print(name, "ORACLE-ERROR", repr(e)[:200], flush=True)
         bad += 1
         continue
+    checked += 1
+    # SWEEP_HASH=1: vectorized order-insensitive digest (DuckDB hashes
+    # BOTH frames — no Python row loop; the canonical sort cost 867 s
+    # of events_gap_fill's 1016 s sf1 chunk).  Falls back to the
+    # canonical sort per-gate when a frame carries unsupported dtypes
+    # (arrays/decimals/objects).  Equivalence contract pinned in
+    # tests/test_compare_digest.py; sf1 equivalence measured in
+    # SCALE.md r10.
+    dg = de = None
+    if os.environ.get("SWEEP_HASH"):
+        dg, de = frame_digest(got, con), frame_digest(exp, con)
+    if dg is not None and de is not None:
+        if dg == de:
+            print(name, "MATCH", f"{time.time() - t0:.1f}s (digest)", flush=True)
+        else:
+            bad += 1
+            print(
+                name,
+                f"MISMATCH digest spark={dg} oracle={de}",
+                flush=True,
+            )
+        continue
     gc, gr = norm(got)
     ec, er = norm(exp)
-    checked += 1
     if gc == ec and gr == er:
         print(name, "MATCH", f"{time.time() - t0:.1f}s", flush=True)
     else:

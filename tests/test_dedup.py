@@ -318,3 +318,51 @@ def test_tfidf_on_candidates_is_allpairs_restricted_to_lsh(spark):
     # every token but LSH at 16/2 need not bucket them -- if it does,
     # the sets coincide and this assert flags the fixture for rework)
     assert set(allpairs) - cand, "fixture: candidate set covers all pairs"
+
+
+def test_tfidf_on_candidates_chunked_union(spark):
+    """Staged-run contract (VERDICT r9 #1, scripts/staged_tfidf_sf1.py):
+    verifying hash-disjoint candidate SHARDS with
+    ``tfidf_cosine_verify_candidates`` and unioning the outputs must be
+    value-identical to the fused ``tfidf_cosine_on_candidates`` — the
+    property that makes the sf1 checkpointed run evidence FOR the gate
+    rather than for a different pipeline."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon eta"),
+        (4, "totally different words here entirely now"),
+        (6, "alpha beta"),
+        (7, "alpha beta gamma delta epsilon zeta theta"),
+        (8, "words here entirely different now totally"),
+        (9, "alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    tau = 0.1
+    fused = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.tfidf_cosine_on_candidates(
+            df, "doc_id", "text", tau=tau
+        ).collect()
+    }
+    assert fused, "fixture produced no verified pairs — test is vacuous"
+
+    cand = D.lsh_candidate_pairs(df, "doc_id", "text").withColumn(
+        "_chunk", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(3))
+    )
+    # shards must be a real partition of the candidate set
+    chunks = sorted(
+        r["_chunk"] for r in cand.select("_chunk").distinct().collect()
+    )
+    assert len(chunks) > 1, "fixture: all candidates hashed to one shard"
+    staged: dict[tuple, float] = {}
+    for k in chunks:
+        part = cand.where(F.col("_chunk") == k).select("id_a", "id_b")
+        for r in D.tfidf_cosine_verify_candidates(
+            df, part, "doc_id", "text", tau=tau
+        ).collect():
+            key = (r["id_a"], r["id_b"])
+            assert key not in staged, f"pair {key} verified in two shards"
+            staged[key] = r["cosine"]
+    assert staged == fused
