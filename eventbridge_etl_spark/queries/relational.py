@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from eventbridge_etl_spark.operators.rounding import half_up_div, half_up_div_sql
+from eventbridge_etl_spark.operators.rounding import (
+    decimal_sum,
+    half_up_div,
+    half_up_div_sql,
+)
 from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.sources.tables import load_tables
 
@@ -121,7 +125,11 @@ def q1_pricing_summary(spark, sf_dir):
     "agg_rollup",
     oracle="""
     SELECT r_name, n_name, COUNT(*) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+           -- exact decimal sum (r10 float-sum audit: fixed 31-group
+           -- cardinality means per-group n grows with the corpus; the
+           -- sf1 image error was already within 2e3x of the 0.005 edge)
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -138,7 +146,7 @@ def agg_rollup(spark, sf_dir):
     ).join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        decimal_sum("c_acctbal").alias("sum_acctbal"),
     )
 
 
@@ -169,7 +177,11 @@ def agg_cube(spark, sf_dir):
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           -- exact decimal sum (r10 float-sum audit: the 502k-row
+           -- status group's sf1 image error was 4.2e-4 — only 12x from
+           -- the 0.005 edge, the thinnest margin in the registry)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """,
@@ -182,7 +194,7 @@ def agg_grouping_sets(spark, sf_dir):
         "o_orderpriority",
     ).agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        decimal_sum("o_totalprice").alias("sum_price"),
     )
 
 
@@ -263,7 +275,14 @@ def agg_approx_distinct(spark, sf_dir):
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           -- exact decimal product+sum (q9 recipe; r10 float-sum audit:
+           -- real order revenues LAND exactly on .xx5 half edges at
+           -- sf0.01 AND sf1, so the double image's rounding there is
+           -- engine-implementation-defined, and revenue also ORDERS the
+           -- top-10 cut)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE)
+             AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -290,9 +309,13 @@ def q3_shipping_priority(spark, sf_dir):
         .filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -363,7 +386,10 @@ def q5_local_supplier_volume(spark, sf_dir):
     "join_broadcast_chain",
     oracle="""
     SELECT r_name, c_mktsegment, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           -- exact decimal sum (r10 float-sum audit: 25 fixed groups,
+           -- sf1 margin 1.8e2 — fails the 100 TB extrapolation rule)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_price
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -383,7 +409,7 @@ def join_broadcast_chain(spark, sf_dir):
         .groupBy("r_name", "c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            decimal_sum("o_totalprice").alias("sum_price"),
         )
     )
 
@@ -738,7 +764,11 @@ def subquery_scalar_above_avg(spark, sf_dir):
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
            COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
            COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+           -- exact decimal sum (r10 float-sum audit: 5 fixed groups at
+           -- ~300k rows each, sf1 margin 73x — fails the 100x rule)
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+                          THEN CAST(o_totalprice AS DECIMAL(28,6))
+                          ELSE 0 END), 2) AS DOUBLE)
              AS finished_price
     FROM orders
     GROUP BY o_orderpriority
@@ -753,9 +783,14 @@ def conditional_pivot(spark, sf_dir):
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
         F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
         F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0)),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.col("o_totalprice").cast("decimal(28,6)"),
+                ).otherwise(F.lit(0).cast("decimal(28,6)"))
+            ),
             2,
-        ).alias("finished_price"),
+        ).cast("double").alias("finished_price"),
     )
 
 

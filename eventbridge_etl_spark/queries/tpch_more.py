@@ -33,6 +33,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from eventbridge_etl_spark.operators.rounding import (
+    decimal_sum,
+    half_up_div,
+    half_up_div_sql,
+)
 from eventbridge_etl_spark.queries import query
 
 
@@ -309,7 +314,12 @@ def q9_product_profit(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           -- exact decimal product+sum (q9 recipe; r10 float-sum audit:
+           -- customer revenues land exactly on .xx5 half edges at sf1,
+           -- and revenue orders the top-20 cut)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE)
+             AS revenue,
            ROUND(c_acctbal, 2) AS c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -341,8 +351,12 @@ def q10_returned_items(spark, sf_dir):
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -443,7 +457,13 @@ def q18_large_volume_customer(spark, sf_dir):
 @query(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT
+      -- exact decimal product+sum (q9 recipe; r10 float-sum audit: one
+      -- 42k-row global sum, sf1 margin 2.5e3 — fails the 100 TB
+      -- extrapolation rule for a group whose n scales with the corpus)
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE)
+        AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 11)
@@ -476,8 +496,12 @@ def q19_disjunctive_predicates(spark, sf_dir):
         .filter(cond)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -485,7 +509,12 @@ def q19_disjunctive_predicates(spark, sf_dir):
 @query(
     "q22_dormant_customers",
     oracle="""
-    SELECT n_name, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    SELECT n_name, COUNT(*) AS numcust,
+           -- exact decimal sum (r10 float-sum audit: fixed nation
+           -- cardinality, sf1 margin 2.7e3 — fails the 100x-at-100TB
+           -- extrapolation rule)
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -516,7 +545,7 @@ def q22_dormant_customers(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            decimal_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("n_name")
     )
@@ -623,7 +652,11 @@ def q16_supplier_part_counts(spark, sf_dir):
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+    -- exact decimal sum + integer HALF_UP division (r10 float-sum
+    -- audit: the double sum/7 image's sf1 margin to the 4dp half edge
+    -- was 1.6e2 — fails the 100 TB extrapolation rule); num = S*1e4
+    -- as exact HUGEINT, round(S/7, 4) = HALF_UP(num/7)/1e4
+    SELECT CAST({hud} / 10000.0 AS DOUBLE) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
@@ -631,7 +664,13 @@ def q16_supplier_part_counts(spark, sf_dir):
         SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
         WHERE l2.l_partkey = lineitem.l_partkey
       )
-    """,
+    """.format(
+        hud=half_up_div_sql(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 "
+            "AS HUGEINT)",
+            "7",
+        ),
+    ),
 )
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17: correlated per-part average decorrelated into an
@@ -659,7 +698,18 @@ def q17_small_quantity_revenue(spark, sf_dir):
                 F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            (
+                half_up_div(
+                    (
+                        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                        * 10000
+                    ).cast("decimal(38,0)"),
+                    F.lit(7),
+                )
+                / F.lit(10000.0)
+            ).alias("avg_yearly")
+        )
     )
 
 
