@@ -79,8 +79,11 @@ def normalize_frame(df):
 _DIGEST_TAGS = (
     ("BOOLEAN", "b"),
     ("TINYINT", "i"), ("SMALLINT", "i"), ("INTEGER", "i"), ("BIGINT", "i"),
-    ("UTINYINT", "i"), ("USMALLINT", "i"), ("UINTEGER", "i"), ("UBIGINT", "i"),
-    ("HUGEINT", "i"),
+    ("UTINYINT", "i"), ("USMALLINT", "i"), ("UINTEGER", "i"),
+    # UBIGINT/HUGEINT deliberately absent: values above int64 cannot
+    # width-canonicalize to the BIGINT the 'i' hash uses (and pandas
+    # frames from either engine surface them as float64 anyway) —
+    # such a column falls back to normalize_frame
     ("FLOAT", "f"), ("DOUBLE", "f"),
     ("VARCHAR", "s"),
     ("TIMESTAMP", "t"), ("DATE", "t"),
@@ -147,6 +150,18 @@ def frame_digest(df, con=None):
                     )
                 elif tag == "t":
                     exprs.append(f"epoch_us(CAST({q} AS TIMESTAMP))")
+                elif tag == "i":
+                    # width-canonicalize: DuckDB hash() covers the raw
+                    # bit pattern, so a NEGATIVE value hashes differently
+                    # as INTEGER vs BIGINT vs HUGEINT (probed:
+                    # hash(-5::INTEGER) != hash(-5::BIGINT)) — and the
+                    # engines legitimately disagree on width (Spark
+                    # datediff → int32, DuckDB date arithmetic → int64;
+                    # caught live by fn_date_surface's days_to_y2k at
+                    # sf1, r10).  BIGINT, not HUGEINT: DuckDB's HUGEINT
+                    # hash degenerates at -1 (hash(-1::HUGEINT) == 0 ==
+                    # hash(0::HUGEINT), probed r10)
+                    exprs.append(f"CAST({q} AS BIGINT)")
                 else:
                     exprs.append(q)
             n, hsum, hxor, hmin, hmax = con.execute(

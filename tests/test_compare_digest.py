@@ -158,3 +158,17 @@ def test_randomized_agreement():
             edited.loc[r, "s"] = edited.loc[r, "s"] + "_x"
         assert frame_digest(df) != frame_digest(edited)
         _agree(df, edited)
+
+
+def test_negative_ints_across_widths():
+    """DuckDB hash() covers the raw bit pattern, so -5 as int32 and -5
+    as int64 hash DIFFERENTLY without width canonicalization — and the
+    engines legitimately disagree on width (Spark datediff → int32,
+    DuckDB date arithmetic → int64).  Caught live: fn_date_surface's
+    days_to_y2k false-MISMATCHed at sf1 before the HUGEINT cast."""
+    a = pd.DataFrame({"x": np.array([-5, 7, -1999], dtype=np.int32)})
+    b = pd.DataFrame({"x": np.array([-5, 7, -1999], dtype=np.int64)})
+    assert frame_digest(a) == frame_digest(b)
+    _agree(a, b)
+    c = pd.DataFrame({"x": np.array([-5, 7, -1998], dtype=np.int64)})
+    assert frame_digest(a) != frame_digest(c)
