@@ -50,7 +50,18 @@ run_chunk tpch_more q10_returned_items,q11_important_parts,q12_priority_shipping
 run_chunk relational agg_approx_distinct,agg_approx_percentile,agg_cube,agg_distinct_count,agg_grouping_sets,agg_having,agg_mode_deterministic,agg_percentiles,agg_pivot_native,agg_rollup,agg_statistics,conditional_pivot,fuzzy_match_part_names,join_anti,join_broadcast_chain,join_full_outer_coalesce,join_lateral_top2,join_left_outer_agg,join_range_nonequi,join_salted_skew,join_semi,q1_pricing_summary,q3_shipping_priority,q5_local_supplier_volume,reshape_unpivot,scan_projection_filter,set_except,set_except_all,set_intersect,set_intersect_all,set_union_distinct,sort_multi_key_topk,subquery_scalar_above_avg,window_lag_gap,window_moving_avg,window_nth_value,window_range_frame_30d,window_rank_dense,window_running_total,window_share_of_total,window_topk_per_group
 run_chunk timeseries_q agg_correlation,events_anomaly_zscore,events_counter_increase,events_dow_seasonality,events_funnel_conversion,events_gap_fill,events_hopping_windows,events_ohlc_hourly,events_outlier_iqr,events_path_trigrams,events_retention_cohorts,events_rfm_segments,events_sessionize,events_time_hierarchy_rollup,events_value_histogram,rollup_incremental_merge,zorder_events_cluster
 run_chunk analytics_q agg_jackknife_mean,agg_ols_trend,dedup_minhash_admission,events_attribution_linear,events_cusum_alarms,events_dau_wau,events_interp_fill,events_latency_percentiles,events_locf_fill,events_prorate_hourly,nation_supplier_hhi,orders_psi_drift,parts_abc_classes,pipeline_json_quarantine,skew_key_report,text_nb_confusion,text_ngram_novelty,text_sentence_spans,text_unigram_kl_drift
-run_chunk mining_q agg_chi_square_assoc,agg_heavy_hitters,compaction_plan_events,dedup_incremental_admission,dedup_source_overlap,events_funnel_timed,events_type_pmi,expect_k_anonymity,graph_triangle_census,mining_association_rules,multimodal_phash_near_dup,sample_balanced_classes,scd_snapshot_diff,text_bigram_logprob,text_bm25_retrieval,text_char_entropy,text_naive_bayes_lang,text_perplexity_buckets,window_rolling_median
+# graph_triangle_census runs via the chunked census ladder below: its
+# fused oracle's wedge spill exceeded this box's disk twice in r10
+# (24G and 64G caps) — and the src-chunked form is also ~25x faster
+# (oracle ~40 s vs 1029 s fused in r9).
+run_chunk mining_q agg_chi_square_assoc,agg_heavy_hitters,compaction_plan_events,dedup_incremental_admission,dedup_source_overlap,events_funnel_timed,events_type_pmi,expect_k_anonymity,mining_association_rules,multimodal_phash_near_dup,sample_balanced_classes,scd_snapshot_diff,text_bigram_logprob,text_bm25_retrieval,text_char_entropy,text_naive_bayes_lang,text_perplexity_buckets,window_rolling_median
+
+echo "=== sf1 census ladder (graph_triangle_census) $(date +%T) ==="
+SWEEP_SF=$SF CENSUS_OUT=/tmp/census_sf1 CENSUS_K=16 DUCK_MEM=32GB \
+  timeout 3600 python scripts/census_ladder_sf1.py \
+  >"$LOGDIR/census_ladder.log" 2>"$LOGDIR/census_ladder.err"
+echo "census ladder rc=$? $(date +%T)"
+tail -3 "$LOGDIR/census_ladder.log"
 run_chunk llm_a dedup_contamination_flag,dedup_exact,dedup_semantic,multimodal_byte_histogram,multimodal_frame_sample,pack_token_sequences,pipeline_corpus_admission,pipeline_training_mix,sample_deterministic,sample_global_shuffle,sample_source_cap,sample_stratified,sample_train_test_split
 run_chunk llm_b text_chunk_windows,text_document_frequency,text_fingerprint,text_lang_scores,text_pii_redact,text_quality_score,text_repetition_stats,text_token_stats,text_unigram_logprob
 run_chunk llm_sim dedup_embedding_lsh,similarity_ivf_recall,similarity_kmeans_refine,similarity_label_centroids,similarity_quantize_int8,similarity_topk_bruteforce,similarity_topk_ivf,similarity_topk_lsh
