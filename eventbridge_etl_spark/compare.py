@@ -90,6 +90,37 @@ _DIGEST_TAGS = (
 )
 
 
+def digest_expr(tag: str, quoted_col: str) -> str:
+    """The canonical DuckDB SQL image of one column for digest hashing —
+    the single definition behind ``frame_digest`` AND the chunked-oracle
+    ladders (scripts/pairs_ladder_sf1.py), which digest oracle chunks
+    DuckDB-side and combine additively.  Semantics per tag:
+
+    - ``f``: NaN → NULL, round to 9 with -0.0 → 0.0 (canon_value's
+      float clause);
+    - ``t``: the µs instant (engine-independent width);
+    - ``i``: BIGINT width canonicalization — DuckDB ``hash()`` covers
+      the raw bit pattern, so a NEGATIVE value hashes differently as
+      int32 vs int64 (Spark datediff → int32, DuckDB date arithmetic →
+      int64; caught live by fn_date_surface at sf1, r10).  BIGINT, not
+      HUGEINT: DuckDB's HUGEINT hash degenerates at -1
+      (hash(-1::HUGEINT) == 0 == hash(0::HUGEINT), probed r10);
+    - ``b``/``s``: the value itself.
+    """
+    q = quoted_col
+    if tag == "f":
+        return (
+            f"CASE WHEN isnan({q}) THEN NULL "
+            f"WHEN round({q}, 9) = 0 THEN 0.0 "
+            f"ELSE round({q}, 9) END"
+        )
+    if tag == "t":
+        return f"epoch_us(CAST({q} AS TIMESTAMP))"
+    if tag == "i":
+        return f"CAST({q} AS BIGINT)"
+    return q
+
+
 def frame_digest(df, con=None):
     """Order-insensitive multiset digest of a pandas frame, vectorized
     in DuckDB — the O(1)-memory, no-Python-row-loop equivalent of
@@ -141,29 +172,7 @@ def frame_digest(df, con=None):
                 if tag is None:
                     return None
                 tags.append(tag)
-                q = f'"{c}"'
-                if tag == "f":
-                    exprs.append(
-                        f"CASE WHEN isnan({q}) THEN NULL "
-                        f"WHEN round({q}, 9) = 0 THEN 0.0 "
-                        f"ELSE round({q}, 9) END"
-                    )
-                elif tag == "t":
-                    exprs.append(f"epoch_us(CAST({q} AS TIMESTAMP))")
-                elif tag == "i":
-                    # width-canonicalize: DuckDB hash() covers the raw
-                    # bit pattern, so a NEGATIVE value hashes differently
-                    # as INTEGER vs BIGINT vs HUGEINT (probed:
-                    # hash(-5::INTEGER) != hash(-5::BIGINT)) — and the
-                    # engines legitimately disagree on width (Spark
-                    # datediff → int32, DuckDB date arithmetic → int64;
-                    # caught live by fn_date_surface's days_to_y2k at
-                    # sf1, r10).  BIGINT, not HUGEINT: DuckDB's HUGEINT
-                    # hash degenerates at -1 (hash(-1::HUGEINT) == 0 ==
-                    # hash(0::HUGEINT), probed r10)
-                    exprs.append(f"CAST({q} AS BIGINT)")
-                else:
-                    exprs.append(q)
+                exprs.append(digest_expr(tag, f'"{c}"'))
             n, hsum, hxor, hmin, hmax = con.execute(
                 f"SELECT count(*), sum(h::HUGEINT), bit_xor(h), min(h), max(h) "
                 f"FROM (SELECT hash({', '.join(exprs)}) AS h FROM {view})"
