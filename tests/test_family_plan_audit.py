@@ -40,7 +40,13 @@ FAMILY_RULES: dict[str, tuple[str, ...]] = {
     # exact tf-idf verify on candidates only.  The one BNL is the
     # broadcast of the 1-row corpus-count frame into the idf map (same
     # as the dedup_tfidf_cosine parent), so no "no_bnl" pin here.
-    "dedup-composed": ("dedup_tfidf_on_candidates", "no_cartesian", "shuffles<=6"),
+    # shuffles<=7, not the quiet-box 6: the audit reads the FINALIZED
+    # adaptive plan, and the gate's persisted banding frame can evict
+    # under suite-wide memory pressure, demoting one of its five
+    # broadcast joins to a shuffle join (+1 exchange — observed once
+    # in a full-suite run concurrent with an sf1 sweep, r10; the plan
+    # is value-identical either way and stays small-constant-bounded).
+    "dedup-composed": ("dedup_tfidf_on_candidates", "no_cartesian", "shuffles<=7"),
     "dedup-embedding": ("dedup_embedding_lsh", "no_cartesian", "shuffles<=5"),
     "similarity": ("similarity_topk_ivf", "no_cartesian", "broadcasts>=1", "window_group_limit"),
     "text": ("text_token_stats", "no_shuffle", "no_cartesian"),
@@ -60,6 +66,7 @@ _CHECKS = {
     "shuffles<=2": lambda a: a["shuffles"] <= 2,
     "shuffles<=5": lambda a: a["shuffles"] <= 5,
     "shuffles<=6": lambda a: a["shuffles"] <= 6,
+    "shuffles<=7": lambda a: a["shuffles"] <= 7,
     "broadcasts>=1": lambda a: a["broadcasts"] >= 1,
     "broadcasts>=2": lambda a: a["broadcasts"] >= 2,
     "no_cartesian": lambda a: not a["has_cartesian"],
