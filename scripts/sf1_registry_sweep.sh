@@ -104,6 +104,17 @@ SWEEP_SF=$SF SWEEP_MASTER=local[16] SWEEP_SHUF=32 SWEEP_DRIVER_MEM=24g \
   >"$LOGDIR/sf1_engine_probe.log" 2>"$LOGDIR/sf1_engine_probe.err"
 echo "engine probe rc=$? $(date +%T)"
 tail -6 "$LOGDIR/sf1_engine_probe.log"
+echo "=== sf1 pairs ladder (dedup_minhash_lsh chunked-oracle digest) $(date +%T) ==="
+# pairs_ladder_sf1.py (r10): the one-pass pair oracle needs >100 GiB at
+# sf1; the chunked form digests the oracle per hash(id_a) chunk and
+# compares the combined digest with the engine frame_digest (r10:
+# MATCH over 21,613,194 pairs, ~67 min oracle wall, bounded memory).
+SWEEP_SF=$SF PAIRS_K=32 DUCK_MEM=32GB \
+  timeout 7200 python scripts/pairs_ladder_sf1.py \
+  >"$LOGDIR/pairs_ladder.log" 2>"$LOGDIR/pairs_ladder.err"
+echo "pairs ladder rc=$? $(date +%T)"
+tail -3 "$LOGDIR/pairs_ladder.log"
+
 echo "=== sf1 staged composed-dedup engine run $(date +%T) ==="
 # staged_tfidf_sf1.py (r10): the fused gate needs ~90 GiB shuffle
 # scratch at sf1 (three r9 deaths); the checkpointed form completed in
