@@ -563,17 +563,56 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def _quadratic_guard(
+    df: DataFrame, op: str, row_budget: int | None, within_buckets: bool
+) -> None:
+    """Mechanical enforcement of the quadratic-verifier contract
+    (VERDICT r10 item 4): the all-pairs verifiers document "run this
+    within LSH buckets / blocks only", but a docstring does not stop a
+    caller from handing the raw 100 M-row corpus to an O(n²) plan.
+    Raise unless the caller either declared the input pre-blocked
+    (``within_buckets=True``) or the input row count fits the budget.
+
+    The probe is ``limit(budget+1).count()`` — it stops scanning at
+    budget+1 rows, so the guard costs one bounded job, never a full
+    count of the input.  Same enforcement family as the CI bans on
+    ``F.udf`` and unbounded ``.collect()``.
+    """
+    if within_buckets or row_budget is None:
+        return
+    if df.limit(row_budget + 1).count() > row_budget:
+        raise ValueError(
+            f"{op}: input exceeds the quadratic-verifier row budget "
+            f"({row_budget}).  This operator is the within-bucket/"
+            f"verification-grade O(n²) path; at scale generate "
+            f"candidates first (minhash_lsh_pairs / "
+            f"lsh_candidate_pairs / similarity.hyperplane_lsh_buckets) "
+            f"and verify those, or pass within_buckets=True / a larger "
+            f"row_budget if the input really is a bounded block."
+        )
+
+
 def embedding_near_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, tau: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    *,
+    within_buckets: bool = False,
+    row_budget: int | None = 100_000,
 ) -> DataFrame:
     """Exact cosine-threshold self-join: pairs with cosine(a,b) >= tau.
 
     This is the *verification-grade* operator (O(n^2) comparisons but
     only arithmetic per pair — fine to run within LSH buckets or blocks).
     For the 100 TB path, generate candidates first with
-    similarity.hyperplane_lsh_buckets and run this within buckets."""
+    similarity.hyperplane_lsh_buckets and run this within buckets.
+    That contract is mechanical, not advisory: unless the caller passes
+    ``within_buckets=True`` (input already blocked) the input must fit
+    ``row_budget`` rows or the operator raises (``_quadratic_guard``)."""
     from eventbridge_etl_spark.operators.similarity import cosine
 
+    _quadratic_guard(df, "embedding_near_dup_pairs", row_budget, within_buckets)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
@@ -997,6 +1036,9 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     tau: float = 0.3,
     max_df: int | None = None,
+    *,
+    within_buckets: bool = False,
+    row_budget: int | None = 100_000,
 ) -> DataFrame:
     """EXACT weighted-cosine near-dup pairs over tf-idf vectors, computed
     as an inverted-index self-join — no dense vectors, no cartesian
@@ -1019,7 +1061,16 @@ def tfidf_cosine_pairs(
     ``jaccard_pairs_prefix_filtered``).  The default gate runs uncapped
     for oracle exactness.  Join keys are xxhash64 token ids (fixed
     width), the pair aggregate is one shuffle on (id_a, id_b).
+
+    The "verifier, not generator" contract is mechanical: unless the
+    caller passes ``within_buckets=True`` (or a ``max_df`` cap, which
+    bounds the Zipf head by construction) the input must fit
+    ``row_budget`` rows or the operator raises (``_quadratic_guard``).
+    The scale-path candidate GENERATOR is ``lsh_candidate_pairs``.
     """
+    _quadratic_guard(
+        df, "tfidf_cosine_pairs", row_budget, within_buckets or max_df is not None
+    )
     unit = _tfidf_unit_weights(df, id_col, text_col, max_df)
     a, b = unit.alias("a"), unit.alias("b")
     return (
@@ -1149,6 +1200,79 @@ def tfidf_cosine_verify_candidates(
             ).cast("double").alias("cosine")
         )
         .where(F.col("cosine") >= tau)
+    )
+
+
+def tfidf_cosine_staged(
+    df: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 2,
+    shards: int = 8,
+) -> DataFrame:
+    """The composed 100 TB dedup recipe in its PRODUCTION shape —
+    ``tfidf_cosine_on_candidates`` with a durable candidate checkpoint
+    and sharded verification, the resumable staging that completed the
+    sf1 run where the fused plan died three times at ~90 GiB of shuffle
+    scratch (SCALE.md r10; scripts/staged_tfidf_sf1.py is the fresh-JVM
+    batch form this API encodes).
+
+    Stages, each skipped when its output already exists (``_SUCCESS``
+    marker via the Hadoop FS API, so resume works on any filesystem):
+
+    1. ``{checkpoint_dir}/candidates`` — distinct LSH candidate pairs
+       (``lsh_candidate_pairs``), hash-partitioned into ``shards``
+       chunks on ``xxhash64(id_a, id_b)``.  Pairs are 16 B each; the
+       partition column lets every verify stage read exactly 1/N of
+       them via partition pruning.
+    2. ``{checkpoint_dir}/verified/chunk=k`` — shard k's pairs verified
+       with the exact tf-idf cosine (``tfidf_cosine_verify_candidates``).
+       Per-pair verification is independent, so the union over disjoint
+       shards is value-identical to the fused operator (pinned by
+       tests/test_dedup.py::test_tfidf_staged_equals_fused); peak
+       shuffle scratch is ~1/N of the fused run's and a killed shard
+       re-runs alone.
+
+    Returns the unioned verified pairs ``(id_a, id_b, cosine)`` read
+    back from the checkpoint.  In a single session the shards run
+    sequentially; at 100 TB run each shard as its own job (one JVM per
+    shard reclaims scratch deterministically — the staged_tfidf_sf1
+    loop) and call this afterwards: every completed stage is skipped.
+    """
+    spark = df.sparkSession
+
+    def _done(path: str) -> bool:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(p)
+
+    cand_path = f"{checkpoint_dir}/candidates"
+    if not _done(cand_path):
+        (
+            lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
+            .withColumn("_chunk", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(shards)))
+            .write.mode("overwrite")
+            .partitionBy("_chunk")
+            .parquet(cand_path)
+        )
+    for k in range(shards):
+        out = f"{checkpoint_dir}/verified/chunk={k}"
+        if _done(out):
+            continue
+        cand_k = (
+            spark.read.parquet(cand_path)
+            .where(F.col("_chunk") == k)
+            .select("id_a", "id_b")
+        )
+        tfidf_cosine_verify_candidates(
+            df, cand_k, id_col, text_col, tau
+        ).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(
+        *[f"{checkpoint_dir}/verified/chunk={k}" for k in range(shards)]
     )
 
 

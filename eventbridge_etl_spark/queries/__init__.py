@@ -68,78 +68,86 @@ def query(name: str, oracle: str | None = None):
 #: order.  Anything importing the registries directly without calling
 #: ``load_all()`` sees plain module-import registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-10 WINDOW (positions 1-50) ================
-    # Plan per VERDICT r9 "Next round #2": head with the 9 r5-evidence
-    # rows (last green CORRECTNESS_r05 — four rounds stale; the r9
-    # overflow order first, then the 6 rows the r9 tail listed), then
-    # the oldest 41 of the r6-evidence cohort (49 rows) in registration
-    # order.  No new gates take slots this round — VERDICT r9 items 1/3/5
-    # are scale-evidence work on already-gated queries, not new surface.
-    # --- 9 r5-stale (last green CORRECTNESS_r05) ---
-    "mining_association_rules",
-    "events_type_pmi",
-    "text_perplexity_buckets",
-    "events_sessionize",
-    "fn_url_surface",
-    "graph_pagerank_transitions",
-    "events_robust_scale",
-    "doc_equidepth_bins",
-    "events_target_encode",
-    # --- 41 oldest r6-evidence rows (last green CORRECTNESS_r06),
-    # registration order ---
-    "agg_ols_trend",
-    "events_latency_percentiles",
-    "events_prorate_hourly",
-    "skew_key_report",
-    "dedup_tfidf_cosine",
-    "dedup_tfidf_cosine_capped",
-    "pipeline_json_quarantine",
-    "text_pii_redact",
-    "dedup_minhash_admission",
-    "events_attribution_linear",
-    "events_locf_fill",
-    "text_unigram_kl_drift",
-    "events_dau_wau",
-    "orders_psi_drift",
-    "events_interp_fill",
-    "agg_jackknife_mean",
-    "events_cusum_alarms",
-    "text_ngram_novelty",
-    "compaction_plan_events",
-    "text_nb_confusion",
-    "parts_abc_classes",
-    "nation_supplier_hhi",
-    "text_sentence_spans",
-    "fn_higher_order_surface",
-    "graph_bfs_hops",
-    "graph_entropy_rate",
-    "events_json_projection",
-    "events_validity_filter",
-    "events_reconciliation",
-    "events_hourly_rollup",
-    "pipeline_header_zip_rename",
-    "join_asof_attribution",
-    "join_semi",
-    "join_anti",
-    "join_left_outer_agg",
-    "join_range_nonequi",
-    "streaming_enriched_windows",
-    "events_anomaly_zscore",
-    "events_ohlc_hourly",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    # ============== OVERFLOW (position 51+) — LEADS ROUND 11 ===========
-    # The remaining 8 r6-evidence rows (registration order).  These MUST
-    # head the r11 window, followed by the oldest of the r7 cohort
-    # (50 rows) under the normal rotation.
+    # ================= ROUND-11 WINDOW (positions 1-50) ================
+    # Plan per VERDICT r10 "Next round #1/#3": the nine gates whose
+    # recipes were rewritten to exact decimals in r10 carry only
+    # pre-rewrite driver evidence — they pre-empt everything (the
+    # verify skill's rule: changed queries MUST be re-listed).  Then
+    # the 7 remaining r6-stale rows, the new r11 gate (never
+    # driver-checked), and the oldest 33 of the r7-evidence cohort in
+    # registration order.  The 14 r7 rows that don't fit are pinned
+    # below as the r12 overflow head.
+    # --- 9 rewritten in r10 (driver evidence predates the code) ---
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "join_broadcast_chain",
+    "conditional_pivot",
+    # --- 7 remaining r6-stale (last green CORRECTNESS_r06) ---
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
     "q14_promo_effect",
     "q15_top_supplier",
     "q2_min_cost_supplier",
     "q12_priority_shipping",
+    # --- new this round (never driver-checked) ---
+    "dedup_tfidf_staged",
+    # --- 33 oldest r7-evidence rows, registration order ---
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_scores",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_ivf_recall",
+    "similarity_topk_lsh",
+    "multimodal_byte_histogram",
+    "sample_train_test_split",
+    "sample_stratified",
+    "multimodal_frame_sample",
+    "similarity_quantize_int8",
+    "text_chunk_windows",
+    "text_document_frequency",
+    "similarity_label_centroids",
+    "dedup_contamination_flag",
+    "sample_source_cap",
+    "text_repetition_stats",
+    "pipeline_training_mix",
+    "pack_token_sequences",
+    "sample_global_shuffle",
+    "similarity_kmeans_refine",
+    "dedup_semantic",
+    "text_unigram_logprob",
+    "dedup_chunk_level",
+    # ============== OVERFLOW (position 51+) — LEADS ROUND 12 ===========
+    # The 14 remaining r7-evidence rows (registration order).  These
+    # MUST head the r12 window under the normal rotation.
+    "fn_string_surface",
+    "fn_json_surface",
+    "fn_map_surface",
+    "route_transform_rule",
+    "route_cidr_classifier",
+    "agg_approx_distinct",
+    "set_except",
+    "agg_approx_percentile",
+    "events_path_trigrams",
+    "q18_large_volume_customer",
+    "q16_supplier_part_counts",
+    "q21_waiting_orders",
+    "q13_customer_distribution",
+    "q20_dominant_suppliers",
 )
 
 

@@ -373,9 +373,11 @@ def dedup_clusters(spark, sf_dir):
     return D.near_dup_clusters(doc, pairs, "doc_id")
 
 
-@query(
-    "dedup_tfidf_on_candidates",
-    oracle=f"""
+#: One oracle for BOTH composed-recipe gates (fused and staged): the
+#: staged form is value-identical by construction (per-pair verify over
+#: a disjoint-shard union), so the gates must share one SQL source —
+#: two copies could drift.
+_TFIDF_ON_CAND_ORACLE = f"""
     WITH {_MINHASH_CTES},
     {tfidf_weighting_ctes(toks_cte="wtoks")}
     SELECT c.id_a, c.id_b,
@@ -387,8 +389,10 @@ def dedup_clusters(spark, sf_dir):
     GROUP BY c.id_a, c.id_b
     HAVING CAST(round(SUM(CAST(round(a.u * b.u, 15) AS DECIMAL(38,15))), 6)
                 AS DOUBLE) >= 0.8
-    """,
-)
+    """
+
+
+@query("dedup_tfidf_on_candidates", oracle=_TFIDF_ON_CAND_ORACLE)
 def dedup_tfidf_on_candidates(spark, sf_dir):
     """THE composed 100 TB dedup recipe (VERDICT r8 item 4): MinHash-LSH
     banded buckets generate candidate pairs, exact tf-idf cosine
@@ -404,6 +408,29 @@ def dedup_tfidf_on_candidates(spark, sf_dir):
     doc = _doc(spark, sf_dir)
     return D.tfidf_cosine_on_candidates(
         doc, "doc_id", "text", tau=0.8, num_hashes=16, bands=2
+    )
+
+
+@query("dedup_tfidf_staged", oracle=_TFIDF_ON_CAND_ORACLE)
+def dedup_tfidf_staged(spark, sf_dir):
+    """The composed recipe in its PRODUCTION staging (VERDICT r10 item
+    6): ``tfidf_cosine_staged`` checkpoints the LSH candidate pairs to
+    parquet and verifies them in hash-partitioned shards — the
+    resumable shape that completed sf1 where the fused plan exhausted
+    shuffle scratch (SCALE.md r10).  Gated against the SAME oracle as
+    the fused gate because the shard union is value-identical by
+    construction; this gate proves the checkpoint/resume plumbing
+    (write → partition-pruned read-back → union) end-to-end, not just
+    the arithmetic."""
+    import atexit
+    import shutil
+    import tempfile
+
+    doc = _doc(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="tfidf_staged_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    return D.tfidf_cosine_staged(
+        doc, ckpt, "doc_id", "text", tau=0.8, num_hashes=16, bands=2, shards=4
     )
 
 
