@@ -56,7 +56,21 @@ def canon_value(v):
         r = round(float(v), 9)
         return ("f", 0.0 if r == 0 else r)
     if hasattr(v, "isoformat"):
-        return ("t", v.isoformat())
+        # DATE deliberately unifies with its midnight TIMESTAMP (both
+        # compare on the instant): DuckDB's pandas bridge WIDENS DATE
+        # to datetime64 (``fetchdf`` returns midnight Timestamps) while
+        # Spark surfaces DateType as datetime.date objects, so the
+        # width is an artifact of the transport, not of the query —
+        # distinguishing it would false-MISMATCH every date-returning
+        # gate.  Same unification as frame_digest's 't' tag (epoch_us
+        # of CAST AS TIMESTAMP), so the two comparators agree on this
+        # class BY CONSTRUCTION (ADVICE r10: they previously did not —
+        # isoformat '2020-01-01' vs '2020-01-01T00:00:00' here while
+        # the digest matched).
+        iso = v.isoformat()
+        if len(iso) == 10:  # a bare date: widen to the midnight instant
+            iso += "T00:00:00"
+        return ("t", iso)
     return ("o", v)
 
 
@@ -86,6 +100,12 @@ _DIGEST_TAGS = (
     # such a column falls back to normalize_frame
     ("FLOAT", "f"), ("DOUBLE", "f"),
     ("VARCHAR", "s"),
+    # DATE → 't' is DELIBERATE width-unification, not an oversight:
+    # DuckDB's pandas bridge widens DATE to datetime64 (midnight
+    # Timestamps) while Spark surfaces datetime.date, so cross-engine
+    # the logical type is unrecoverable from the frame.  canon_value's
+    # 't' clause unifies identically (bare dates widen to the midnight
+    # instant), keeping digest and fallback verdicts aligned.
     ("TIMESTAMP", "t"), ("DATE", "t"),
 )
 
@@ -131,10 +151,23 @@ def frame_digest(df, con=None):
     comparison) and unequal digests ALWAYS mean unequal frames.  The
     canonicalization mirrors ``canon_value`` clause by clause — NaN
     unifies with NULL, floats round to 9 digits with -0.0 → 0.0,
-    timestamps compare on their µs instant, per-column type tags keep
-    ``126 != 126.0 != True`` — and BOTH engines' frames are hashed by
-    the same DuckDB build, so no cross-engine repr/hash drift exists by
-    construction.  Motivation: the Python-side canonical sort cost
+    DATE and TIMESTAMP both compare on their instant (deliberate
+    width-unification; see ``_DIGEST_TAGS`` and canon_value's 't'
+    clause, which widens bare dates identically) — and BOTH engines'
+    frames are hashed by the same DuckDB build, so no cross-engine
+    repr/hash drift exists by construction.
+
+    One documented boundary band (ADVICE r10): the float image here is
+    DuckDB ``round(x, 9)`` (scaled-binary nearbyint) while canon_value
+    uses Python ``round`` (correctly-rounded, half-even), so a value
+    sitting WITHIN ~1 ulp of a 0.5e-9 decimal edge can round to
+    different 9-digit images on the two paths.  Both paths stay
+    self-consistent (each hashes/sorts BOTH frames with its own
+    rounding), so a verdict can only differ between digest and
+    fallback when the two engines ALSO disagree in that sub-nanoscale
+    band — below every rounding margin the suite's oracles guarantee
+    (pinned by test_digest_float_half_edge_band).  Motivation for the
+    digest: the Python-side canonical sort cost
     867 s of events_gap_fill's 1016 s sf1 sweep chunk (SCALE.md r9);
     this digest runs the same comparison in seconds.
 

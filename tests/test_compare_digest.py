@@ -172,3 +172,51 @@ def test_negative_ints_across_widths():
     _agree(a, b)
     c = pd.DataFrame({"x": np.array([-5, 7, -1998], dtype=np.int64)})
     assert frame_digest(a) != frame_digest(c)
+
+
+def test_date_unifies_with_midnight_timestamp():
+    """Deliberate width-unification (ADVICE r10, medium): DuckDB's
+    pandas bridge widens DATE to datetime64 midnight Timestamps while
+    Spark surfaces datetime.date objects, so cross-engine the width is
+    transport noise.  BOTH comparators must unify — digest via the
+    shared 't' tag, canon_value by widening bare dates to the midnight
+    instant — or every date-returning gate false-MISMATCHes under one
+    path and silently diverges from the other."""
+    import datetime
+
+    a = pd.DataFrame({"d": [datetime.date(2020, 1, 1), datetime.date(1969, 7, 20)]})
+    b = pd.DataFrame({"d": pd.to_datetime(["2020-01-01", "1969-07-20"])})
+    assert frame_digest(a) == frame_digest(b)
+    assert normalize_frame(a) == normalize_frame(b)
+    _agree(a, b)
+    # a non-midnight instant is still a real divergence
+    c = pd.DataFrame(
+        {"d": pd.to_datetime(["2020-01-01 00:00:01", "1969-07-20 00:00:00"])}
+    )
+    assert frame_digest(a) != frame_digest(c)
+    _agree(a, c)
+
+
+def test_digest_float_half_edge_band():
+    """Documented boundary band (ADVICE r10, low): the digest's float
+    image is DuckDB round(x,9) (scaled-binary nearbyint) vs canon's
+    Python round (correctly-rounded half-even), so 9-digit *half edges*
+    may round to different images per path.  Each path must stay
+    SELF-consistent — hashing both frames with its own rounding — so a
+    digest/fallback verdict flip requires the engines to differ within
+    the sub-nanoscale band itself, which every suite oracle rounds far
+    above.  This test pins (a) self-consistency at an edge and (b)
+    agreement on values off the edge by >= 1e-9."""
+    edge = 0.0000000025  # exact decimal half at the 9th digit
+    a = pd.DataFrame({"x": [edge]})
+    b = pd.DataFrame({"x": [edge]})
+    assert frame_digest(a) == frame_digest(b)  # self-consistent
+    assert normalize_frame(a) == normalize_frame(b)
+    # off-edge values: both paths agree on equal/unequal verdicts
+    c = pd.DataFrame({"x": [0.000000004]})
+    d = pd.DataFrame({"x": [0.000000004]})
+    e = pd.DataFrame({"x": [0.000000005]})
+    assert frame_digest(c) == frame_digest(d)
+    assert frame_digest(c) != frame_digest(e)
+    _agree(c, d)
+    _agree(c, e)
