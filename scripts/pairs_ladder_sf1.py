@@ -56,7 +56,10 @@ def oracle_digest() -> tuple:
     # chunk the candidate self-join on the LEFT doc id: every pair has
     # exactly one id_a, so the chunks partition the pairs output
     anchor = "AND a.doc_id < b.doc_id"
-    assert anchor in _MINHASH_CTES, "banding CTE shape changed"
+    # unique, not merely present: str.replace rewrites EVERY occurrence,
+    # so a second anchor would silently chunk-filter two join sites and
+    # corrupt the additive digest (ADVICE r10)
+    assert _MINHASH_CTES.count(anchor) == 1, "banding CTE anchor not unique"
     hash_cols = ", ".join(
         digest_expr(t, f'"{c}"') for c, t in zip(COLS, TAGS)
     )

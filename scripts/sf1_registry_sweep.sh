@@ -90,7 +90,7 @@ echo "=== sf0.5 fingerprint chunk (pair-output dedup family) $(date +%T) ==="
 DUCK_MEM=24GB SWEEP_SF=$SF05 timeout 7200 \
   python scripts/aggregate_fingerprint_sweep.py \
   dedup_jaccard_prefix dedup_minhash_lsh dedup_simhash \
-  dedup_containment_pairs dedup_tfidf_on_candidates \
+  dedup_containment_pairs dedup_tfidf_on_candidates dedup_tfidf_staged \
   >"$LOGDIR/fp_pairs_sf05.log" 2>"$LOGDIR/fp_pairs_sf05.err"
 echo "fp chunk rc=$? $(date +%T)"
 tail -8 "$LOGDIR/fp_pairs_sf05.log"

@@ -118,9 +118,16 @@ def main() -> None:
             "(default HDFSBackedStateStoreProvider)",
         ),
     )
+    # SOAK_RATE: rows/second from the rate source.  The r7 soak ran at
+    # 5000; the sf1-equivalent re-soak (VERDICT r10 #5) drives 50000 —
+    # a 90 s soak then ingests 4.5M rows, the sf1 events-table order of
+    # magnitude — with the SAME bounded-state expectation: state rows
+    # depend on (windows in flight × keys) and (distinct keys), never
+    # on rows ingested.
+    rate_rps = int(os.environ.get("SOAK_RATE", "5000"))
     rate = (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", 5000)
+        .option("rowsPerSecond", rate_rps)
         .load()
         # advancing event time + 200-key fan-out; a 1-in-50 slice lags
         # 15 s to exercise late-row handling under the watermark

@@ -55,6 +55,18 @@ BANG = re.compile(r"^\s*!!\s*(.+)$")
 
 _OK = ("MATCH", "FP-MATCH", "ENGINE-OK", "rows-only")
 
+#: Gates DELIBERATELY absent from every sf1 chunk (VERDICT r10 #7):
+#: the within-bucket quadratic verifiers, excluded by design rather
+#: than killed by instruments — their documented scale path IS the
+#: LSH-composed gates, and since r11 the contract is mechanical
+#: (operators/dedup.py::_quadratic_guard raises above the row budget).
+#: Listed in the summary so the table reads complete, not truncated.
+BY_DESIGN = {
+    "dedup_tfidf_cosine": "all-pairs tf-idf verifier (Σdf² = 45.1B at sf1)",
+    "dedup_tfidf_cosine_capped": "df-capped all-pairs verifier (cap empties this corpus at sf1)",
+    "dedup_embedding_cosine": "exact cosine self-join (2e10 vector pairs at sf1)",
+}
+
 
 def main() -> int:
     logdir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_sweep")
@@ -105,6 +117,10 @@ def main() -> int:
     for r in rows:
         print(r)
     print(f"\ntotal value-compared gates: {grand}")
+    print("\nBY-DESIGN EXCLUSIONS (guard-exempt quadratic verifiers; "
+          "scale path = the LSH-composed gates):")
+    for name, why in BY_DESIGN.items():
+        print(f"  {name}: {why}")
     if problems:
         print("\nPROBLEMS:")
         for p in problems:
