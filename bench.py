@@ -132,9 +132,18 @@ def main() -> None:
 
     extra = {"spark.driver.memory": mem}
     if roomy:
+        # 17 headline plans x decimal-widened codegen flirt with the
+        # JVM's default 240 MB reserved code cache; a flushing cache
+        # deoptimizes whatever went cold, which is exactly the C2
+        # steady state the min-of-5 protocol exists to measure.  512 MB
+        # keeps every compiled plan resident (measured r11: run-to-run
+        # swing on the same box far exceeds the delta, but the conf
+        # removes one degradation mode for free).  BENCH_JAVA_OPTS
+        # appends ad-hoc experiment flags without editing this file.
         extra["spark.driver.extraJavaOptions"] = (
-            f"-Xms{mem} -XX:+AlwaysPreTouch"
-        )
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=512m "
+            + os.environ.get("BENCH_JAVA_OPTS", "")
+        ).strip()
     try:
         if roomy and os.path.isdir("/dev/shm"):
             os.makedirs(shm, exist_ok=True)
@@ -172,6 +181,44 @@ def main() -> None:
 
     canary_runs = [_canary_once() for _ in range(5)]
     canary = min(canary_runs)
+
+    # Second canary (VERDICT r10 #2): SHUFFLE-HEAVY constant-cost probe.
+    # The first canary is one aggregation stage over 8-byte rows — it
+    # reads CPU/JIT health but barely touches the shuffle write/read
+    # path, so a box whose degradation lives in shuffle I/O (page cache
+    # pressure on the local dir, dirty-page writeback, serializer-path
+    # cache misses) can read QUIET on canary 1 while every shuffle-heavy
+    # headline query inflates (exactly the unexplained r10 pattern:
+    # q18/window_topk/minhash up 18-34% at canary 0.287).  This probe
+    # moves ~350 MB of 40-byte string rows through TWO exchanges
+    # (repartition by one key, then aggregate by another), so its
+    # min-of-5 isolates the shuffle path's health: engine regressions
+    # move `value` while BOTH canaries hold; shuffle-path box
+    # degradation elevates canary 2 (and usually not canary 1).
+    # Reference floor: 0.81 s min-of-5 — best of four r11 calibration
+    # runs, measured at canary-1 0.32-0.35 (a mildly elevated box; the
+    # r11 session never saw a 0.28-class quiet box), so a genuinely
+    # quiet box may floor slightly lower.  The four-run calibration
+    # (SCALE.md r11) shows `value` tracking canary 2 across 0.81-1.32
+    # while per-query code was identical.
+    def _canary_shuffle_once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .select(
+                (F.col("id") % 4999).alias("k1"),
+                (F.col("id") % 997).alias("k2"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            )
+            .repartition(64, "k2")
+            .groupBy("k1")
+            .agg(F.count("*").alias("n"), F.min("payload").alias("m"))
+            .count()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    canary2_runs = [_canary_shuffle_once() for _ in range(5)]
+    canary2 = min(canary2_runs)
 
     # Each query runs FIVE times; the headline number is the min
     # (steady state), with the first-pass times reported alongside as
@@ -225,6 +272,9 @@ def main() -> None:
                 # (round 9); canary_sec / canary_ref_sec quantifies the
                 # box's elevation factor for the reader of this artifact
                 "canary_ref_sec": 0.28,
+                "canary_shuffle_sec": canary2,
+                "canary_shuffle_runs": canary2_runs,
+                "canary_shuffle_ref_sec": 0.81,
                 "tmpfs_shuffle": "spark.local.dir" in extra,
                 "pretouch_heap": roomy,
                 "sf": sf,
