@@ -96,10 +96,16 @@ echo "fp chunk rc=$? $(date +%T)"
 tail -8 "$LOGDIR/fp_pairs_sf05.log"
 
 echo "=== sf1 engine probe (minhash pair family) $(date +%T) ==="
+# dedup_tfidf_on_candidates is NOT probed fused: its sf1 shuffle
+# scratch (~90 GiB, three r9 deaths) exceeds this box's free disk and
+# a mid-probe JVM death takes the rest of the list with it (r10 ran
+# the probe in four partial invocations for exactly that reason).
+# Its sf1 engine evidence is the STAGED run below — the same operator
+# pipeline in its production checkpointed shape.
 SWEEP_SF=$SF SWEEP_MASTER=local[16] SWEEP_SHUF=32 SWEEP_DRIVER_MEM=24g \
   timeout 7200 python scripts/engine_scale_probe.py \
   dedup_jaccard_prefix dedup_minhash_lsh dedup_simhash \
-  dedup_containment_pairs dedup_tfidf_on_candidates \
+  dedup_containment_pairs \
   dedup_clusters dedup_cluster_sizes sample_leakage_safe_split \
   >"$LOGDIR/sf1_engine_probe.log" 2>"$LOGDIR/sf1_engine_probe.err"
 echo "engine probe rc=$? $(date +%T)"
