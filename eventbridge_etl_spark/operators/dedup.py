@@ -1253,27 +1253,26 @@ def tfidf_cosine_staged(
         return fs.exists(p)
 
     cand_path = f"{checkpoint_dir}/candidates"
+    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands).withColumn(
+        "_chunk", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(shards))
+    )
     if not _done(cand_path):
-        (
-            lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
-            .withColumn("_chunk", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(shards)))
-            .write.mode("overwrite")
-            .partitionBy("_chunk")
-            .parquet(cand_path)
-        )
+        cand.write.mode("overwrite").partitionBy("_chunk").parquet(cand_path)
+    # explicit schemas on every read-back: a partitionBy write of ZERO
+    # candidate rows (empty/degenerate corpus) emits only _SUCCESS, and
+    # schema inference on a file-less parquet dir raises — caught by
+    # the empty-fixture battery, r11
+    cand_read = spark.read.schema(cand.schema).parquet(cand_path)
+    verify_schema = None
     for k in range(shards):
         out = f"{checkpoint_dir}/verified/chunk={k}"
+        cand_k = cand_read.where(F.col("_chunk") == k).select("id_a", "id_b")
+        res = tfidf_cosine_verify_candidates(df, cand_k, id_col, text_col, tau)
+        verify_schema = res.schema
         if _done(out):
             continue
-        cand_k = (
-            spark.read.parquet(cand_path)
-            .where(F.col("_chunk") == k)
-            .select("id_a", "id_b")
-        )
-        tfidf_cosine_verify_candidates(
-            df, cand_k, id_col, text_col, tau
-        ).write.mode("overwrite").parquet(out)
-    return spark.read.parquet(
+        res.write.mode("overwrite").parquet(out)
+    return spark.read.schema(verify_schema).parquet(
         *[f"{checkpoint_dir}/verified/chunk={k}" for k in range(shards)]
     )
 
