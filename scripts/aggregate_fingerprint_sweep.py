@@ -125,6 +125,16 @@ def main() -> int:
     con.execute(
         f"SET memory_limit='{os.environ.get('DUCK_MEM', '24GB')}'"
     )
+    # per-process spill dir with exit cleanup (same rationale as
+    # oracle_sweep's): without temp_directory DuckDB spills to cwd/.tmp
+    # — the r11 fp chunk filled the ROOT filesystem from inside the
+    # repo when the composed gate's sf0.5 oracle spilled >77 GiB
+    import atexit
+    import shutil
+
+    _spill = os.environ.get("DUCK_SPILL_DIR", f"/tmp/duck_spill.{os.getpid()}")
+    con.execute(f"SET temp_directory='{_spill}'")
+    atexit.register(lambda: shutil.rmtree(_spill, ignore_errors=True))
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
