@@ -87,13 +87,30 @@ echo "sf0.5 closure ladder rc=$? $(date +%T)"
 tail -4 "$LOGDIR/sf05_clusters.log"
 
 echo "=== sf0.5 fingerprint chunk (pair-output dedup family) $(date +%T) ==="
+# The composed gates (dedup_tfidf_on_candidates / dedup_tfidf_staged)
+# are NOT in this list: their sf0.5 ORACLE is the >disk spill class
+# (measured r11: >77 GiB DuckDB spill at a 24 GiB memory cap before
+# dying) — same instrument boundary as the sf1 pair oracles.  Their
+# scale ladder instead: sf0.01 oracle MATCH (clean+empty), sf0.1
+# row-hash MATCH (r9), staged==fused ENGINE fingerprints identical at
+# sf0.2 (probe below), sf1 staged engine run with fingerprints.
 DUCK_MEM=24GB SWEEP_SF=$SF05 timeout 7200 \
   python scripts/aggregate_fingerprint_sweep.py \
   dedup_jaccard_prefix dedup_minhash_lsh dedup_simhash \
-  dedup_containment_pairs dedup_tfidf_on_candidates dedup_tfidf_staged \
+  dedup_containment_pairs \
   >"$LOGDIR/fp_pairs_sf05.log" 2>"$LOGDIR/fp_pairs_sf05.err"
 echo "fp chunk rc=$? $(date +%T)"
 tail -8 "$LOGDIR/fp_pairs_sf05.log"
+
+echo "=== sf0.2 staged==fused composed-dedup engine cross-check $(date +%T) ==="
+SF02=${SWEEP_SF02:-/tmp/sf02}
+[ -d "$SF02" ] || python scripts/gen_scale_replica.py "$SF02" 2
+SWEEP_SF=$SF02 SWEEP_MASTER=local[8] SWEEP_SHUF=16 SWEEP_DRIVER_MEM=12g \
+  timeout 3600 python scripts/engine_scale_probe.py \
+  dedup_tfidf_on_candidates dedup_tfidf_staged \
+  >"$LOGDIR/sf02_staged_vs_fused.log" 2>"$LOGDIR/sf02_staged_vs_fused.err"
+echo "sf0.2 cross-check rc=$? $(date +%T)"
+grep -E "ENGINE-OK|sum" "$LOGDIR/sf02_staged_vs_fused.log" | tail -8
 
 echo "=== sf1 engine probe (minhash pair family) $(date +%T) ==="
 # dedup_tfidf_on_candidates is NOT probed fused: its sf1 shuffle
