@@ -442,3 +442,18 @@ def test_quadratic_guard_trips(spark, corpus):
         D.tfidf_cosine_pairs(corpus, "doc_id", "text", row_budget=3).collect()
     # max_df bounds the per-token candidate blowup by construction
     D.tfidf_cosine_pairs(corpus, "doc_id", "text", max_df=5, row_budget=3).collect()
+
+
+def test_tfidf_staged_empty_corpus(spark, tmp_path):
+    """Zero candidate pairs (empty or fully-disjoint corpus) must
+    degrade to an EMPTY result frame, exactly like the fused operator.
+    Regression: a partitionBy write of zero rows emits only _SUCCESS,
+    and schema inference on the file-less read-back raised
+    AnalysisException (caught by the empty-fixture battery, r11) —
+    the read-backs now carry the writer's schema."""
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    out = D.tfidf_cosine_staged(
+        empty, str(tmp_path / "ckpt"), "doc_id", "text", shards=2
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
