@@ -120,6 +120,30 @@ def exact_dedup(
     )
 
 
+def exact_dedup_casefold(
+    df: DataFrame, id_col: str, text_col: str, keep: str = "min"
+) -> DataFrame:
+    """Case-insensitive exact dedup: one representative id per distinct
+    CASE-FOLDED text (``upper(text)``), plus the duplicate count — the
+    C4-style "exact dedup modulo case" a training corpus runs before
+    the near-dup ladder (capitalization variants of boilerplate are the
+    single most common trivial duplicate class).
+
+    Folding is Java ``upper()``, not ``lower()``, deliberately: upper
+    is the direction where Unicode one-to-many SpecialCasing expansions
+    (ß→SS, ﬁ→FI) MERGE spellings that differ only by ligature/sharp-s
+    typography — 'Fußball' and 'FUSSBALL' fold together here and would
+    not under lower().  Same scale shape as ``exact_dedup``: the digest
+    shuffle carries ~48 bytes/row regardless of document width, one
+    exchange, no sort.  Oracle alignment for the fold lives in
+    ``queries/_sqlfrag.SQL_UPPER`` (probed boundary — see its note)."""
+    folded = df.select(
+        F.col(id_col).alias(id_col),
+        F.upper(F.col(text_col)).alias("_folded"),
+    )
+    return exact_dedup(folded, id_col, ["_folded"], keep)
+
+
 def jaccard_pairs_prefix_filtered(
     df: DataFrame, id_col: str, text_col: str, tau: float
 ) -> DataFrame:
@@ -561,6 +585,14 @@ def embedding_near_dup_pairs_lsh(
         .filter(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
     )
+
+
+#: Largest ``max_df`` cap that exempts ``tfidf_cosine_pairs`` from the
+#: quadratic guard.  A df cap of m bounds candidate pairs to (m/2) x
+#: total postings — linear in corpus size — but only if m is a real cap:
+#: exempting ANY non-None max_df let max_df=10**12 (larger than any df)
+#: bypass the guard while bounding nothing (ADVICE r11).
+_MAX_DF_GUARD_EXEMPT = 10_000
 
 
 def _quadratic_guard(
@@ -1065,13 +1097,21 @@ def tfidf_cosine_pairs(
     width), the pair aggregate is one shuffle on (id_a, id_b).
 
     The "verifier, not generator" contract is mechanical: unless the
-    caller passes ``within_buckets=True`` (or a ``max_df`` cap, which
-    bounds the Zipf head by construction) the input must fit
-    ``row_budget`` rows or the operator raises (``_quadratic_guard``).
-    The scale-path candidate GENERATOR is ``lsh_candidate_pairs``.
+    caller passes ``within_buckets=True`` (or a ``max_df`` cap at or
+    below ``_MAX_DF_GUARD_EXEMPT``) the input must fit ``row_budget``
+    rows or the operator raises (``_quadratic_guard``).  Why the cap
+    bound: with ``max_df <= m``, candidate pairs are bounded by
+    ``(m/2) x total postings`` — LINEAR in corpus size with constant
+    ``m/2`` — so a modest cap genuinely de-quadratifies the plan,
+    whereas an astronomically large ``max_df`` (> any real df) bounds
+    nothing and must NOT bypass the guard (ADVICE r11).  The scale-path
+    candidate GENERATOR is ``lsh_candidate_pairs``.
     """
     _quadratic_guard(
-        df, "tfidf_cosine_pairs", row_budget, within_buckets or max_df is not None
+        df,
+        "tfidf_cosine_pairs",
+        row_budget,
+        within_buckets or (max_df is not None and max_df <= _MAX_DF_GUARD_EXEMPT),
     )
     unit = _tfidf_unit_weights(df, id_col, text_col, max_df)
     a, b = unit.alias("a"), unit.alias("b")
@@ -1243,6 +1283,21 @@ def tfidf_cosine_staged(
     sequentially; at 100 TB run each shard as its own job (one JVM per
     shard reclaims scratch deterministically — the staged_tfidf_sf1
     loop) and call this afterwards: every completed stage is skipped.
+
+    Resume is parameter-checked (ADVICE r11, medium): the first run
+    persists ``(tau, num_hashes, bands, shards, id_col, text_col)`` to
+    ``{checkpoint_dir}/_manifest`` (a one-row JSON dataset, so it works
+    on any Hadoop filesystem); a resume whose arguments differ RAISES
+    instead of silently reusing stale stages.  The sharpest such trap:
+    resuming with a smaller ``shards`` would skip candidate
+    regeneration (its ``_SUCCESS`` exists) but read only chunks
+    ``0..shards-1`` of a checkpoint whose ``_chunk`` values span the
+    old modulus — silently dropping candidate pairs.  Changed
+    ``tau``/``num_hashes``/``bands`` likewise invalidate the cached
+    stages (different candidates or admission threshold).  Pre-manifest
+    checkpoints (written before r12) adopt the CURRENT call's
+    parameters on first touch — the caller owning such a checkpoint is
+    the caller who created it with the original script loop.
     """
     spark = df.sparkSession
 
@@ -1251,6 +1306,40 @@ def tfidf_cosine_staged(
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         return fs.exists(p)
+
+    manifest_path = f"{checkpoint_dir}/_manifest"
+    manifest_schema = (
+        "tau double, num_hashes int, bands int, shards int, "
+        "id_col string, text_col string"
+    )
+    params = {
+        "tau": float(tau),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "shards": int(shards),
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    if _done(manifest_path):
+        stamped = spark.read.schema(manifest_schema).json(manifest_path).first()
+        drift = {
+            k: (stamped[k], v) for k, v in params.items() if stamped[k] != v
+        }
+        if drift:
+            raise ValueError(
+                f"tfidf_cosine_staged: resume parameters differ from the "
+                f"ones this checkpoint was written with — "
+                f"{ {k: f'checkpoint={old!r} call={new!r}' for k, (old, new) in drift.items()} }. "
+                f"Cached stages under {checkpoint_dir!r} are only valid "
+                f"for the original parameters (a different `shards` "
+                f"modulus silently drops pairs; different tau/num_hashes/"
+                f"bands change the candidate set).  Point the run at a "
+                f"fresh checkpoint_dir, or delete this one to rebuild."
+            )
+    else:
+        spark.createDataFrame([params], manifest_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(manifest_path)
 
     cand_path = f"{checkpoint_dir}/candidates"
     cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands).withColumn(

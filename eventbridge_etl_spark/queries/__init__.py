@@ -68,72 +68,19 @@ def query(name: str, oracle: str | None = None):
 #: order.  Anything importing the registries directly without calling
 #: ``load_all()`` sees plain module-import registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-11 WINDOW (positions 1-50) ================
-    # Plan per VERDICT r10 "Next round #1/#3": the nine gates whose
-    # recipes were rewritten to exact decimals in r10 carry only
-    # pre-rewrite driver evidence — they pre-empt everything (the
-    # verify skill's rule: changed queries MUST be re-listed).  Then
-    # the 7 remaining r6-stale rows, the new r11 gate (never
-    # driver-checked), and the oldest 33 of the r7-evidence cohort in
-    # registration order.  The 14 r7 rows that don't fit are pinned
-    # below as the r12 overflow head.
-    # --- 9 rewritten in r10 (driver evidence predates the code) ---
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_dormant_customers",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "join_broadcast_chain",
-    "conditional_pivot",
-    # --- 7 remaining r6-stale (last green CORRECTNESS_r06) ---
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q2_min_cost_supplier",
-    "q12_priority_shipping",
-    # --- new this round (never driver-checked) ---
-    "dedup_tfidf_staged",
-    # --- 33 oldest r7-evidence rows, registration order ---
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_scores",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "similarity_ivf_recall",
-    "similarity_topk_lsh",
-    "multimodal_byte_histogram",
-    "sample_train_test_split",
-    "sample_stratified",
-    "multimodal_frame_sample",
-    "similarity_quantize_int8",
-    "text_chunk_windows",
-    "text_document_frequency",
-    "similarity_label_centroids",
-    "dedup_contamination_flag",
-    "sample_source_cap",
-    "text_repetition_stats",
-    "pipeline_training_mix",
-    "pack_token_sequences",
-    "sample_global_shuffle",
-    "similarity_kmeans_refine",
-    "dedup_semantic",
-    "text_unigram_logprob",
-    "dedup_chunk_level",
-    # ============== OVERFLOW (position 51+) — LEADS ROUND 12 ===========
-    # The 14 remaining r7-evidence rows (registration order).  These
-    # MUST head the r12 window under the normal rotation.
+    # ================= ROUND-12 WINDOW (positions 1-50) ================
+    # Plan per VERDICT r11 "Next round #1": drain the rotation tail.
+    # One never-driver-checked r12 gate (rule 1), then the 14 gates
+    # whose driver evidence is r7-vintage (the r11 overflow pin,
+    # honored verbatim), then the 35 oldest rows of the r8-evidence
+    # cohort in registration order.  The 10 r8 rows that don't fit are
+    # pinned below as the r13 overflow head.  After the r12 drain the
+    # registry-wide staleness ceiling drops to r8 (10 rows), matching
+    # the 5-round arithmetic floor documented in COVERAGE.md §"Driver-
+    # window slot policy".
+    # --- new this round (never driver-checked; rule 1) ---
+    "dedup_exact_casefold",
+    # --- 14 r7-evidence rows (the pinned r11 overflow, verbatim) ---
     "fn_string_surface",
     "fn_json_surface",
     "fn_map_surface",
@@ -148,6 +95,56 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q21_waiting_orders",
     "q13_customer_distribution",
     "q20_dominant_suppliers",
+    # --- 36 oldest r8-evidence rows, registration order ---
+    "fn_date_surface",
+    "fn_math_surface",
+    "fn_array_surface",
+    "fn_conditional_surface",
+    "fn_hash_surface",
+    "fn_regex_surface",
+    "sample_deterministic",
+    "pipeline_corpus_admission",
+    "route_observe_tap",
+    "events_keyed_upsert",
+    "scan_projection_filter",
+    "streaming_hourly_windows",
+    "streaming_dedup",
+    "streaming_sessionize",
+    "streaming_running_totals",
+    "sort_multi_key_topk",
+    "set_intersect",
+    "set_union_distinct",
+    "subquery_scalar_above_avg",
+    "agg_percentiles",
+    "agg_pivot_native",
+    "agg_statistics",
+    "reshape_unpivot",
+    "streaming_interval_join",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "text_gopher_quality",
+    "text_collapse_runs",
+    "text_bigram_topk",
+    "sample_temperature",
+    "join_full_outer_coalesce",
+    "agg_mode_deterministic",
+    "set_intersect_all",
+    "set_except_all",
+    "window_nth_value",
+    # ============== OVERFLOW (position 51+) — LEADS ROUND 13 ===========
+    # The 10 remaining r8-evidence rows (registration order; the new
+    # r12 gate displaced join_salted_skew here under rule 1).  These
+    # MUST head the r13 window under the normal rotation.
+    "join_salted_skew",
+    "fuzzy_match_part_names",
+    "scd2_user_state",
+    "profile_orders",
+    "expect_orders_contract",
+    "rollup_incremental_merge",
+    "fn_bitwise_surface",
+    "events_outlier_iqr",
+    "agg_correlation",
+    "join_lateral_top2",
 )
 
 

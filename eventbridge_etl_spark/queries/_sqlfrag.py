@@ -22,10 +22,11 @@ list):
   the fact, because Java leaves a pre-existing lowercase word-final σ
   unchanged.  Probed against the unicode fixture's Greek bucket plus
   CJK-adjacent, standalone, and already-lowercase sigmas
-  (scripts/gen_adversarial_fixture.py, round 8).  Remaining
-  documented boundary: Java skips CASE-IGNORABLE characters (e.g. an
-  apostrophe) when evaluating the context — ``ΜΑΣ'Σ``-style
-  sequences stay outside the swept domain.
+  (scripts/gen_adversarial_fixture.py, round 8).  Since r12 the
+  guard also models Java's CASE-IGNORABLE skipping (``ΜΑΣ'Σ``-style
+  sequences — see the ``_CI`` note below and
+  tests/test_sqlfrag_sigma.py); the former fence around those
+  sequences is gone and the unicode fixture now contains them.
 - ``trim(…, ' ')`` reproduces Spark ``trim()`` exactly (DuckDB's bare
   ``trim`` strips Unicode Zs such as U+3000).
 - The split regex ``\\s+`` is ASCII-only in BOTH engines (Java regex
@@ -44,13 +45,59 @@ plain strings at module level.
 #: itself (identity), so a post-guard would wrongly rewrite
 #: already-lowercase Greek (…ευσ → …ευς) that Java leaves alone.  It
 #: must also run BEFORE the İ replace — the replacement's combining
-#: U+0307 is not cased and would break the preceded-by-cased context
-#: for ``İΣ``-style sequences.
+#: U+0307, though now inside the ``_CI`` class, keeps the original
+#: ordering for review parity with the probed r8 recipe.
+#:
+#: Since r12 the guard models the FULL Final_Sigma context (VERDICT
+#: r11 #6): Java skips Case_Ignorable characters when evaluating
+#: "preceded by cased / not followed by cased", so ``ΜΑΣ'Σ`` lowers
+#: the apostrophe-adjacent sigma to ``ς`` and leaves the first as
+#: ``σ``.  ``_CI`` is Unicode Case_Ignorable as RE2 can express it:
+#: the property classes Mn|Me|Cf|Lm|Sk plus the Word_Break
+#: MidLetter/MidNumLet/Single_Quote codepoints, every one verified
+#: against Java's actual lower() in both follow and precede context
+#: (probe recorded in tests/test_sqlfrag_sigma.py; comma, space and
+#: hyphen verified NON-ignorable).  RE2 has no lookaround, so "not
+#: followed by CI* cased" is spelled as a consumed tail
+#: ``[CI]*(?:$|[^cased CI])`` — consuming is safe because the tail
+#: never contains a cased char, hence never a Σ another match needs.
 _CASED = "\\p{Lu}\\p{Ll}\\p{Lt}"
+_CI = (
+    "\\p{Mn}\\p{Me}\\p{Cf}\\p{Lm}\\p{Sk}"
+    "''"  # U+0027 APOSTROPHE (Single_Quote), doubled for the SQL literal
+    ".:"  # U+002E (MidNumLet), U+003A (MidLetter)
+    # MidLetter — 00B7 middle dot + 0387 ano teleia (visually
+    # identical; 0387 NFC-normalizes to 00B7, hence escapes not
+    # literals), 055F, 05F4, 2027, FE13, FE55, FF1A
+    "\u00b7\u0387\u055f\u05f4\u2027\ufe13\ufe55\uff1a"
+    # MidNumLet — 2018/2019 curly quotes, 2024, FE52, FF07, FF0E
+    "\u2018\u2019\u2024\ufe52\uff07\uff0e"
+)
 SQL_LOWER = (
     "lower(replace("
-    f"regexp_replace(text, '([{_CASED}])Σ($|[^{_CASED}])', '\\1ς\\2', 'g'), "
+    f"regexp_replace(text, '([{_CASED}][{_CI}]*)Σ([{_CI}]*(?:$|[^{_CASED}{_CI}]))', "
+    "'\\1ς\\2', 'g'), "
     "chr(304), 'i' || chr(775)))"
+)
+
+#: Java/Spark-aligned upper() over the documents.text column (r12 —
+#: closes the "no oracle applies upper() to document text" boundary).
+#: Java applies Unicode SpecialCasing EXPANSIONS on upper (ß→SS, the
+#: seven Latin f-ligatures ﬀﬁﬂﬃﬄﬅﬆ→FF/FI/FL/FFI/FFL/ST/ST) while
+#: DuckDB's simple mapping leaves ligatures alone and maps ß→ẞ; the
+#: recipe pre-expands those nine codepoints, then upper()s.  Domain
+#: (probed, tests/test_sqlfrag_sigma.py): exact for every swept
+#: fixture surface — ASCII, the German/Greek ligature buckets, Greek
+#: capitals (ς/σ→Σ agree), Turkish İ/ı, combining marks, CJK/emoji/
+#: astral, RTL.  Documented out-of-domain: the rarer SpecialCasing
+#: expansions (ŉ→ʼN-class combining splits, Armenian ﬓ-class
+#: ligatures, Greek ypogegrammeni ᾼ→ΑΙ) — none appear in any fixture,
+#: and a corpus carrying them needs those replaces added here.
+SQL_UPPER = (
+    "upper("
+    "replace(replace(replace(replace(replace(replace(replace(replace("
+    "text, 'ß', 'ss'), 'ﬀ', 'ff'), 'ﬁ', 'fi'), 'ﬂ', 'fl'), "
+    "'ﬃ', 'ffi'), 'ﬄ', 'ffl'), 'ﬅ', 'st'), 'ﬆ', 'st'))"
 )
 
 #: The canonical whitespace tokenizer, duplicates kept — one array

@@ -25,6 +25,7 @@ from eventbridge_etl_spark.queries import query
 from eventbridge_etl_spark.queries._sqlfrag import (
     SQL_TOKS_RAW,
     SQL_TOKS_SET,
+    SQL_UPPER,
     tfidf_weighting_ctes,
 )
 from eventbridge_etl_spark.sources.tables import load_tables
@@ -189,6 +190,30 @@ def dedup_exact(spark, sf_dir):
     tests/test_dedup.py exercise the collapse path)."""
     doc = _doc(spark, sf_dir)
     out = D.exact_dedup(doc, "doc_id", ["text"])
+    return out.select("content_digest", "doc_id", "n_duplicates")
+
+
+@query(
+    "dedup_exact_casefold",
+    oracle=f"""
+    SELECT md5(coalesce({SQL_UPPER}, chr(0))) AS content_digest,
+           min(doc_id) AS doc_id,
+           count(*) AS n_duplicates
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_casefold(spark, sf_dir):
+    """Case-insensitive exact dedup (operators/dedup.py::
+    exact_dedup_casefold): digest over Java ``upper(text)``, one
+    representative per fold group.  This gate is ALSO the upper()
+    oracle-surface witness (VERDICT r11 #6 follow-through): its DuckDB
+    oracle applies the ``SQL_UPPER`` SpecialCasing recipe to document
+    text, so the unicode fixture's German/Greek ligature buckets sweep
+    the Java-vs-DuckDB upper boundary that was previously documented
+    as out-of-domain."""
+    doc = _doc(spark, sf_dir)
+    out = D.exact_dedup_casefold(doc, "doc_id", "text")
     return out.select("content_digest", "doc_id", "n_duplicates")
 
 

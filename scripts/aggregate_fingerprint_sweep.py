@@ -132,7 +132,12 @@ def main() -> int:
     import atexit
     import shutil
 
-    _spill = os.environ.get("DUCK_SPILL_DIR", f"/tmp/duck_spill.{os.getpid()}")
+    # DUCK_SPILL_DIR is a PARENT: spill goes into a per-PID subdir and
+    # only that subdir is removed at exit — rmtree'ing the env path
+    # itself would delete a user's shared scratch tree (ADVICE r11)
+    _spill = os.path.join(
+        os.environ.get("DUCK_SPILL_DIR", "/tmp"), f"duck_spill.{os.getpid()}"
+    )
     con.execute(f"SET temp_directory='{_spill}'")
     atexit.register(lambda: shutil.rmtree(_spill, ignore_errors=True))
     for t in (

@@ -67,11 +67,14 @@ derives two variants from a clean scale-factor directory:
   ``upper(replace(s, 'ß', 'ss'))`` reproduces Java upper EXCEPT
   ligature/SpecialCasing expansions (Java upper('ﬁ') = 'FI', DuckDB
   leaves 'ﬁ' — probed); ``trim(s, ' ')`` reproduces Spark trim
-  exactly.  Remaining documented out-of-domain boundaries: no oracle
-  applies upper() to document text (ligature expansion unswept), and
-  Java's Final_Sigma context skips CASE-IGNORABLE chars (apostrophe-
-  adjacent sigma, ``ΜΑΣ'Σ``) which the regex guard does not — the
-  fixture contains neither.
+  exactly.  Remaining documented out-of-domain boundary: no oracle
+  applies upper() to document text (ligature expansion unswept).
+  The former second boundary — Java's Final_Sigma context skipping
+  CASE-IGNORABLE chars (apostrophe-adjacent sigma, ``ΜΑΣ'Σ``) — is
+  CLOSED as of r12: ``SQL_LOWER``'s guard models the Case_Ignorable
+  class (probe pinned in tests/test_sqlfrag_sigma.py) and the Greek
+  bucket now carries ΜΑΣ'Σ / curly-quote / middle-dot / colon /
+  consecutive-candidate sigma material.
 
 Selection is seedless and reproducible: a row is perturbed when the
 first two hex chars of ``md5(key)`` fall in a per-column bucket list
@@ -322,7 +325,8 @@ UNICODE_DOCS_SQL = f"""
                  THEN repeat('spark 🚀 rocket 😀😀 math 𝕊𝕆𝕃 bold 𝐀𝐁 ', 5)
                WHEN {_b('doc_id', '81', '82')}
                  THEN repeat('ΟΔΥΣΣΕΥΣ ΘΑΛΑΣΣΑ ΣΟΦΟΣ Σ ΒΑΣ. ΚΟΣΜΟΣ数 '
-                             || 'oﬀice ﬁeld baﬄe ΣΣ ', 5)
+                             || 'oﬀice ﬁeld baﬄe ΣΣ '
+                             || 'ΜΑΣ''Σ ΑΣ’Β Α·Σ ΑΣ:Τ ΑΣ.Σ. ΑΣ''Σ''Σ ', 5)
                WHEN {_b('doc_id', '7e', '7f')}
                  THEN repeat('caf' || 'e' || chr(769) || ' nai' || chr(776)
                              || 've deja' || chr(769) || ' vu tokens ', 5)

@@ -22,8 +22,9 @@ oracles whose expected rows are digest-selected for the clean corpus;
 they still run as crash-checks), ``SWEEP_ONLY`` (comma-separated gate
 names for a scoped re-check after touching an operator or oracle),
 ``DUCK_MEM`` (DuckDB memory cap, default 24GB), ``DUCK_SPILL_DIR``
-(DuckDB spill dir, default ``/tmp/duck_spill.<pid>`` — per-process so
-concurrent sweeps never share spill, removed at exit).
+(PARENT dir for DuckDB spill, default ``/tmp``; each process spills
+into ``<parent>/duck_spill.<pid>`` so concurrent sweeps never share
+spill, and only that per-PID subdir is removed at exit).
 
 Adversarial/empty fixtures come from ``scripts/gen_adversarial_fixture.py``.
 All three fixtures (clean, adv, empty) must stay green when touching
@@ -77,7 +78,13 @@ con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '24GB')}'")
 # share one spill dir, and a dead sweep's >78 GiB spill (measured r9)
 # must not silently eat the scratch space sf1 engine runs need — so
 # register cleanup at exit too.
-_spill = os.environ.get("DUCK_SPILL_DIR", f"/tmp/duck_spill.{os.getpid()}")
+# DUCK_SPILL_DIR is a PARENT directory: spill goes into a per-PID
+# subdir beneath it and only that subdir is removed at exit —
+# rmtree'ing the env path itself would delete a user's shared scratch
+# tree (ADVICE r11)
+_spill = os.path.join(
+    os.environ.get("DUCK_SPILL_DIR", "/tmp"), f"duck_spill.{os.getpid()}"
+)
 con.execute(f"SET temp_directory='{_spill}'")
 atexit.register(lambda: shutil.rmtree(_spill, ignore_errors=True))
 for t in (

@@ -135,6 +135,15 @@ def test_unicode_touches_only_documents_text(fixture_dirs):
         "text LIKE '%ΚΟΣΜΟΣ数%'",
         "text LIKE '% Σ %'",
         "text LIKE '%ﬀ%'",  # ﬀ ligature (upper() boundary witness)
+        # case-ignorable Final_Sigma contexts (boundary closed r12):
+        # apostrophe-adjacent, curly quote, middle dot, colon,
+        # period-chained and consecutive candidate sigmas
+        "text LIKE '%ΜΑΣ''Σ%'",
+        f"text LIKE '%ΑΣ' || chr(8217) || 'Β%'",
+        f"text LIKE '%Α' || chr(183) || 'Σ%'",
+        "text LIKE '%ΑΣ:Τ%'",
+        "text LIKE '%ΑΣ.Σ.%'",
+        "text LIKE '%ΑΣ''Σ''Σ%'",
     ):
         assert _count(con, docs, pred) > 0, pred
     # n_chars stays consistent with the rewritten text
