@@ -331,3 +331,139 @@ def sample_weighted_pps(spark, sf_dir):
     return weighted_systematic_sample(
         doc, key_col="doc_id", weight_col="n_chars", k=40, group_col="source"
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicated-substring (n-gram span) dedup — operators/span_dedup.py.
+# Shared oracle CTE chain: case-preserving whitespace tokens (the
+# chunk_dedup convention, NULL -> '' round-trip), k-grams built with a
+# WINDOWED string_agg over zipped-unnest token rows (linear on MB-scale
+# longtext docs — the lateral-slice form is quadratic, r7 finding),
+# corpus-duplicated grams by HAVING count(*) >= 2, covered positions by
+# a constant-width lateral range explode.
+_SPAN_K = 6
+
+_SPAN_CTE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(coalesce(text, ''), ' '), '\\s+') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS pos
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             string_agg(tok, ' ') OVER w AS gram,
+             count(*) OVER w AS glen
+      FROM e
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_SPAN_K - 1} FOLLOWING)
+    ),
+    occ AS (SELECT doc_id, pos, gram FROM g WHERE glen = {_SPAN_K}),
+    dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+    docc AS (SELECT o.doc_id, o.pos, o.gram FROM occ o JOIN dup USING (gram)),
+    cpos AS (
+      SELECT DISTINCT doc_id, pos + j AS tokpos
+      FROM docc, unnest(range(0, {_SPAN_K})) AS u(j)
+    )
+"""
+
+
+@query(
+    "dedup_span_inventory",
+    oracle=_SPAN_CTE
+    + """
+    , runs AS (
+      SELECT doc_id, tokpos,
+             tokpos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tokpos) AS grp
+      FROM cpos
+    )
+    SELECT doc_id, MIN(tokpos) AS span_start, MAX(tokpos) + 1 AS span_end
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def dedup_span_inventory(spark, sf_dir):
+    """Maximal corpus-duplicated token spans per document (the
+    suffix-array 'exact substring dedup' shape, k=6, min_count=2;
+    operators/span_dedup.duplicated_spans)."""
+    from eventbridge_etl_spark.operators.span_dedup import duplicated_spans
+
+    return duplicated_spans(_doc(spark, sf_dir), k=_SPAN_K).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+@query(
+    "dedup_span_coverage",
+    oracle=_SPAN_CTE
+    + """
+    , cov AS (SELECT doc_id, count(*) AS dup FROM cpos GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           COALESCE(cov.dup, 0) AS dup_tokens,
+           round(COALESCE(cov.dup, 0) / CAST(len(t.toks) AS DOUBLE), 6)
+             AS dup_ratio
+    FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+    """,
+)
+def dedup_span_coverage(spark, sf_dir):
+    """Per-document duplicated-token coverage ratio — zero-coverage docs
+    included (operators/span_dedup.span_coverage_stats)."""
+    from eventbridge_etl_spark.operators.span_dedup import span_coverage_stats
+
+    return span_coverage_stats(_doc(spark, sf_dir), k=_SPAN_K).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        "dup_ratio",
+    )
+
+
+@query(
+    "dedup_span_removal",
+    oracle=_SPAN_CTE
+    + """
+    , firsts AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rn
+      FROM docc
+    ),
+    rm AS (
+      SELECT DISTINCT doc_id, pos + j AS tokpos
+      FROM firsts, unnest(range(0, {k})) AS u(j)
+      WHERE rn > 1
+    ),
+    ew AS (
+      SELECT e.doc_id, e.pos, e.tok,
+             (rm.tokpos IS NOT NULL) AS removed
+      FROM e LEFT JOIN rm ON e.doc_id = rm.doc_id AND e.pos = rm.tokpos
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT removed THEN tok END,
+                               ' ' ORDER BY pos), '') AS new_text,
+           COUNT(CASE WHEN removed THEN 1 END) AS n_removed
+    FROM ew GROUP BY doc_id
+    """.replace(
+        "{k}", str(_SPAN_K)
+    ),
+)
+def dedup_span_removal(spark, sf_dir):
+    """Span excision keeping the corpus-first occurrence of each
+    duplicated k-gram — boilerplate survives exactly once corpus-wide
+    (operators/span_dedup.remove_duplicated_spans)."""
+    from eventbridge_etl_spark.operators.span_dedup import (
+        remove_duplicated_spans,
+    )
+
+    return remove_duplicated_spans(_doc(spark, sf_dir), k=_SPAN_K).select(
+        "doc_id",
+        "new_text",
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
