@@ -219,50 +219,29 @@ def span_coverage_stats(
     )
 
 
-def remove_duplicated_spans(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 6,
-    min_count: int = 2,
+def _excise_islands(
+    t: DataFrame, islands: DataFrame, id_col: str
 ) -> DataFrame:
-    """Excise duplicated spans, keeping the corpus-FIRST occurrence.
+    """Reassemble ``(id_col, new_text, n_removed)`` from tokenized docs
+    ``t`` (``_id, _toks``) and per-occurrence island rows
+    (``_id, span_start, span_end``).
 
-    A token position is removed iff it is covered by a duplicated-gram
-    occurrence that is NOT that gram's corpus-first occurrence (first =
-    min by ``(doc, position)``, the chunk_dedup winner rule).  Shared
-    boilerplate therefore survives exactly once corpus-wide; a doc that
-    merely CONTAINS the first occurrence keeps it.
-
-    Returns ``(id_col, new_text, n_removed)`` for every document —
-    unaffected docs round-trip (token stream rejoined with single
-    spaces, the chunk_dedup output contract).
+    Reassembly WITHOUT a token-level join: the kept text is the
+    concatenation of the gap slices between consecutive islands —
+    segment bounds are (0, s_1), (e_1, s_2), ..., (e_m, n_tokens),
+    built with zip_with over the shifted island arrays and sliced
+    from the intact token array.  Total copied tokens == kept tokens
+    (linear; no per-position membership probes, which are quadratic
+    when islands are numerous), and the doc shuffles ONCE as a whole
+    token array instead of exploding to per-token rows.  The island
+    aggregation reuses the island window's ``_id`` partitioning
+    (subset clustering — no exchange).
     """
-    t = _tokenized(df, id_col, text_col)
-    # merged loser islands per doc, as one sorted array<struct> row —
-    # reuses the island window's ``_id`` partitioning (no exchange)
-    islands = (
-        _islands(
-            _non_first(
-                _duplicated_occurrences(df, id_col, text_col, k, min_count)
-            ),
-            k,
-        )
-        .groupBy("_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("span_start", "span_end"))
-            ).alias("_isl")
-        )
+    arrs = islands.groupBy("_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_isl")
     )
-    # Reassembly WITHOUT a token-level join: the kept text is the
-    # concatenation of the gap slices between consecutive islands —
-    # segment bounds are (0, s_1), (e_1, s_2), ..., (e_m, n_tokens),
-    # built with zip_with over the shifted island arrays and sliced
-    # from the intact token array.  Total copied tokens == kept tokens
-    # (linear; no per-position membership probes, which are quadratic
-    # when islands are numerous), and the doc shuffles ONCE as a whole
-    # token array instead of exploding to per-token rows.
     toks = F.col("_toks")
     isl = F.coalesce(
         F.col("_isl"),
@@ -290,8 +269,79 @@ def remove_duplicated_spans(
         F.lit(0).cast("long"),
         lambda acc, s: acc + s.getField("span_end") - s.getField("span_start"),
     )
-    return t.join(islands, "_id", "left").select(
+    return t.join(arrs, "_id", "left").select(
         F.col("_id").alias(id_col),
         F.array_join(kept, " ").alias("new_text"),
         n_removed.alias("n_removed"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_count: int = 2,
+) -> DataFrame:
+    """Excise duplicated spans, keeping the corpus-FIRST occurrence.
+
+    A token position is removed iff it is covered by a duplicated-gram
+    occurrence that is NOT that gram's corpus-first occurrence (first =
+    min by ``(doc, position)``, the chunk_dedup winner rule).  Shared
+    boilerplate therefore survives exactly once corpus-wide; a doc that
+    merely CONTAINS the first occurrence keeps it.
+
+    Returns ``(id_col, new_text, n_removed)`` for every document —
+    unaffected docs round-trip (token stream rejoined with single
+    spaces, the chunk_dedup output contract).
+    """
+    t = _tokenized(df, id_col, text_col)
+    islands = _islands(
+        _non_first(
+            _duplicated_occurrences(df, id_col, text_col, k, min_count)
+        ),
+        k,
+    )
+    return _excise_islands(t, islands, id_col)
+
+
+def span_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    k: int = 6,
+) -> DataFrame:
+    """Excise every span of ``df`` that appears verbatim (any k-token
+    window) in a held-out benchmark corpus — span-level benchmark
+    decontamination, the surgical complement of the doc-level
+    contamination FLAG (:func:`~.dedup.ngram_contamination`): instead
+    of dropping a 10k-token document for one leaked test question, cut
+    the leaked span and keep the rest.
+
+    Removal here is unconditional (no keep-first rule): benchmark text
+    must never survive in training data, whichever occurrence came
+    first.
+
+    Scale shape: eval sets are tiny (MBs against 100 TB of corpus), so
+    the benchmark gram set BROADCASTS — the corpus side's gram scan is
+    map-only (no shuffle of corpus grams at all); the only corpus
+    shuffles are the per-doc island window and the reassembly join.
+    The gram join uses the raw gram strings so the SQL oracle is
+    byte-exact; at extreme gram widths the broadcast side and probe
+    could carry 128-bit md5 fingerprints instead.
+
+    Returns ``(id_col, new_text, n_removed)`` for every ``df`` row.
+    """
+    bench_id = bench_id_col or id_col
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        _gram_occurrences(_tokenized(benchmark, bench_id, bench_text), k)
+        .select("_gram")
+        .distinct()
+    )
+    t = _tokenized(df, id_col, text_col)
+    hits = _gram_occurrences(t, k).join(F.broadcast(bench_grams), "_gram")
+    return _excise_islands(t, _islands(hits, k), id_col)

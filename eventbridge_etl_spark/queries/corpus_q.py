@@ -467,3 +467,51 @@ def dedup_span_removal(spark, sf_dir):
         "new_text",
         F.col("n_removed").cast("long").alias("n_removed"),
     )
+
+
+@query(
+    "dedup_span_decontaminate",
+    oracle=_SPAN_CTE
+    + """
+    , bench AS (SELECT DISTINCT gram FROM occ WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT o.doc_id, o.pos
+      FROM occ o JOIN bench USING (gram)
+      WHERE o.doc_id % 20 != 0
+    ),
+    rm AS (
+      SELECT DISTINCT doc_id, pos + j AS tokpos
+      FROM hits, unnest(range(0, {k})) AS u(j)
+    ),
+    ce AS (SELECT doc_id, pos, tok FROM e WHERE doc_id % 20 != 0),
+    ew AS (
+      SELECT ce.doc_id, ce.pos, ce.tok,
+             (rm.tokpos IS NOT NULL) AS removed
+      FROM ce LEFT JOIN rm ON ce.doc_id = rm.doc_id AND ce.pos = rm.tokpos
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT removed THEN tok END,
+                               ' ' ORDER BY pos), '') AS new_text,
+           COUNT(CASE WHEN removed THEN 1 END) AS n_removed
+    FROM ew GROUP BY doc_id
+    """.replace(
+        "{k}", str(_SPAN_K)
+    ),
+)
+def dedup_span_decontaminate(spark, sf_dir):
+    """Span-level benchmark decontamination: every 20th document plays
+    the held-out eval set (the dedup_contamination_flag convention);
+    corpus documents get every k-gram span that appears verbatim in the
+    eval set excised — unconditionally, no keep-first rule
+    (operators/span_dedup.span_decontaminate; eval grams broadcast, the
+    corpus gram scan is map-only)."""
+    from eventbridge_etl_spark.operators.span_dedup import span_decontaminate
+
+    doc = _doc(spark, sf_dir)
+    bench = doc.filter(F.col("doc_id") % 20 == 0)
+    corpus = doc.filter(F.col("doc_id") % 20 != 0)
+    return span_decontaminate(corpus, bench, k=_SPAN_K).select(
+        "doc_id",
+        "new_text",
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )

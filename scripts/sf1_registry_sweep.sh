@@ -42,7 +42,7 @@ run_chunk() {
 
 run_chunk graph_q graph_bfs_hops,graph_entropy_rate,graph_pagerank_transitions
 run_chunk features_q doc_equidepth_bins,events_robust_scale,events_target_encode
-run_chunk corpus_q dedup_chunk_level,dedup_span_inventory,dedup_span_coverage,dedup_span_removal,multimodal_cdc_dedup,sample_temperature,sample_weighted_pps,text_bigram_topk,text_collapse_runs,text_compression_ratio,text_gopher_quality
+run_chunk corpus_q dedup_chunk_level,dedup_span_inventory,dedup_span_coverage,dedup_span_removal,dedup_span_decontaminate,multimodal_cdc_dedup,sample_temperature,sample_weighted_pps,text_bigram_topk,text_collapse_runs,text_compression_ratio,text_gopher_quality
 run_chunk functions_q fn_array_surface,fn_bitwise_surface,fn_conditional_surface,fn_date_surface,fn_generator_surface,fn_hash_surface,fn_higher_order_surface,fn_json_surface,fn_map_surface,fn_math_surface,fn_regex_surface,fn_string_surface,fn_url_surface,window_distribution
 run_chunk streaming_q streaming_dedup,streaming_enriched_windows,streaming_ewma_smoothing,streaming_hourly_windows,streaming_interval_join,streaming_rollup_merge,streaming_running_totals,streaming_sessionize
 run_chunk pipeline_q events_hourly_rollup,events_json_projection,events_keyed_upsert,events_reconciliation,events_validity_filter,expect_orders_contract,expect_referential_integrity,join_asof_attribution,pipeline_header_zip_rename,profile_orders,route_cidr_classifier,route_observe_tap,route_transform_rule,scd2_user_state

@@ -142,3 +142,47 @@ def test_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         n_ex = plan.count("Exchange ")
         assert n_ex <= budget, f"{name}: {n_ex} exchanges > budget {budget}"
+
+
+def test_decontaminate_removes_bench_spans_unconditionally(spark):
+    from eventbridge_etl_spark.operators.span_dedup import span_decontaminate
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "intro a b c outro"),   # contains the bench gram
+            (2, "clean text only here"),
+            (3, None),
+        ],
+    )
+    bench = _docs(spark, [(100, "a b c")])
+    got = {r.doc_id: (r.new_text, r.n_removed) for r in
+           span_decontaminate(corpus, bench, k=3).collect()}
+    # no keep-first: even the corpus-first occurrence is excised
+    assert got[1] == ("intro outro", 3)
+    assert got[2] == ("clean text only here", 0)
+    assert got[3] == ("", 0)
+
+
+def test_decontaminate_merges_overlapping_bench_grams(spark):
+    from eventbridge_etl_spark.operators.span_dedup import span_decontaminate
+
+    corpus = _docs(spark, [(1, "x a b c d y")])
+    bench = _docs(spark, [(100, "a b c d")])  # two overlapping 3-grams
+    got = span_decontaminate(corpus, bench, k=3).collect()[0]
+    assert (got.new_text, got.n_removed) == ("x y", 4)
+
+
+def test_decontaminate_broadcast_plan(spark):
+    from eventbridge_etl_spark.operators.span_dedup import span_decontaminate
+
+    corpus = _docs(spark, [(1, "a b c d")])
+    bench = _docs(spark, [(100, "a b c")])
+    plan = (
+        span_decontaminate(corpus, bench, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the eval gram set must broadcast — a shuffled gram join would
+    # move the whole corpus gram stream for a tiny benchmark
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
