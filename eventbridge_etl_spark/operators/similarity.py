@@ -527,3 +527,148 @@ def semantic_dedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def _subvec(vec_col: str, j: int, subdim: int) -> Column:
+    """Subspace ``j``'s slice of the vector, as doubles."""
+    return F.slice(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        j * subdim + 1,
+        subdim,
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int,
+    subdim: int,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train product-quantization codebooks: an independent k-means
+    (``kmeans_fit`` — deterministic init, quantized centroids) per
+    contiguous ``subdim``-wide subspace.
+
+    PQ is the storage half of the IVF-PQ architecture every billion-
+    vector ANN deployment uses (Jégou et al. 2011): a d-dim float
+    vector compresses to ``m`` one-byte codes (here m log2(k) bits),
+    so 100 TB of raw embeddings become ~1.5 TB of codes that FIT the
+    cluster's memory while distances stay approximately rankable.
+    Driver footprint: m × k × subdim rounded doubles — same bounded
+    "k centroids" collect class as kmeans_fit itself.
+    """
+    books: list[list[tuple[int, list[float]]]] = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col).alias(id_col), _subvec(vec_col, j, subdim).alias("_sv")
+        )
+        books.append(
+            kmeans_fit(sub, k, iters, id_col=id_col, vec_col="_sv",
+                       decimals=decimals)
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    subdim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``_code_j`` columns: nearest codeword per subspace (squared
+    euclidean, ties to the lowest cid — the ``kmeans_assign`` argmin
+    contract).  Map-only: codebooks are plan literals, zero joins."""
+    out = df
+    for j, cb in enumerate(codebooks):
+        if not cb:
+            out = out.withColumn(f"_code_{j}", F.lit(None).cast("int"))
+            continue
+        sv = _subvec(vec_col, j, subdim)
+
+        # NB: a (s, sv=sv) default-arg lambda would be read by pyspark
+        # as a TWO-parameter HOF lambda and receive the array INDEX as
+        # its second argument; pyspark invokes the lambda immediately
+        # at expression-build time, so a plain closure is safe.
+        def _score(s):
+            return F.struct(
+                sq_dist(s["c"], sv).alias("d"), s["cid"].alias("cid")
+            )
+
+        scored = F.transform(_centroid_struct_array(cb), _score)
+        out = out.withColumn(f"_code_{j}", F.array_min(scored)["cid"])
+    return out
+
+
+def pq_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    subdim: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the RAW query subvectors score
+    against the corpus's QUANTIZED codewords — approx_sqdist(q, x) =
+    Σ_j ||q_j − codebook_j[code_j(x)]||².
+
+    Scale shape: the corpus is represented by its codes (m small ints
+    per vector — the only corpus-side state the scan touches after
+    encoding), queries and codebooks are broadcast/plan literals, and
+    the ranking is the same WindowGroupLimit partial top-k as the
+    brute-force path.  At 100 TB the win is bandwidth: the ADC scan
+    reads codes, not vectors.  Codeword lookup is an O(k) literal-array
+    probe per subspace (k <= 256 by construction — the whole point of
+    PQ is tiny codebooks).
+
+    Returns ``(query_id, neighbor_id, approx_sqdist, rank)`` with
+    approx_sqdist rounded to 6dp BEFORE ranking (the registry's
+    cross-engine ranking contract); ties break to the lowest
+    neighbor_id.  Empty codebooks (empty training corpus) return an
+    empty result with the same schema.
+    """
+    spark = corpus.sparkSession
+    if any(not cb for cb in codebooks):
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, approx_sqdist double, rank int",
+        )
+    encoded = pq_encode(corpus, codebooks, subdim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"_code_{j}") for j in range(len(codebooks))],
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        *[
+            _subvec(vec_col, j, subdim).alias(f"_q_{j}")
+            for j in range(len(codebooks))
+        ],
+    )
+    approx = None
+    for j, cb in enumerate(codebooks):
+        code = F.col(f"_code_{j}")
+        # plain single-param closure: see the pq_encode lambda note
+        word = F.element_at(
+            F.filter(_centroid_struct_array(cb), lambda s: s["cid"] == code),
+            1,
+        )["c"]
+        d = sq_dist(F.col(f"_q_{j}"), word)
+        approx = d if approx is None else approx + d
+    scored = (
+        _fan_out(encoded)
+        .crossJoin(F.broadcast(q))
+        .withColumn("approx_sqdist", F.round(approx, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sqdist"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_sqdist", "rank")
+    )

@@ -1646,3 +1646,113 @@ def dedup_cluster_sizes(spark, sf_dir):
         .groupBy("n_members")
         .agg(F.count("*").alias("n_clusters"))
     )
+
+
+def _pq_cte_sql(m: int, sub: int, k: int, decimals: int) -> str:
+    """Unrolled PQ oracle (mirrors operators.similarity.pq_train with
+    iters=1 + pq_encode + pq_topk_adc): per subspace j — deterministic
+    init c0_j (k lowest vec_ids), one Lloyd step (assign a1_j, rounded
+    per-position means c1_j), final code assignment a2_j; then ADC =
+    the sum over subspaces of dist(raw query subvector, codeword).
+    The same left-to-right fold order as the engine's sq_dist, so the
+    doubles are bit-identical."""
+
+    def dist(sv: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1,{sub + 1}), t -> "
+            f"({sv}[t] - {c}[t]) * ({sv}[t] - {c}[t])))"
+        )
+
+    parts = []
+    for j in range(m):
+        parts.append(
+            f"""s_{j} AS (
+      SELECT vec_id, list_transform(range(1,{sub + 1}),
+                                    t -> embedding[{j * sub}+t]::DOUBLE) AS sv
+      FROM embeddings
+    )"""
+        )
+        parts.append(
+            f"""c0_{j} AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, sv AS c
+      FROM (SELECT * FROM s_{j} ORDER BY vec_id LIMIT {k})
+    )"""
+        )
+        parts.append(
+            f"""a1_{j} AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {dist('s.sv', 'c.c')}, c.cid) AS rn
+        FROM s_{j} s CROSS JOIN c0_{j} c
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""c1_{j} AS (
+      SELECT cid, list(av ORDER BY pos) AS c FROM (
+        SELECT a.cid, t.pos, round(avg(s.sv[t.pos]), {decimals}) AS av
+        FROM a1_{j} a JOIN s_{j} s USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1,{sub + 1})) AS pos) t
+        GROUP BY a.cid, t.pos
+      ) GROUP BY cid
+    )"""
+        )
+        parts.append(
+            f"""a2_{j} AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {dist('s.sv', 'c.c')}, c.cid) AS rn
+        FROM s_{j} s CROSS JOIN c1_{j} c
+      ) WHERE rn = 1
+    )"""
+        )
+    q_joins = "\n      ".join(
+        f"JOIN s_{j} q{j} ON q{j}.vec_id = q0.vec_id" for j in range(1, m)
+    )
+    a_joins = "\n      ".join(
+        f"JOIN a2_{j} a{j} ON a{j}.vec_id = a0.vec_id" for j in range(1, m)
+    )
+    k_joins = "\n      ".join(
+        f"JOIN c1_{j} k{j} ON k{j}.cid = a{j}.cid" for j in range(m)
+    )
+    d_sum = " + ".join(dist(f"q{j}.sv", f"k{j}.c") for j in range(m))
+    parts.append(
+        f"""scored AS (
+      SELECT q0.vec_id AS query_id, a0.vec_id AS neighbor_id,
+             round({d_sum}, 6) AS approx_sqdist
+      FROM s_0 q0
+      {q_joins}
+      CROSS JOIN a2_0 a0
+      {a_joins}
+      {k_joins}
+      WHERE q0.vec_id < 5
+    )"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "similarity_topk_pq",
+    oracle=_pq_cte_sql(4, 16, 8, 4)
+    + """
+    SELECT query_id, neighbor_id, approx_sqdist, rank FROM (
+      SELECT query_id, neighbor_id, approx_sqdist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_sqdist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_topk_pq(spark, sf_dir):
+    """Product-quantization ADC top-10 (m=4 subspaces × 16 dims, k=8
+    codewords, one Lloyd step): the storage half of IVF-PQ — the
+    corpus scan reads m one-byte codes per vector instead of the raw
+    floats (operators/similarity.pq_train/pq_encode/pq_topk_adc)."""
+    emb = _emb(spark, sf_dir)
+    books = S.pq_train(emb, m=4, subdim=16, k=8, iters=1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_topk_adc(emb, queries, books, subdim=16, k=10)

@@ -171,3 +171,74 @@ def test_label_centroids_string_labels_both_impls(spark):
     for lbl in a:
         assert list(a[lbl]["centroid"]) == list(b[lbl]["centroid"])
         assert a[lbl]["n_vectors"] == b[lbl]["n_vectors"]
+
+
+def _pq_corpus(spark):
+    # 4-dim vectors, two clearly-separated groups per 2-dim subspace
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [0.1, 0.0, 10.0, 9.9]),
+        (2, [5.0, 5.0, 0.0, 0.0]),
+        (3, [5.1, 5.0, 0.1, 0.0]),
+        (4, [0.0, 0.1, 0.0, 0.1]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_pq_encode_codes_in_codebook(spark):
+    from eventbridge_etl_spark.operators.similarity import pq_encode, pq_train
+
+    df = _pq_corpus(spark)
+    books = pq_train(df, m=2, subdim=2, k=2, iters=1)
+    assert len(books) == 2 and all(len(cb) >= 1 for cb in books)
+    valid = [{cid for cid, _ in cb} for cb in books]
+    for r in pq_encode(df, books, subdim=2).collect():
+        assert r["_code_0"] in valid[0]
+        assert r["_code_1"] in valid[1]
+
+
+def test_pq_adc_ranks_near_vectors_first(spark):
+    from eventbridge_etl_spark.operators.similarity import pq_topk_adc, pq_train
+
+    df = _pq_corpus(spark)
+    books = pq_train(df, m=2, subdim=2, k=2, iters=1)
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk_adc(df, q, books, subdim=2, k=5).collect()
+    by_rank = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    # vec 1 is vec 0's near-twin; both land in the same codewords, so
+    # ADC must rank them in the top two (tie broken by neighbor_id)
+    assert set(by_rank[:2]) == {0, 1}
+    # distances are monotone in rank
+    dists = [r.approx_sqdist for r in sorted(got, key=lambda r: r.rank)]
+    assert dists == sorted(dists)
+
+
+def test_pq_empty_corpus(spark):
+    from eventbridge_etl_spark.operators.similarity import (
+        pq_topk_adc,
+        pq_train,
+    )
+
+    df = _pq_corpus(spark).limit(0)
+    books = pq_train(df, m=2, subdim=2, k=2, iters=1)
+    assert books == [[], []]
+    out = pq_topk_adc(df, df.selectExpr("vec_id as query_id", "embedding"),
+                      books, subdim=2, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "approx_sqdist", "rank"]
+
+
+def test_pq_plan_jvm_only(spark):
+    from eventbridge_etl_spark.operators.similarity import pq_topk_adc, pq_train
+
+    df = _pq_corpus(spark)
+    books = pq_train(df, m=2, subdim=2, k=2, iters=1)
+    q = df.selectExpr("vec_id as query_id", "embedding")
+    plan = (
+        pq_topk_adc(df, q, books, subdim=2, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # broadcast NL join, never CP
