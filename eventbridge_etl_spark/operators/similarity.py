@@ -603,6 +603,23 @@ def pq_encode(
     return out
 
 
+def _adc_expr(codebooks: list[list[tuple[int, list[float]]]]) -> Column:
+    """Asymmetric-distance Column over ``_q_j`` (raw query subvectors)
+    and ``_code_j`` (corpus codes): Σ_j ||q_j − codebook_j[code_j]||².
+    Codeword lookup is an O(k) literal-array probe (plain single-param
+    closures — see the pq_encode lambda note)."""
+    approx = None
+    for j, cb in enumerate(codebooks):
+        code = F.col(f"_code_{j}")
+        word = F.element_at(
+            F.filter(_centroid_struct_array(cb), lambda s: s["cid"] == code),
+            1,
+        )["c"]
+        d = sq_dist(F.col(f"_q_{j}"), word)
+        approx = d if approx is None else approx + d
+    return approx
+
+
 def pq_topk_adc(
     corpus: DataFrame,
     queries: DataFrame,
@@ -649,20 +666,112 @@ def pq_topk_adc(
             for j in range(len(codebooks))
         ],
     )
-    approx = None
-    for j, cb in enumerate(codebooks):
-        code = F.col(f"_code_{j}")
-        # plain single-param closure: see the pq_encode lambda note
-        word = F.element_at(
-            F.filter(_centroid_struct_array(cb), lambda s: s["cid"] == code),
-            1,
-        )["c"]
-        d = sq_dist(F.col(f"_q_{j}"), word)
-        approx = d if approx is None else approx + d
+    approx = _adc_expr(codebooks)
     scored = (
         _fan_out(encoded)
         .crossJoin(F.broadcast(q))
         .withColumn("approx_sqdist", F.round(approx, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sqdist"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_sqdist", "rank")
+    )
+
+
+def pq_topk_ivf_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    subdim: int,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the complete billion-vector ANN architecture — coarse
+    IVF cells prune WHICH vectors are scored (~nprobe/nlist of the
+    corpus), PQ codes shrink WHAT each scoring touches (m one-byte
+    codes, not the raw floats).
+
+    Plan shape: PQ encoding and cell assignment are both map-side
+    (codebooks and the ``nlist`` coarse centroids ride as broadcast /
+    plan literals); the corpus side then drops its raw vectors, so the
+    ONE shuffle (by cell id, for the probe join) moves m+1 small ints
+    per vector — at 100 TB this is the difference between shuffling
+    ~400 bytes/vector and ~5.  Ranking is the usual WindowGroupLimit
+    partial top-k on the rounded ADC distance.
+
+    Coarse centroids follow the :func:`cosine_topk_ivf` convention
+    (the ``nlist`` lowest-id corpus vectors — deterministic, so the
+    oracle replicates; swap in k-means output for deployment).
+    Returns ``(query_id, neighbor_id, approx_sqdist, rank)``.
+    """
+    spark = corpus.sparkSession
+    if any(not cb for cb in codebooks):
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, approx_sqdist double, rank int",
+        )
+    m = len(codebooks)
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent"))
+    )
+
+    # corpus side: PQ codes + coarse cell, raw vector DROPPED after
+    enc = pq_encode(corpus, codebooks, subdim, id_col, vec_col)
+    c = _fan_out(
+        enc.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            *[F.col(f"_code_{j}") for j in range(m)],
+        )
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("_ccos").desc(), F.col("_cent_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_ccos", F.round(cosine(F.col("_cv"), F.col("_cent")), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "neighbor_id",
+            F.col("_cent_id").alias("_cell"),
+            *[F.col(f"_code_{j}") for j in range(m)],
+        )
+    )
+
+    # query side: raw subvectors for ADC + probed cells
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        *[_subvec(vec_col, j, subdim).alias(f"_q_{j}") for j in range(m)],
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_ccos").desc(), F.col("_cent_id")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_ccos", F.round(cosine(F.col("_qv"), F.col("_cent")), 6))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            "query_id",
+            F.col("_cent_id").alias("_cell"),
+            *[F.col(f"_q_{j}") for j in range(m)],
+        )
+    )
+
+    scored = probed.join(assigned, "_cell").withColumn(
+        "approx_sqdist", F.round(_adc_expr(codebooks), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_sqdist"), F.col("neighbor_id")

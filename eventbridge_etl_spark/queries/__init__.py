@@ -70,12 +70,12 @@ def query(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # ================= ROUND-12 WINDOW (positions 1-50) ================
     # Plan per VERDICT r11 "Next round #1": drain the rotation tail.
-    # Six never-driver-checked r12 gates (rule 1), then the 14 gates
+    # Seven never-driver-checked r12 gates (rule 1), then the 14 gates
     # whose driver evidence is r7-vintage (the r11 overflow pin,
-    # honored verbatim), then the 30 oldest rows of the r8-evidence
-    # cohort in registration order.  The 15 r8 rows that don't fit are
+    # honored verbatim), then the 29 oldest rows of the r8-evidence
+    # cohort in registration order.  The 16 r8 rows that don't fit are
     # pinned below as the r13 overflow head.  After the r12 drain the
-    # registry-wide staleness ceiling drops to r8 (15 rows), matching
+    # registry-wide staleness ceiling drops to r8 (16 rows), matching
     # the 5-round arithmetic floor documented in COVERAGE.md §"Driver-
     # window slot policy".
     # --- new this round (never driver-checked; rule 1) ---
@@ -85,6 +85,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_span_removal",
     "dedup_span_decontaminate",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     # --- 14 r7-evidence rows (the pinned r11 overflow, verbatim) ---
     "fn_string_surface",
     "fn_json_surface",
@@ -130,14 +131,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_gopher_quality",
     "text_collapse_runs",
     "text_bigram_topk",
-    "sample_temperature",
     # ============== OVERFLOW (position 51+) — LEADS ROUND 13 ===========
-    # The 15 remaining r8-evidence rows (registration order — the five
-    # new r12 analytics gates displaced join_full_outer_coalesce/
-    # agg_mode_deterministic/set_intersect_all/set_except_all/
-    # window_nth_value here under rule 1, on top of the earlier
-    # join_salted_skew displacement).  These MUST head the r13 window
-    # under the normal rotation.
+    # The 16 remaining r8-evidence rows (registration order — the six
+    # new r12 analytics gates displaced sample_temperature/
+    # join_full_outer_coalesce/agg_mode_deterministic/set_intersect_all/
+    # set_except_all/window_nth_value here under rule 1, on top of the
+    # earlier join_salted_skew displacement).  These MUST head the r13
+    # window under the normal rotation.
+    "sample_temperature",
     "join_full_outer_coalesce",
     "agg_mode_deterministic",
     "set_intersect_all",

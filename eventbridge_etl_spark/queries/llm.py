@@ -1648,20 +1648,24 @@ def dedup_cluster_sizes(spark, sf_dir):
     )
 
 
-def _pq_cte_sql(m: int, sub: int, k: int, decimals: int) -> str:
-    """Unrolled PQ oracle (mirrors operators.similarity.pq_train with
-    iters=1 + pq_encode + pq_topk_adc): per subspace j — deterministic
-    init c0_j (k lowest vec_ids), one Lloyd step (assign a1_j, rounded
-    per-position means c1_j), final code assignment a2_j; then ADC =
-    the sum over subspaces of dist(raw query subvector, codeword).
-    The same left-to-right fold order as the engine's sq_dist, so the
-    doubles are bit-identical."""
+def _pq_dist_sql(sv: str, c: str, sub: int) -> str:
+    """Squared euclidean over a subspace — the same left-to-right fold
+    order as the engine's sq_dist, so the doubles are bit-identical."""
+    return (
+        f"list_sum(list_transform(range(1,{sub + 1}), t -> "
+        f"({sv}[t] - {c}[t]) * ({sv}[t] - {c}[t])))"
+    )
+
+
+def _pq_books_parts(m: int, sub: int, k: int, decimals: int) -> list[str]:
+    """Unrolled PQ codebook CTEs (mirrors operators.similarity.pq_train
+    with iters=1 + pq_encode): per subspace j — raw subvectors s_j,
+    deterministic init c0_j (k lowest vec_ids), one Lloyd step (assign
+    a1_j, rounded per-position means c1_j), final code assignment a2_j.
+    Shared by the PQ and IVF-PQ oracles."""
 
     def dist(sv: str, c: str) -> str:
-        return (
-            f"list_sum(list_transform(range(1,{sub + 1}), t -> "
-            f"({sv}[t] - {c}[t]) * ({sv}[t] - {c}[t])))"
-        )
+        return _pq_dist_sql(sv, c, sub)
 
     parts = []
     for j in range(m):
@@ -1708,6 +1712,17 @@ def _pq_cte_sql(m: int, sub: int, k: int, decimals: int) -> str:
       ) WHERE rn = 1
     )"""
         )
+    return parts
+
+
+def _pq_cte_sql(m: int, sub: int, k: int, decimals: int) -> str:
+    """Full PQ-ADC oracle: codebook CTEs + brute ADC scoring (the sum
+    over subspaces of dist(raw query subvector, codeword))."""
+
+    def dist(sv: str, c: str) -> str:
+        return _pq_dist_sql(sv, c, sub)
+
+    parts = _pq_books_parts(m, sub, k, decimals)
     q_joins = "\n      ".join(
         f"JOIN s_{j} q{j} ON q{j}.vec_id = q0.vec_id" for j in range(1, m)
     )
@@ -1756,3 +1771,83 @@ def similarity_topk_pq(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.pq_topk_adc(emb, queries, books, subdim=16, k=10)
+
+
+def _ivfpq_sql(m: int, sub: int, k: int, decimals: int,
+               nlist: int, nprobe: int) -> str:
+    """IVF-PQ oracle: the IVF coarse CTEs (cent/assign/probe — the
+    similarity_topk_ivf convention: lowest-nlist-id centroids, rounded
+    cosine ranking) pruning WHICH neighbors score, the PQ codebook CTEs
+    supplying the codes, ADC on the probed cells only."""
+    books = _pq_books_parts(m, sub, k, decimals)
+    coarse = [
+        f"""cent AS (
+      SELECT vec_id AS cent_id, embedding AS cent
+      FROM embeddings ORDER BY vec_id LIMIT {nlist}
+    )""",
+        f"""cassign AS (
+      SELECT neighbor_id, cell FROM (
+        SELECT v.vec_id AS neighbor_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_cos_sql('v.embedding', 'c.cent')} DESC, c.cent_id) AS rn
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE rn = 1
+    )""",
+        f"""cprobe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.embedding', 'c.cent')} DESC, c.cent_id) AS rn
+        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5
+      ) WHERE rn <= {nprobe}
+    )""",
+    ]
+    b_joins = "\n      ".join(
+        f"JOIN a2_{j} b{j} ON b{j}.vec_id = ca.neighbor_id" for j in range(m)
+    )
+    k_joins = "\n      ".join(
+        f"JOIN c1_{j} k{j} ON k{j}.cid = b{j}.cid" for j in range(m)
+    )
+    q_joins = "\n      ".join(
+        f"JOIN s_{j} q{j} ON q{j}.vec_id = cp.query_id" for j in range(m)
+    )
+    d_sum = " + ".join(
+        _pq_dist_sql(f"q{j}.sv", f"k{j}.c", sub) for j in range(m)
+    )
+    scored = f"""scored AS (
+      SELECT cp.query_id, ca.neighbor_id, round({d_sum}, 6) AS approx_sqdist
+      FROM cprobe cp
+      JOIN cassign ca ON ca.cell = cp.cell
+      {b_joins}
+      {k_joins}
+      {q_joins}
+    )"""
+    return "WITH " + ",\n".join(books + coarse + [scored])
+
+
+@query(
+    "similarity_topk_ivfpq",
+    oracle=_ivfpq_sql(4, 16, 8, 4, 16, 4)
+    + """
+    SELECT query_id, neighbor_id, approx_sqdist, rank FROM (
+      SELECT query_id, neighbor_id, approx_sqdist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_sqdist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ approximate top-10 (nlist=16 cells, nprobe=4, m=4 × 16-dim
+    subspaces, k=8 codewords): coarse cells prune WHICH vectors score,
+    PQ codes shrink WHAT the scoring touches — the corpus side of the
+    probe shuffle carries m+1 small ints per vector, never raw floats
+    (operators/similarity.pq_topk_ivf_adc)."""
+    emb = _emb(spark, sf_dir)
+    books = S.pq_train(emb, m=4, subdim=16, k=8, iters=1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_topk_ivf_adc(
+        emb, queries, books, subdim=16, k=10, nlist=16, nprobe=4
+    )

@@ -64,7 +64,7 @@ echo "census ladder rc=$? $(date +%T)"
 tail -3 "$LOGDIR/census_ladder.log"
 run_chunk llm_a dedup_contamination_flag,dedup_exact,dedup_exact_casefold,dedup_semantic,multimodal_byte_histogram,multimodal_frame_sample,pack_token_sequences,pipeline_corpus_admission,pipeline_training_mix,sample_deterministic,sample_global_shuffle,sample_source_cap,sample_stratified,sample_train_test_split
 run_chunk llm_b text_chunk_windows,text_document_frequency,text_fingerprint,text_lang_scores,text_pii_redact,text_quality_score,text_repetition_stats,text_token_stats,text_unigram_logprob
-run_chunk llm_sim dedup_embedding_lsh,similarity_ivf_recall,similarity_kmeans_refine,similarity_label_centroids,similarity_quantize_int8,similarity_topk_bruteforce,similarity_topk_ivf,similarity_topk_lsh,similarity_topk_pq
+run_chunk llm_sim dedup_embedding_lsh,similarity_ivf_recall,similarity_kmeans_refine,similarity_label_centroids,similarity_quantize_int8,similarity_topk_bruteforce,similarity_topk_ivf,similarity_topk_lsh,similarity_topk_pq,similarity_topk_ivfpq
 
 # Minhash pair family: cross-engine checks top out at sf0.5 (the
 # DuckDB oracle's sf1 candidate materialization exceeds this box —

@@ -242,3 +242,58 @@ def test_pq_plan_jvm_only(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan  # broadcast NL join, never CP
+
+
+def test_ivfpq_subset_of_probed_cells_and_jvm_plan(spark):
+    from eventbridge_etl_spark.operators.similarity import (
+        pq_topk_ivf_adc,
+        pq_train,
+    )
+
+    df = _pq_corpus(spark)
+    books = pq_train(df, m=2, subdim=2, k=2, iters=1)
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk_ivf_adc(df, q, books, subdim=2, k=5, nlist=2, nprobe=1)
+    rows = out.collect()
+    # nprobe=1 of nlist=2: strictly fewer candidates than the corpus
+    assert 0 < len(rows) < 5
+    # distances monotone in rank
+    dists = [r.approx_sqdist for r in sorted(rows, key=lambda r: r.rank)]
+    assert dists == sorted(dists)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_fullprobe_matches_flat_adc(spark):
+    from eventbridge_etl_spark.operators.similarity import (
+        pq_topk_adc,
+        pq_topk_ivf_adc,
+        pq_train,
+    )
+
+    df = _pq_corpus(spark)
+    books = pq_train(df, m=2, subdim=2, k=2, iters=1)
+    q = df.selectExpr("vec_id as query_id", "embedding")
+    # probing EVERY cell degenerates to flat ADC — results must agree
+    flat = {(r.query_id, r.rank): r.neighbor_id
+            for r in pq_topk_adc(df, q, books, subdim=2, k=3).collect()}
+    ivf = {(r.query_id, r.rank): r.neighbor_id
+           for r in pq_topk_ivf_adc(df, q, books, subdim=2, k=3,
+                                    nlist=5, nprobe=5).collect()}
+    assert flat == ivf
+
+
+def test_ivfpq_empty_corpus(spark):
+    from eventbridge_etl_spark.operators.similarity import (
+        pq_topk_ivf_adc,
+        pq_train,
+    )
+
+    df = _pq_corpus(spark).limit(0)
+    books = pq_train(df, m=2, subdim=2, k=2, iters=1)
+    out = pq_topk_ivf_adc(df, df.selectExpr("vec_id as query_id", "embedding"),
+                          books, subdim=2, k=3)
+    assert out.count() == 0
