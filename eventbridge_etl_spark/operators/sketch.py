@@ -124,3 +124,33 @@ def heavy_hitters(
         )
     )
     return exact
+
+
+def mergeable_distinct_estimate(
+    df: DataFrame, shard_col: str, key_col: str, lgk: int = 12
+) -> DataFrame:
+    """Distinct-count via MERGEABLE HLL sketches: one Datasketches HLL
+    per shard group (the partial an incremental 100 TB pipeline would
+    persist per ingest batch / partition), then ``hll_union_agg`` over
+    the partials and one estimate.
+
+    This is the pattern that makes distinct-count INCREMENTAL at scale:
+    a new data shard updates only its own sketch (bytes, not rows), the
+    global number is re-derived by unioning sketch blobs — no rescan of
+    100 TB, no shuffle of raw keys.  ``approx_count_distinct`` (the
+    agg_approx_distinct gate) gives one-shot HLL++; this operator gives
+    the persistable, re-unionable form.
+
+    Returns one row: ``(n_shards, merged_estimate)``.  NULL keys are
+    ignored (the COUNT DISTINCT convention); NULL shard values form
+    their own shard, so their keys still count globally.
+    """
+    partials = df.groupBy(F.col(shard_col)).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("_sk")
+    )
+    return partials.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias(
+            "merged_estimate"
+        ),
+    )

@@ -70,12 +70,12 @@ def query(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # ================= ROUND-12 WINDOW (positions 1-50) ================
     # Plan per VERDICT r11 "Next round #1": drain the rotation tail.
-    # Seven never-driver-checked r12 gates (rule 1), then the 14 gates
+    # Nine never-driver-checked r12 gates (rule 1), then the 14 gates
     # whose driver evidence is r7-vintage (the r11 overflow pin,
-    # honored verbatim), then the 29 oldest rows of the r8-evidence
-    # cohort in registration order.  The 16 r8 rows that don't fit are
+    # honored verbatim), then the 27 oldest rows of the r8-evidence
+    # cohort in registration order.  The 18 r8 rows that don't fit are
     # pinned below as the r13 overflow head.  After the r12 drain the
-    # registry-wide staleness ceiling drops to r8 (16 rows), matching
+    # registry-wide staleness ceiling drops to r8 (18 rows), matching
     # the 5-round arithmetic floor documented in COVERAGE.md §"Driver-
     # window slot policy".
     # --- new this round (never driver-checked; rule 1) ---
@@ -86,6 +86,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_span_decontaminate",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "similarity_pq_recall",
+    "agg_hll_partial_merge",
     # --- 14 r7-evidence rows (the pinned r11 overflow, verbatim) ---
     "fn_string_surface",
     "fn_json_surface",
@@ -129,15 +131,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_funnel_conversion",
     "events_retention_cohorts",
     "text_gopher_quality",
+    # ============== OVERFLOW (position 51+) — LEADS ROUND 13 ===========
+    # The 18 remaining r8-evidence rows (registration order — the eight
+    # new r12 analytics gates displaced text_collapse_runs/
+    # text_bigram_topk/sample_temperature/join_full_outer_coalesce/
+    # agg_mode_deterministic/set_intersect_all/set_except_all/
+    # window_nth_value here under rule 1, on top of the earlier
+    # join_salted_skew displacement).  These MUST head the r13 window
+    # under the normal rotation.
     "text_collapse_runs",
     "text_bigram_topk",
-    # ============== OVERFLOW (position 51+) — LEADS ROUND 13 ===========
-    # The 16 remaining r8-evidence rows (registration order — the six
-    # new r12 analytics gates displaced sample_temperature/
-    # join_full_outer_coalesce/agg_mode_deterministic/set_intersect_all/
-    # set_except_all/window_nth_value here under rule 1, on top of the
-    # earlier join_salted_skew displacement).  These MUST head the r13
-    # window under the normal rotation.
     "sample_temperature",
     "join_full_outer_coalesce",
     "agg_mode_deterministic",

@@ -1748,18 +1748,18 @@ def _pq_cte_sql(m: int, sub: int, k: int, decimals: int) -> str:
     return "WITH " + ",\n".join(parts)
 
 
-@query(
-    "similarity_topk_pq",
-    oracle=_pq_cte_sql(4, 16, 8, 4)
-    + """
+#: Full PQ-ADC top-10 oracle, shared with similarity_pq_recall.
+_PQ_TOPK_SQL = _pq_cte_sql(4, 16, 8, 4) + """
     SELECT query_id, neighbor_id, approx_sqdist, rank FROM (
       SELECT query_id, neighbor_id, approx_sqdist,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY approx_sqdist, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@query("similarity_topk_pq", oracle=_PQ_TOPK_SQL)
 def similarity_topk_pq(spark, sf_dir):
     """Product-quantization ADC top-10 (m=4 subspaces × 16 dims, k=8
     codewords, one Lloyd step): the storage half of IVF-PQ — the
@@ -1850,4 +1850,43 @@ def similarity_topk_ivfpq(spark, sf_dir):
     )
     return S.pq_topk_ivf_adc(
         emb, queries, books, subdim=16, k=10, nlist=16, nprobe=4
+    )
+
+
+@query(
+    "similarity_pq_recall",
+    oracle=f"""
+    WITH brute AS ({_BRUTE_TOPK_SQL}),
+         pq AS ({_PQ_TOPK_SQL})
+    SELECT b.query_id,
+           ROUND(COUNT(p.neighbor_id)::DOUBLE / 10, 4) AS recall_at_10
+    FROM brute b
+    LEFT JOIN pq p ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def similarity_pq_recall(spark, sf_dir):
+    """Recall@10 of PQ-ADC against exact brute force, per query — the
+    compression-vs-quality number that sizes m and k in a deployment.
+    Both sides deterministic and SQL-expressible, so this is an EXACT
+    value compare (the similarity_ivf_recall treatment), not an
+    epsilon band."""
+    emb = _emb(spark, sf_dir)
+    as_double = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = as_double.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = S.cosine_topk_bruteforce(as_double, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    books = S.pq_train(emb, m=4, subdim=16, k=8, iters=1)
+    pq = S.pq_topk_adc(emb, queries, books, subdim=16, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        brute.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.count("_hit") / 10.0, 4).alias("recall_at_10"))
     )

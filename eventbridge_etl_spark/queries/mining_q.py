@@ -1260,3 +1260,51 @@ def text_perplexity_buckets(spark, sf_dir):
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@query(
+    "agg_hll_partial_merge",
+    # Datasketches HLL has no DuckDB twin, so the oracle follows the
+    # agg_approx_distinct treatment: exact anchors compared by value,
+    # the estimate as an engine-side within-band boolean (TRUE here).
+    # An estimate drifting past 5% of exact hash-mismatches the gate.
+    oracle="""
+    SELECT COUNT(DISTINCT event_type) AS n_shards,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_within_eps
+    FROM events
+    WHERE event_type IS NOT NULL
+    """,
+)
+def agg_hll_partial_merge(spark, sf_dir):
+    """Mergeable-sketch distinct count (operators/sketch.
+    mergeable_distinct_estimate): one HLL per event_type shard, union
+    of the sketch blobs, one estimate — the persist-a-sketch-per-batch
+    pattern that makes 100 TB distinct counts incremental.  Non-null
+    shards only, so n_shards is comparable across engines."""
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators.sketch import (
+        mergeable_distinct_estimate,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].filter(
+        F.col("event_type").isNotNull()
+    )
+    est = mergeable_distinct_estimate(ev, "event_type", "user_id")
+    exact = ev.agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    # empty corpus: the union of zero sketches estimates NULL -> 0
+    merged = F.coalesce(F.col("merged_estimate"), F.lit(0).cast("long"))
+    return est.crossJoin(exact).select(
+        F.col("n_shards").cast("long").alias("n_shards"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.when(F.col("exact_users") == 0, merged == 0)
+        .otherwise(
+            F.abs(merged - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.05)
+        )
+        .alias("merged_within_eps"),
+    )

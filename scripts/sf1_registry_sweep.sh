@@ -54,7 +54,7 @@ run_chunk analytics_q agg_jackknife_mean,agg_ols_trend,dedup_minhash_admission,e
 # fused oracle's wedge spill exceeded this box's disk twice in r10
 # (24G and 64G caps) — and the src-chunked form is also ~25x faster
 # (oracle ~40 s vs 1029 s fused in r9).
-run_chunk mining_q agg_chi_square_assoc,agg_heavy_hitters,compaction_plan_events,dedup_incremental_admission,dedup_source_overlap,events_funnel_timed,events_type_pmi,expect_k_anonymity,mining_association_rules,multimodal_phash_near_dup,sample_balanced_classes,scd_snapshot_diff,text_bigram_logprob,text_bm25_retrieval,text_char_entropy,text_naive_bayes_lang,text_perplexity_buckets,window_rolling_median
+run_chunk mining_q agg_chi_square_assoc,agg_heavy_hitters,agg_hll_partial_merge,compaction_plan_events,dedup_incremental_admission,dedup_source_overlap,events_funnel_timed,events_type_pmi,expect_k_anonymity,mining_association_rules,multimodal_phash_near_dup,sample_balanced_classes,scd_snapshot_diff,text_bigram_logprob,text_bm25_retrieval,text_char_entropy,text_naive_bayes_lang,text_perplexity_buckets,window_rolling_median
 
 echo "=== sf1 census ladder (graph_triangle_census) $(date +%T) ==="
 SWEEP_SF=$SF CENSUS_OUT=/tmp/census_sf1 CENSUS_K=16 DUCK_MEM=32GB \
@@ -64,7 +64,7 @@ echo "census ladder rc=$? $(date +%T)"
 tail -3 "$LOGDIR/census_ladder.log"
 run_chunk llm_a dedup_contamination_flag,dedup_exact,dedup_exact_casefold,dedup_semantic,multimodal_byte_histogram,multimodal_frame_sample,pack_token_sequences,pipeline_corpus_admission,pipeline_training_mix,sample_deterministic,sample_global_shuffle,sample_source_cap,sample_stratified,sample_train_test_split
 run_chunk llm_b text_chunk_windows,text_document_frequency,text_fingerprint,text_lang_scores,text_pii_redact,text_quality_score,text_repetition_stats,text_token_stats,text_unigram_logprob
-run_chunk llm_sim dedup_embedding_lsh,similarity_ivf_recall,similarity_kmeans_refine,similarity_label_centroids,similarity_quantize_int8,similarity_topk_bruteforce,similarity_topk_ivf,similarity_topk_lsh,similarity_topk_pq,similarity_topk_ivfpq
+run_chunk llm_sim dedup_embedding_lsh,similarity_ivf_recall,similarity_kmeans_refine,similarity_label_centroids,similarity_quantize_int8,similarity_topk_bruteforce,similarity_topk_ivf,similarity_topk_lsh,similarity_topk_pq,similarity_topk_ivfpq,similarity_pq_recall
 
 # Minhash pair family: cross-engine checks top out at sf0.5 (the
 # DuckDB oracle's sf1 candidate materialization exceeds this box —

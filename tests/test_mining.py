@@ -615,3 +615,26 @@ def test_containment_matches_bruteforce(spark):
         if a != b and len(sets[a] & sets[b]) / len(sets[a]) >= 0.6
     )
     assert got == brute and len(got) >= 4
+
+
+def test_hll_mergeable_estimate_shard_invariant(spark):
+    # unioning per-shard sketches must equal sketching the whole: the
+    # property that lets a 100 TB pipeline persist one sketch per batch
+    from pyspark.sql import functions as F
+
+    from eventbridge_etl_spark.operators.sketch import (
+        mergeable_distinct_estimate,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(300)] + [
+        (i, f"s{(i + 1) % 3}") for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "key long, shard string")
+    by_shard = mergeable_distinct_estimate(df, "shard", "key").collect()[0]
+    one_shard = mergeable_distinct_estimate(
+        df.withColumn("shard", F.lit("all")), "shard", "key"
+    ).collect()[0]
+    assert by_shard["n_shards"] == 3 and one_shard["n_shards"] == 1
+    assert by_shard["merged_estimate"] == one_shard["merged_estimate"]
+    # 300 distinct keys; HLL lgk=12 is near-exact at this cardinality
+    assert abs(by_shard["merged_estimate"] - 300) <= 3

@@ -96,3 +96,4 @@ def test_top_keys_single_scan(spark):
     # share still correct: uses the true table total
     total = li.count()
     assert rows[0]["share"] == round(rows[0]["n_rows"] / total, 6)
+
