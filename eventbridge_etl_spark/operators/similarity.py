@@ -73,6 +73,77 @@ def cosine_topk_bruteforce(
     )
 
 
+def _coarse_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Driver-side coarse-quantizer centroids — the ``nlist`` lowest-id
+    corpus vectors by default (the deterministic stand-in for k-means
+    training), or the caller's centroid table.  A bounded collect of
+    the same class as the k-means/bucket-id sites: nlist rows, never
+    data-dependent."""
+    if centroids is None:
+        rows = (
+            corpus.orderBy(id_col)
+            .limit(nlist)
+            .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_c"))
+            .collect()
+        )
+    else:
+        rows = centroids.select(
+            F.col(centroids.columns[0]).alias("_cid"),
+            F.col(centroids.columns[1]).alias("_c"),
+        ).collect()
+    return [
+        (int(r["_cid"]), None if r["_c"] is None else [float(x) for x in r["_c"]])
+        for r in rows
+    ]
+
+
+def _probe_cells(
+    df: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str, n: int
+) -> DataFrame:
+    """Top-``n`` nearest coarse cells per row, MAP-ONLY: the centroid
+    table rides as a plan literal and the argmax is an array_sort over
+    an nlist-element scored array — no broadcast join and, critically,
+    no row_number window (whose partitionBy(id) was a full extra
+    shuffle of the corpus — r12 review finding).
+
+    Ordering contract matches the window it replaces: rounded cosine
+    DESC, then cid ASC; a NULL cosine (null vector or null centroid)
+    coalesces to -inf so it ranks strictly last, the NULLS LAST
+    semantics of the window sort.  Adds ``_cell``; other columns pass
+    through.  Rows explode to ``min(n, nlist)`` cells.
+    """
+    live = [(cid, c) for cid, c in cents if c is not None]
+    if not live:
+        # zero usable centroids (empty corpus, or every candidate
+        # vector NULL): no cell can be selected — typed empty, the
+        # r7 empty-fixture contract (F.array() of zero structs cannot
+        # be typed)
+        return df.limit(0).withColumn("_cell", F.lit(None).cast("int"))
+    neg_inf = F.lit(float("-inf"))
+    scored = F.transform(
+        _centroid_struct_array(live),
+        lambda s: F.struct(
+            (
+                F.coalesce(F.round(cosine(F.col(vec_col), s["c"]), 6), neg_inf)
+                * F.lit(-1.0)
+            ).alias("negcos"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    top = F.slice(F.array_sort(scored), 1, n)
+    return (
+        df.withColumn("_cellstruct", F.explode(top))
+        .withColumn("_cell", F.col("_cellstruct")["cid"])
+        .drop("_cellstruct")
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -98,51 +169,26 @@ def cosine_topk_ivf(
     in-cell re-rank plumbing — the part that matters at 100 TB — is
     identical either way.
 
-    Plan shape: centroids broadcast twice (cell assignment of the corpus,
-    probe selection of the queries); ONE shuffle of the corpus by cell id
-    for the probe join; window top-k per query.  At 100 TB the cell
-    assignment would be precomputed once and the corpus stored
-    partitioned/bucketed by cell id, making the probe join shuffle-free.
+    Plan shape: cell assignment AND probe selection are MAP-ONLY (the
+    centroid table rides as a plan literal; the argmax is an array_sort
+    over the scored centroid array — the earlier row_number window here
+    was a full extra shuffle of the corpus, r12 review finding); ONE
+    shuffle of the corpus by cell id for the probe join; window top-k
+    per query.  At 100 TB the cell assignment would be precomputed once
+    and the corpus stored partitioned/bucketed by cell id, making the
+    probe join shuffle-free.
     """
     c = _fan_out(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    if centroids is None:
-        centroids = (
-            corpus.orderBy(id_col)
-            .limit(nlist)
-            .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent"))
-        )
-    else:
-        centroids = centroids.select(
-            F.col(centroids.columns[0]).alias("_cent_id"),
-            F.col(centroids.columns[1]).alias("_cent"),
-        )
+    cents = _coarse_centroids(corpus, nlist, id_col, vec_col, centroids)
 
-    # (1) cell assignment: argmax-cosine centroid per corpus vector
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("_ccos").desc(), F.col("_cent_id")
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(centroids))
-        .withColumn("_ccos", F.round(cosine(F.col("_cv"), F.col("_cent")), 6))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select("neighbor_id", "_cv", F.col("_cent_id").alias("_cell"))
-    )
+    # (1) cell assignment — map-only (centroids are plan literals)
+    assigned = _probe_cells(c, cents, "_cv", 1)
 
-    # (2) probe selection: nprobe nearest centroids per query
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("_ccos").desc(), F.col("_cent_id")
-    )
-    probed = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("_ccos", F.round(cosine(F.col("_qv"), F.col("_cent")), 6))
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", F.col("_cent_id").alias("_cell"))
-    )
+    # (2) probe selection: nprobe nearest centroids per query, map-only
+    probed = _probe_cells(q, cents, "_qv", nprobe)
 
     # (3) exact re-rank within probed cells
     scored = probed.join(assigned, "_cell").withColumn(
@@ -538,6 +584,42 @@ def _subvec(vec_col: str, j: int, subdim: int) -> Column:
     )
 
 
+def _empty_adc_result(
+    corpus: DataFrame, queries: DataFrame, id_col: str, query_id_col: str
+) -> DataFrame:
+    """Typed empty ADC result with id types DERIVED from the inputs —
+    a hardcoded long/long schema would diverge from the non-empty
+    path's caller types exactly when the training corpus is empty,
+    breaking downstream unions only on that path."""
+    return (
+        queries.select(F.col(query_id_col).alias("query_id"))
+        .limit(0)
+        .crossJoin(
+            corpus.select(F.col(id_col).alias("neighbor_id")).limit(0)
+        )
+        .withColumn("approx_sqdist", F.lit(None).cast("double"))
+        .withColumn("rank", F.lit(None).cast("int"))
+    )
+
+
+def _validate_pq_books(
+    codebooks: list[list[tuple[int, list[float]]]], subdim: int
+) -> None:
+    """Fail fast when m*subdim overruns the vector dimension: F.slice
+    silently truncates past the array end, so an oversized subspace
+    trains on short/empty slices and zip_with's null padding turns the
+    ADC fold into NULL distances — garbage codes with no error.  A
+    truncated slice is visible in the trained centroid lengths."""
+    for j, cb in enumerate(codebooks):
+        for cid, vec in cb:
+            if len(vec) != subdim:
+                raise ValueError(
+                    f"PQ codebook {j} centroid {cid} has {len(vec)} dims, "
+                    f"expected subdim={subdim} — m*subdim likely exceeds "
+                    "the embedding dimension (F.slice truncates silently)"
+                )
+
+
 def pq_train(
     df: DataFrame,
     m: int,
@@ -549,8 +631,11 @@ def pq_train(
     decimals: int = 4,
 ) -> list[list[tuple[int, list[float]]]]:
     """Train product-quantization codebooks: an independent k-means
-    (``kmeans_fit`` — deterministic init, quantized centroids) per
-    contiguous ``subdim``-wide subspace.
+    per contiguous ``subdim``-wide subspace — the ``kmeans_fit``
+    recipe (deterministic lowest-id init, per-position means quantized
+    to ``decimals``), executed JOINTLY so each Lloyd iteration costs
+    ONE corpus scan and ONE aggregate for all m subspaces instead of
+    m sequential jobs.
 
     PQ is the storage half of the IVF-PQ architecture every billion-
     vector ANN deployment uses (Jégou et al. 2011): a d-dim float
@@ -560,15 +645,75 @@ def pq_train(
     Driver footprint: m × k × subdim rounded doubles — same bounded
     "k centroids" collect class as kmeans_fit itself.
     """
-    books: list[list[tuple[int, list[float]]]] = []
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col).alias(id_col), _subvec(vec_col, j, subdim).alias("_sv")
+    # Deterministic init in ONE bounded collect: the k lowest-id
+    # vectors, sliced into subspaces driver-side (value-identical to
+    # the per-subspace kmeans_init, which collected the same rows).
+    head = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    )
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (
+                i,
+                [float(x) for x in r["_v"][j * subdim : (j + 1) * subdim]],
+            )
+            for i, r in enumerate(head)
+        ]
+        for j in range(m)
+    ]
+    if head:
+        _validate_pq_books(books, subdim)
+
+    # Joint Lloyd iterations — ONE corpus scan and ONE aggregate per
+    # iteration for ALL m subspaces (the per-subspace loop re-scanned
+    # the corpus m times per iteration; r12 review finding).  The
+    # map-only assignment is pq_encode itself; the means come from a
+    # single posexplode keyed by (subspace, cluster, position-within-
+    # subspace), whose partials combine map-side, with the same
+    # per-position round-to-``decimals`` quantization kmeans_fit uses
+    # to absorb accumulation-order noise.  Driver traffic per
+    # iteration: m*k*subdim rounded doubles — unchanged.
+    for _ in range(int(iters)):
+        assigned = pq_encode(df, books, subdim, id_col, vec_col)
+        codes = F.array(
+            *[F.col(f"_code_{j}") for j in range(m)]
+        ).alias("_codes")
+        ex = (
+            assigned.select(codes, F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+            .filter(F.col("_pos") < m * subdim)
+            .select(
+                (F.col("_pos") / F.lit(subdim)).cast("int").alias("_j"),
+                (F.col("_pos") % F.lit(subdim)).alias("_subpos"),
+                F.col("_codes"),
+                F.col("_x"),
+            )
+            .withColumn("_cluster", F.element_at("_codes", F.col("_j") + 1))
+            .filter(F.col("_cluster").isNotNull())
         )
-        books.append(
-            kmeans_fit(sub, k, iters, id_col=id_col, vec_col="_sv",
-                       decimals=decimals)
+        per = (
+            ex.groupBy("_j", "_cluster", "_subpos")
+            .agg(
+                F.round(F.avg(F.col("_x").cast("double")), decimals).alias("_av")
+            )
+            .collect()
         )
+        acc: list[dict[int, dict[int, float]]] = [dict() for _ in range(m)]
+        for r in per:
+            acc[int(r["_j"])].setdefault(int(r["_cluster"]), {})[
+                int(r["_subpos"])
+            ] = float(r["_av"])
+        books = [
+            [
+                (cid, [d[s] for s in sorted(d)])
+                for cid, d in sorted(acc[j].items())
+            ]
+            for j in range(m)
+        ]
+
+    _validate_pq_books(books, subdim)
     return books
 
 
@@ -582,6 +727,7 @@ def pq_encode(
     """Add ``_code_j`` columns: nearest codeword per subspace (squared
     euclidean, ties to the lowest cid — the ``kmeans_assign`` argmin
     contract).  Map-only: codebooks are plan literals, zero joins."""
+    _validate_pq_books(codebooks, subdim)
     out = df
     for j, cb in enumerate(codebooks):
         if not cb:
@@ -649,12 +795,9 @@ def pq_topk_adc(
     neighbor_id.  Empty codebooks (empty training corpus) return an
     empty result with the same schema.
     """
-    spark = corpus.sparkSession
+    _validate_pq_books(codebooks, subdim)
     if any(not cb for cb in codebooks):
-        return spark.createDataFrame(
-            [],
-            "query_id long, neighbor_id long, approx_sqdist double, rank int",
-        )
+        return _empty_adc_result(corpus, queries, id_col, query_id_col)
     encoded = pq_encode(corpus, codebooks, subdim, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         *[F.col(f"_code_{j}") for j in range(len(codebooks))],
@@ -712,20 +855,17 @@ def pq_topk_ivf_adc(
     oracle replicates; swap in k-means output for deployment).
     Returns ``(query_id, neighbor_id, approx_sqdist, rank)``.
     """
-    spark = corpus.sparkSession
+    _validate_pq_books(codebooks, subdim)
     if any(not cb for cb in codebooks):
-        return spark.createDataFrame(
-            [],
-            "query_id long, neighbor_id long, approx_sqdist double, rank int",
-        )
+        return _empty_adc_result(corpus, queries, id_col, query_id_col)
     m = len(codebooks)
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(nlist)
-        .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent"))
-    )
+    cents = _coarse_centroids(corpus, nlist, id_col, vec_col)
 
-    # corpus side: PQ codes + coarse cell, raw vector DROPPED after
+    # corpus side: PQ codes + coarse cell, both MAP-ONLY (codebooks
+    # and centroids are plan literals — shared _probe_cells helper,
+    # same ordering contract as cosine_topk_ivf); the raw vector is
+    # DROPPED before the probe-join shuffle, which then carries m+1
+    # small ints per vector
     enc = pq_encode(corpus, codebooks, subdim, id_col, vec_col)
     c = _fan_out(
         enc.select(
@@ -734,40 +874,18 @@ def pq_topk_ivf_adc(
             *[F.col(f"_code_{j}") for j in range(m)],
         )
     )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("_ccos").desc(), F.col("_cent_id")
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(centroids))
-        .withColumn("_ccos", F.round(cosine(F.col("_cv"), F.col("_cent")), 6))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "neighbor_id",
-            F.col("_cent_id").alias("_cell"),
-            *[F.col(f"_code_{j}") for j in range(m)],
-        )
+    assigned = _probe_cells(c, cents, "_cv", 1).select(
+        "neighbor_id", "_cell", *[F.col(f"_code_{j}") for j in range(m)]
     )
 
-    # query side: raw subvectors for ADC + probed cells
+    # query side: raw subvectors for ADC + probed cells, map-only
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         *[_subvec(vec_col, j, subdim).alias(f"_q_{j}") for j in range(m)],
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("_ccos").desc(), F.col("_cent_id")
-    )
-    probed = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("_ccos", F.round(cosine(F.col("_qv"), F.col("_cent")), 6))
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .filter(F.col("_rn") <= nprobe)
-        .select(
-            "query_id",
-            F.col("_cent_id").alias("_cell"),
-            *[F.col(f"_q_{j}") for j in range(m)],
-        )
+    probed = _probe_cells(q, cents, "_qv", nprobe).select(
+        "query_id", "_cell", *[F.col(f"_q_{j}") for j in range(m)]
     )
 
     scored = probed.join(assigned, "_cell").withColumn(

@@ -103,7 +103,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q21_waiting_orders",
     "q13_customer_distribution",
     "q20_dominant_suppliers",
-    # --- 36 oldest r8-evidence rows, registration order ---
+    # --- 27 oldest r8-evidence rows, registration order ---
     "fn_date_surface",
     "fn_math_surface",
     "fn_array_surface",

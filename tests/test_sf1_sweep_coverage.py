@@ -35,8 +35,28 @@ def test_every_gate_swept_or_excluded():
     script = open(
         os.path.join(REPO, "scripts", "sf1_registry_sweep.sh")
     ).read()
-    mentioned = set(re.findall(r"[a-z0-9_]+", script))
+    # Only EXECUTABLE routing counts: strip comments and echo lines
+    # before tokenizing, or a gate whose name survives in a narrative
+    # comment after losing its run_chunk slot would still "pass" —
+    # precisely the silent-evidence-loss this test exists to catch.
+    code_lines = []
+    for line in script.splitlines():
+        line = line.split("#", 1)[0]
+        if line.strip().startswith("echo"):
+            continue
+        code_lines.append(line)
+    code = "\n".join(code_lines)
+    mentioned = set(re.findall(r"[a-z0-9_]+", code))
     by_design = _by_design()
+
+    # Gates whose sf1 evidence comes from a dedicated ladder script
+    # that does not take the gate name as an argument.  The mapping is
+    # only honored if the ladder is actually INVOKED on a code line —
+    # a commented-out ladder stops counting.
+    ladder_routed = {"graph_triangle_census": "census_ladder_sf1.py"}
+    for gate, ladder in ladder_routed.items():
+        if ladder in code:
+            mentioned.add(gate)
 
     unrouted = [
         n

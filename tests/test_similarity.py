@@ -297,3 +297,27 @@ def test_ivfpq_empty_corpus(spark):
     out = pq_topk_ivf_adc(df, df.selectExpr("vec_id as query_id", "embedding"),
                           books, subdim=2, k=3)
     assert out.count() == 0
+
+
+def test_ivf_family_exchange_budget(spark):
+    # map-only cell assignment/probing (plan-literal centroids): the
+    # only exchanges left are the probe join's two sides and the final
+    # rank window — a regression to windowed assignment re-adds a full
+    # corpus shuffle (r12 review finding)
+    from eventbridge_etl_spark.operators.similarity import (
+        cosine_topk_ivf,
+        pq_topk_ivf_adc,
+        pq_train,
+    )
+
+    df = _pq_corpus(spark)
+    q = df.selectExpr("vec_id as query_id", "embedding")
+    books = pq_train(df, m=2, subdim=2, k=2, iters=1)
+    for name, out in (
+        ("ivf", cosine_topk_ivf(df, q, 3, nlist=2, nprobe=1)),
+        ("ivfpq", pq_topk_ivf_adc(df, q, books, subdim=2, k=3,
+                                  nlist=2, nprobe=1)),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_ex = plan.count("Exchange ")
+        assert n_ex <= 3, f"{name}: {n_ex} exchanges > budget 3"
