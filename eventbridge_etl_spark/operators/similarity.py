@@ -73,77 +73,6 @@ def cosine_topk_bruteforce(
     )
 
 
-def _coarse_centroids(
-    corpus: DataFrame,
-    nlist: int,
-    id_col: str,
-    vec_col: str,
-    centroids: DataFrame | None = None,
-) -> list[tuple[int, list[float]]]:
-    """Driver-side coarse-quantizer centroids — the ``nlist`` lowest-id
-    corpus vectors by default (the deterministic stand-in for k-means
-    training), or the caller's centroid table.  A bounded collect of
-    the same class as the k-means/bucket-id sites: nlist rows, never
-    data-dependent."""
-    if centroids is None:
-        rows = (
-            corpus.orderBy(id_col)
-            .limit(nlist)
-            .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_c"))
-            .collect()
-        )
-    else:
-        rows = centroids.select(
-            F.col(centroids.columns[0]).alias("_cid"),
-            F.col(centroids.columns[1]).alias("_c"),
-        ).collect()
-    return [
-        (int(r["_cid"]), None if r["_c"] is None else [float(x) for x in r["_c"]])
-        for r in rows
-    ]
-
-
-def _probe_cells(
-    df: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str, n: int
-) -> DataFrame:
-    """Top-``n`` nearest coarse cells per row, MAP-ONLY: the centroid
-    table rides as a plan literal and the argmax is an array_sort over
-    an nlist-element scored array — no broadcast join and, critically,
-    no row_number window (whose partitionBy(id) was a full extra
-    shuffle of the corpus — r12 review finding).
-
-    Ordering contract matches the window it replaces: rounded cosine
-    DESC, then cid ASC; a NULL cosine (null vector or null centroid)
-    coalesces to -inf so it ranks strictly last, the NULLS LAST
-    semantics of the window sort.  Adds ``_cell``; other columns pass
-    through.  Rows explode to ``min(n, nlist)`` cells.
-    """
-    live = [(cid, c) for cid, c in cents if c is not None]
-    if not live:
-        # zero usable centroids (empty corpus, or every candidate
-        # vector NULL): no cell can be selected — typed empty, the
-        # r7 empty-fixture contract (F.array() of zero structs cannot
-        # be typed)
-        return df.limit(0).withColumn("_cell", F.lit(None).cast("int"))
-    neg_inf = F.lit(float("-inf"))
-    scored = F.transform(
-        _centroid_struct_array(live),
-        lambda s: F.struct(
-            (
-                F.coalesce(F.round(cosine(F.col(vec_col), s["c"]), 6), neg_inf)
-                * F.lit(-1.0)
-            ).alias("negcos"),
-            s["cid"].alias("cid"),
-        ),
-    )
-    top = F.slice(F.array_sort(scored), 1, n)
-    return (
-        df.withColumn("_cellstruct", F.explode(top))
-        .withColumn("_cell", F.col("_cellstruct")["cid"])
-        .drop("_cellstruct")
-    )
-
-
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,26 +98,58 @@ def cosine_topk_ivf(
     in-cell re-rank plumbing — the part that matters at 100 TB — is
     identical either way.
 
-    Plan shape: cell assignment AND probe selection are MAP-ONLY (the
-    centroid table rides as a plan literal; the argmax is an array_sort
-    over the scored centroid array — the earlier row_number window here
-    was a full extra shuffle of the corpus, r12 review finding); ONE
-    shuffle of the corpus by cell id for the probe join; window top-k
-    per query.  At 100 TB the cell assignment would be precomputed once
-    and the corpus stored partitioned/bucketed by cell id, making the
-    probe join shuffle-free.
+    Plan shape: centroids broadcast twice (cell assignment of the
+    corpus, probe selection of the queries); the per-vector argmax
+    window is one shuffle of the corpus ids, the probe join a second.
+    A map-only assignment variant (plan-literal centroids, argmax over
+    explicit struct expressions) was measured in r12 and REJECTED: it
+    removes the assignment shuffle but runs ~3x slower at sf0.1
+    (interpreted-HOF cosine expressions per row vs codegen over the
+    joined form; interleaved isolated floors 1.6 s vs 4.5 s).  At
+    100 TB the cell assignment would be precomputed once and the
+    corpus stored partitioned/bucketed by cell id, making the probe
+    join shuffle-free — the right fix is layout, not expression
+    gymnastics.
     """
     c = _fan_out(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    cents = _coarse_centroids(corpus, nlist, id_col, vec_col, centroids)
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(nlist)
+            .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent"))
+        )
+    else:
+        centroids = centroids.select(
+            F.col(centroids.columns[0]).alias("_cent_id"),
+            F.col(centroids.columns[1]).alias("_cent"),
+        )
 
-    # (1) cell assignment — map-only (centroids are plan literals)
-    assigned = _probe_cells(c, cents, "_cv", 1)
+    # (1) cell assignment: argmax-cosine centroid per corpus vector
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("_ccos").desc(), F.col("_cent_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_ccos", F.round(cosine(F.col("_cv"), F.col("_cent")), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("neighbor_id", "_cv", F.col("_cent_id").alias("_cell"))
+    )
 
-    # (2) probe selection: nprobe nearest centroids per query, map-only
-    probed = _probe_cells(q, cents, "_qv", nprobe)
+    # (2) probe selection: nprobe nearest centroids per query
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_ccos").desc(), F.col("_cent_id")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_ccos", F.round(cosine(F.col("_qv"), F.col("_cent")), 6))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", F.col("_cent_id").alias("_cell"))
+    )
 
     # (3) exact re-rank within probed cells
     scored = probed.join(assigned, "_cell").withColumn(
@@ -200,7 +161,6 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
-
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (literal constants in
@@ -842,13 +802,22 @@ def pq_topk_ivf_adc(
     corpus), PQ codes shrink WHAT each scoring touches (m one-byte
     codes, not the raw floats).
 
-    Plan shape: PQ encoding and cell assignment are both map-side
-    (codebooks and the ``nlist`` coarse centroids ride as broadcast /
-    plan literals); the corpus side then drops its raw vectors, so the
-    ONE shuffle (by cell id, for the probe join) moves m+1 small ints
-    per vector — at 100 TB this is the difference between shuffling
-    ~400 bytes/vector and ~5.  Ranking is the usual WindowGroupLimit
-    partial top-k on the rounded ADC distance.
+    Plan shape: PQ encoding is map-side (codebooks as plan literals);
+    cell assignment is the broadcast-centroid cross join + per-vector
+    argmax window — which IS one extra shuffle of the corpus ids.  A
+    fully map-only variant (centroids as plan literals, argmax via
+    array_sort/least over explicit struct expressions) was built and
+    measured in r12: it removes that shuffle but runs ~3x slower at
+    sf0.1 — sixteen inlined interpreted-HOF cosine expressions per row
+    lose to codegen over the joined form by more than the shuffle
+    costs (interleaved isolated floors: 1.6 s joined vs 4.5 s
+    literal).  The honest 100 TB answer is neither: precompute the
+    assignment once and store the corpus bucketed by cell id (the
+    codes-only layout), making BOTH the assignment and the probe join
+    shuffle-free at query time.  After assignment the corpus side
+    drops its raw vectors, so the probe-join shuffle moves m+1 small
+    ints per vector — ~5 bytes instead of ~400.  Ranking is the usual
+    WindowGroupLimit partial top-k on the rounded ADC distance.
 
     Coarse centroids follow the :func:`cosine_topk_ivf` convention
     (the ``nlist`` lowest-id corpus vectors — deterministic, so the
@@ -859,13 +828,13 @@ def pq_topk_ivf_adc(
     if any(not cb for cb in codebooks):
         return _empty_adc_result(corpus, queries, id_col, query_id_col)
     m = len(codebooks)
-    cents = _coarse_centroids(corpus, nlist, id_col, vec_col)
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent"))
+    )
 
-    # corpus side: PQ codes + coarse cell, both MAP-ONLY (codebooks
-    # and centroids are plan literals — shared _probe_cells helper,
-    # same ordering contract as cosine_topk_ivf); the raw vector is
-    # DROPPED before the probe-join shuffle, which then carries m+1
-    # small ints per vector
+    # corpus side: PQ codes + coarse cell, raw vector DROPPED after
     enc = pq_encode(corpus, codebooks, subdim, id_col, vec_col)
     c = _fan_out(
         enc.select(
@@ -874,18 +843,40 @@ def pq_topk_ivf_adc(
             *[F.col(f"_code_{j}") for j in range(m)],
         )
     )
-    assigned = _probe_cells(c, cents, "_cv", 1).select(
-        "neighbor_id", "_cell", *[F.col(f"_code_{j}") for j in range(m)]
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("_ccos").desc(), F.col("_cent_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_ccos", F.round(cosine(F.col("_cv"), F.col("_cent")), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "neighbor_id",
+            F.col("_cent_id").alias("_cell"),
+            *[F.col(f"_code_{j}") for j in range(m)],
+        )
     )
 
-    # query side: raw subvectors for ADC + probed cells, map-only
+    # query side: raw subvectors for ADC + probed cells
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         *[_subvec(vec_col, j, subdim).alias(f"_q_{j}") for j in range(m)],
     )
-    probed = _probe_cells(q, cents, "_qv", nprobe).select(
-        "query_id", "_cell", *[F.col(f"_q_{j}") for j in range(m)]
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_ccos").desc(), F.col("_cent_id")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_ccos", F.round(cosine(F.col("_qv"), F.col("_cent")), 6))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            "query_id",
+            F.col("_cent_id").alias("_cell"),
+            *[F.col(f"_q_{j}") for j in range(m)],
+        )
     )
 
     scored = probed.join(assigned, "_cell").withColumn(

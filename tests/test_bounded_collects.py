@@ -33,11 +33,6 @@ SANCTIONED = [
      "kmeans_init: exactly k rows by construction"),
     ("operators/similarity.py", r'\.groupBy\("cluster"\)',
      "kmeans_fit: <= k rows (one per surviving cluster) x dim doubles"),
-    ("operators/similarity.py", r"\.limit\(nlist\)",
-     "_coarse_centroids default: exactly nlist rows by construction"),
-    ("operators/similarity.py", r"centroids\.select",
-     "_coarse_centroids caller table: nlist-scale by contract (a "
-     "coarse-quantizer centroid table, same class as the default)"),
     ("operators/similarity.py", r"\.limit\(k\)",
      "pq_train init: exactly k rows (sliced into m subspaces driver-side)"),
     ("operators/similarity.py", r'\.groupBy\("_j", "_cluster", "_subpos"\)',

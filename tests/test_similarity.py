@@ -300,10 +300,13 @@ def test_ivfpq_empty_corpus(spark):
 
 
 def test_ivf_family_exchange_budget(spark):
-    # map-only cell assignment/probing (plan-literal centroids): the
-    # only exchanges left are the probe join's two sides and the final
-    # rank window — a regression to windowed assignment re-adds a full
-    # corpus shuffle (r12 review finding)
+    # The ACCEPTED plan shape: broadcast-centroid cross join + argmax
+    # window for cell assignment (7 exchanges total).  A 3-exchange
+    # map-only variant (plan-literal centroids) was built and REJECTED
+    # in r12 on measurement: interleaved isolated floors 1.6 s joined
+    # vs 4.5 s literal at sf0.1 — interpreted-HOF cosine expressions
+    # per row lose to codegen by more than the shuffle costs (see the
+    # operator docstrings).  The pin still catches accidental growth.
     from eventbridge_etl_spark.operators.similarity import (
         cosine_topk_ivf,
         pq_topk_ivf_adc,
@@ -320,4 +323,4 @@ def test_ivf_family_exchange_budget(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         n_ex = plan.count("Exchange ")
-        assert n_ex <= 3, f"{name}: {n_ex} exchanges > budget 3"
+        assert n_ex <= 7, f"{name}: {n_ex} exchanges > budget 7"
