@@ -360,25 +360,47 @@ def _minhash_lsh_rep_pairs(
     # band encoding delegated to _band_rows — the SAME function the
     # admission-index store builds with, so buckets collide identically
     # by construction (review r6: this body was previously inlined
-    # here, leaving the shared-encoding invariant to a comment)
-    banded = _band_rows(rep_t, num_hashes, bands)
+    # here, leaving the shared-encoding invariant to a comment).
+    # ``_n`` (token-set size, one int) rides along so the lossless size
+    # bound prunes candidates AT THE BAND JOIN, before the distinct's
+    # exchange and the two verify joins ever see them (r12: jaccard <=
+    # min|A|,|B| / max|A|,|B| drops 698k -> 441k candidate pairs at
+    # sf0.1/tau=0.9 — 37% fewer rows shuffled into distinct+verify —
+    # measured ~10% off the whole query; the SAME rounded-comparison
+    # form as _verify_jaccard's prefilter, so it can never drop a pair
+    # the final jaccard filter would keep).
+    banded = _band_rows(rep_t, num_hashes, bands, keep_n=True)
     # Persist the banded rows: the self-join otherwise evaluates the
     # signature subtree TWICE (once per branch).  Lazy persist — the
     # first action's left branch populates the cache, the right branch
     # reuses it.  Footprint is tiny (bands rows/doc x ~50 B) and
     # MEMORY_AND_DISK self-evicts.
     banded = scoped_persist(banded)
-    left = banded.select(F.col("_id").alias("_ida"), "_band", "_bh")
-    right = banded.select(F.col("_id").alias("_idb"), "_band", "_bh")
+    left = banded.select(
+        F.col("_id").alias("_ida"), F.col("_n").alias("_na"), "_band", "_bh"
+    )
+    right = banded.select(
+        F.col("_id").alias("_idb"), F.col("_n").alias("_nb"), "_band", "_bh"
+    )
+    size_ok = (
+        F.round(
+            F.least("_na", "_nb").cast("double") / F.greatest("_na", "_nb"), 6
+        )
+        >= tau
+    )
     # The distinct's exchange does double duty: besides dedup it
     # REBALANCES the candidate pairs, which leave the band join
     # partitioned by (band, bucket-hash) — heavily skewed when the corpus
     # has large near-dup clusters.  A pipelined first-matching-band dedup
     # filter (no shuffle) measured 3x SLOWER at sf0.1 because the
     # array_intersect verification then runs on the skewed partitions.
+    # (An in-bucket collect_list+pair-explode variant — one exchange
+    # fewer — also measured ~10% SLOWER at sf0.1, r12: the quadratic
+    # explode concentrates in the bucket tasks the distinct exists to
+    # rebalance away from.)
     cand = (
         left.join(right, ["_band", "_bh"])
-        .filter(F.col("_ida") < F.col("_idb"))
+        .filter((F.col("_ida") < F.col("_idb")) & size_ok)
         .select("_ida", "_idb")
         .distinct()
     )
@@ -1366,10 +1388,15 @@ def tfidf_cosine_staged(
     )
 
 
-def _band_rows(t: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _band_rows(
+    t: DataFrame, num_hashes: int, bands: int, keep_n: bool = False
+) -> DataFrame:
     """(_id, _band, _bh) banded-signature rows for a token-set frame —
     the same band encoding as ``_minhash_lsh_rep_pairs`` (r signature
-    ints joined verbatim), so indexes built here collide identically."""
+    ints joined verbatim), so indexes built here collide identically.
+    ``keep_n=True`` additionally carries the token-set size ``_n`` (one
+    int per row) so the LSH pair path can size-prune candidates at the
+    band join itself."""
     r = num_hashes // bands
     signed = _sign_token_sets(t, num_hashes)
     band_cols = F.array(
@@ -1378,7 +1405,8 @@ def _band_rows(t: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             for b in range(bands)
         ]
     )
-    return signed.select("_id", F.posexplode(band_cols).alias("_band", "_bh"))
+    cols = ["_id", "_n"] if keep_n else ["_id"]
+    return signed.select(*cols, F.posexplode(band_cols).alias("_band", "_bh"))
 
 
 def minhash_band_index(

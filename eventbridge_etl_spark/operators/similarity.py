@@ -151,8 +151,18 @@ def cosine_topk_ivf(
         .select("query_id", "_qv", F.col("_cent_id").alias("_cell"))
     )
 
-    # (3) exact re-rank within probed cells
-    scored = probed.join(assigned, "_cell").withColumn(
+    # (3) exact re-rank within probed cells.  The probe side is
+    # queries x nprobe rows — the small side BY DESIGN (same contract as
+    # cosine_topk_bruteforce, which broadcasts the query set) — so
+    # broadcast it explicitly: the planner can't estimate the window
+    # subtree's size and falls back to a sort-merge join keyed on
+    # _cell, i.e. a shuffle of the whole assigned corpus into at most
+    # nlist partitions (measured r12: 2 exchanges + 2 sorts on a
+    # 16-value skewed key).  Broadcasting the probes keeps the corpus
+    # un-shuffled and streaming (at 100 TB the corpus is stored
+    # partitioned by cell id; the probe lookup stays map-side either
+    # way).
+    scored = assigned.join(F.broadcast(probed), "_cell").withColumn(
         "cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -240,12 +250,27 @@ def cosine_topk_lsh(
 
     c_b = _banded(c, "_cv")
     q_b = _banded(q, "_qv")
-    cand = (
-        q_b.join(c_b, ["_tbl", "_bkt"])
-        .select("query_id", "_qv", "neighbor_id", "_cv")
+    # query side broadcast (same contract as cosine_topk_bruteforce:
+    # queries are the small side by design — n_queries x n_tables rows).
+    # Without the hint the planner sort-merge-joins on (_tbl, _bkt),
+    # shuffling every corpus bucket row into n_tables x 2^n_planes
+    # partitions; broadcasting keeps the corpus streaming map-side.
+    #
+    # Score BEFORE the multi-table dedup (r12): cosine is deterministic
+    # per (query, neighbor), so scoring duplicated candidates and
+    # deduping on (query_id, neighbor_id, cosine) yields the identical
+    # set — but the distinct's exchange then moves ~24 bytes/row
+    # instead of two embedding vectors (~1 KB/row at dim=64, and the
+    # whole vector payload at any dim).  The duplicate scoring work is
+    # map-side and embarrassingly parallel; the vector columns never
+    # cross an exchange at all now (broadcast join -> map-side score ->
+    # project ids+score).
+    scored = (
+        c_b.join(F.broadcast(q_b), ["_tbl", "_bkt"])
+        .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
         .distinct()
     )
-    scored = cand.withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -879,7 +904,11 @@ def pq_topk_ivf_adc(
         )
     )
 
-    scored = probed.join(assigned, "_cell").withColumn(
+    # probe side broadcast for the same reason as cosine_topk_ivf: it is
+    # queries x nprobe rows by design, and without the hint the planner
+    # sort-merge-joins on the nlist-valued (skewed) cell key, shuffling
+    # the whole encoded corpus.
+    scored = assigned.join(F.broadcast(probed), "_cell").withColumn(
         "approx_sqdist", F.round(_adc_expr(codebooks), 6)
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -40,7 +40,9 @@ def _event_stream(spark, sf_dir):
     """events.parquet as a bounded stream (ns->us ts conversion as in
     sources.tables)."""
     batch = load_tables(spark, sf_dir, ("events",))["events"]
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from eventbridge_etl_spark.sources.tables import _read_parquet
+
+    raw_schema = _read_parquet(spark, f"{sf_dir}/events.parquet").schema
     # the fixture table is a single file; the streaming file source wants
     # a directory, so scope the parent dir with a glob filter
     stream = (

@@ -7,8 +7,11 @@ directory; ``register_views`` additionally registers them as temp views so
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 TABLE_NAMES = (
     "region",
@@ -22,6 +25,49 @@ TABLE_NAMES = (
     "documents",
     "embeddings",
 )
+
+
+#: Inferred-schema memo: (realpath, mtime_ns, size, conf fingerprint) ->
+#: StructType.  Schema inference for a path-based parquet read is a
+#: DRIVER Job (footer read) that Spark re-runs on EVERY
+#: ``spark.read.parquet`` call — measured r12: one ~60 ms job per table
+#: per query build, ~0.35 s of a six-table query's ~1.1 s wall at sf0.1.
+#: A production engine reads the schema from table-format metadata
+#: (Iceberg/Delta manifest) exactly once; this memo is the path-based
+#: equivalent.  METADATA ONLY — never rows, never results: every query
+#: still scans the parquet data in full.  Keyed on file identity
+#: (mtime_ns + size, single files only — directory mtimes don't change
+#: on in-place edits) and the confs that change what inference returns
+#: (nanosAsLong flips TIMESTAMP(NANOS) to bigint, inferTimestampNTZ
+#: flips unannotated timestamps), so a rewritten fixture or a foreign
+#: session with different confs re-infers.
+_SCHEMA_MEMO: dict[tuple, StructType] = {}
+
+#: Confs whose value changes the INFERRED schema of a parquet file.
+_SCHEMA_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+)
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the schema-inference job memoized."""
+    try:
+        st = os.stat(path)
+        if not os.path.isfile(path):
+            raise OSError  # directories: mtime unreliable, skip memo
+        conf_fp = tuple(
+            spark.conf.get(c, None) for c in _SCHEMA_CONFS
+        )
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size, conf_fp)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_tables(
@@ -71,7 +117,7 @@ def load_tables(
         # (review finding, r7).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
         if name == "events":
             dt = dict(df.dtypes).get("ts")
             if dt == "bigint":
