@@ -1,47 +1,57 @@
-"""Dump .explain('formatted') for headline (or PLANS_ONLY) queries into
-plans/<PLANS_TAG>/<name>_<PLANS_SUFFIX>.txt — the judge checks plan claims
-against these files.  Pure compile: no jobs execute."""
-import io
+#!/usr/bin/env python
+"""Dump .explain('formatted') for the named registry queries (default:
+bench.py's HEADLINE list) to plans/<outdir>/<query>_<suffix>.txt.
+
+    python scripts/dump_plans.py --outdir plans/r12 --suffix after
+"""
+
+from __future__ import annotations
+
+import argparse
 import os
 import sys
-from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
-
+from eventbridge_etl_spark.cache import release_tracked
 from eventbridge_etl_spark.queries import QUERIES, load_all
+from eventbridge_etl_spark.session import get_spark
 
-sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-tag = os.environ.get("PLANS_TAG", "r12")
-suffix = os.environ.get("PLANS_SUFFIX", "before")
-only = [s for s in os.environ.get("PLANS_ONLY", "").split(",") if s]
 
-import bench
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--outdir", default="plans/r12")
+    ap.add_argument("--suffix", default="after")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    args = ap.parse_args()
 
-names = only or bench.HEADLINE
+    load_all()
+    names = args.queries
+    if not names:
+        import bench
 
-spark = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .config("spark.driver.memory", "8g")
-    .getOrCreate()
-)
-spark.sparkContext.setLogLevel("ERROR")
-load_all()
+        names = list(bench.HEADLINE)
+    spark = get_spark(
+        "dump-plans", extra_conf={"spark.driver.memory": "8g", "spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.outdir, exist_ok=True)
+    for name in names:
+        release_tracked()
+        df = QUERIES[name](spark, args.sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(args.outdir, f"{name}_{args.suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(path)
+    spark.stop()
 
-outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", tag)
-os.makedirs(outdir, exist_ok=True)
-for name in names:
-    df = QUERIES[name](spark, sf_dir)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    path = os.path.join(outdir, f"{name}_{suffix}.txt")
-    with open(path, "w") as fh:
-        fh.write(buf.getvalue())
-    print(name, "->", path)
-spark.stop()
+
+if __name__ == "__main__":
+    main()
