@@ -686,7 +686,11 @@ def similarity_ivf_recall(spark, sf_dir):
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     return (
-        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        # broadcast the approximate side: both sides are k x n_queries
+        # rows (the recall check runs over a query sample by design);
+        # without the hint the planner sort-merge-joins two tiny
+        # un-estimable window subtrees (r12 plan census)
+        brute.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.round(F.count("_hit") / 10.0, 4).alias("recall_at_10"))
     )
@@ -1896,7 +1900,9 @@ def similarity_pq_recall(spark, sf_dir):
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     return (
-        brute.join(pq, ["query_id", "neighbor_id"], "left")
+        # broadcast the approximate side (same rationale as
+        # similarity_ivf_recall: k x n_queries rows by design)
+        brute.join(F.broadcast(pq), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.round(F.count("_hit") / 10.0, 4).alias("recall_at_10"))
     )
