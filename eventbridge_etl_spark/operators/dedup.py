@@ -843,9 +843,18 @@ def source_overlap(
     assert num_hashes <= len(MINHASH_A)
     # null group/text rows carry no set information — drop up front
     df = df.filter(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
-    st = df.select(
-        F.col(group_col).alias("_g"), F.explode(tokens(F.col(text_col))).alias("_tok")
-    ).distinct()
+    # the (group, token) distinct is read by THREE consumers (the
+    # signature aggregate and both sides of the exact-intersection
+    # self-join); persist so the corpus is scanned, tokenized and
+    # deduplicated ONCE per action tree (r12 — the self-join's two
+    # aliases share one exchange via reuse, but the signature branch's
+    # groupBy(_g) exchange re-derived the whole scan subtree)
+    st = scoped_persist(
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(tokens(F.col(text_col))).alias("_tok"),
+        ).distinct()
+    )
 
     xs = st.withColumn(
         "_x",
