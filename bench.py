@@ -220,6 +220,39 @@ def main() -> None:
     canary2_runs = [_canary_shuffle_once() for _ in range(5)]
     canary2 = min(canary2_runs)
 
+    # Per-query noise telemetry (round-13, VERDICT r12 item 2): the two
+    # canaries above run ONCE, at bench start, so a mid-run CPU-steal
+    # wave (this box's documented minutes-long degradation mode) is
+    # invisible to the artifact — r12's four consecutive "regressions"
+    # (q18/scan/join_broadcast_chain/agg_rollup) could be neither proven
+    # nor disproven.  Fix: stamp a /proc/stat steal+busy delta around
+    # every query's 5-run block, plus each block's start offset and all
+    # five raw runs.  Reading /proc/stat costs microseconds and runs no
+    # Spark plan, so the JIT back-to-back protocol (see above — round 8
+    # measured that interleaving ANY extra plan between a query's passes
+    # destroys its C2 steady state) is undisturbed.  All new JSON keys
+    # are ADDITIVE; existing keys/semantics unchanged.
+    def _cpu_ticks() -> tuple[int, int] | None:
+        """(total_ticks, steal_ticks) from the aggregate cpu line."""
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            if parts[0] != "cpu":
+                return None
+            vals = [int(x) for x in parts[1:]]
+            steal = vals[7] if len(vals) > 7 else 0
+            return sum(vals), steal
+        except (OSError, ValueError, IndexError):
+            return None
+
+    def _steal_pct(before, after) -> float | None:
+        if before is None or after is None:
+            return None
+        d_total = after[0] - before[0]
+        if d_total <= 0:
+            return None
+        return round(100.0 * (after[1] - before[1]) / d_total, 2)
+
     # Each query runs FIVE times; the headline number is the min
     # (steady state), with the first-pass times reported alongside as
     # cold_queries/cold_value.  Rationale: at sf0.1 a complex plan's
@@ -245,16 +278,32 @@ def main() -> None:
     # generated code (17 intervening plans deoptimize/evict it).
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
+    query_steal: dict[str, float | None] = {}
+    query_t_start: dict[str, float] = {}
+    bench_t0 = time.perf_counter()
     for name in HEADLINE:
         fn = QUERIES[name]
         runs = []
+        query_t_start[name] = round(time.perf_counter() - bench_t0, 3)
+        ticks0 = _cpu_ticks()
         for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
+        query_steal[name] = _steal_pct(ticks0, _cpu_ticks())
+        query_runs[name] = runs
         cold[name] = runs[0]
         timings[name] = min(runs)
+
+    # Post-run canary pair (same constant-cost probes as at start): a
+    # quiet start + quiet end brackets the whole timed window; a wave
+    # that hit mid-run shows as elevated query_steal_pct and/or an
+    # inflated post canary.  Runs AFTER all timed blocks, so it cannot
+    # perturb them.
+    canary_post_runs = [_canary_once() for _ in range(3)]
+    canary2_post_runs = [_canary_shuffle_once() for _ in range(3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -275,6 +324,18 @@ def main() -> None:
                 "canary_shuffle_sec": canary2,
                 "canary_shuffle_runs": canary2_runs,
                 "canary_shuffle_ref_sec": 0.81,
+                # round-13 additive noise telemetry (see comments above):
+                # all five raw passes per query, the CPU-steal percentage
+                # over each query's 5-run block, each block's start
+                # offset from the first timed block, and end-of-run
+                # canary re-measurements bracketing the timed window.
+                "query_runs": query_runs,
+                "query_steal_pct": query_steal,
+                "query_t_start": query_t_start,
+                "canary_post_sec": min(canary_post_runs),
+                "canary_post_runs": canary_post_runs,
+                "canary_shuffle_post_sec": min(canary2_post_runs),
+                "canary_shuffle_post_runs": canary2_post_runs,
                 "tmpfs_shuffle": "spark.local.dir" in extra,
                 "pretouch_heap": roomy,
                 "sf": sf,

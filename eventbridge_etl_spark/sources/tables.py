@@ -44,9 +44,18 @@ TABLE_NAMES = (
 _SCHEMA_MEMO: dict[tuple, StructType] = {}
 
 #: Confs whose value changes the INFERRED schema of a parquet file.
+#: Beyond the two the engine itself toggles (nanosAsLong, NTZ), the
+#: remaining inference-affecting parquet confs are keyed too (ADVICE
+#: r12): a foreign session with non-default binaryAsString /
+#: int96AsTimestamp / mergeSchema / fieldId settings must not see a
+#: schema memoized under the defaults.  A few conf.get calls per read.
 _SCHEMA_CONFS = (
     "spark.sql.legacy.parquet.nanosAsLong",
     "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.parquet.binaryAsString",
+    "spark.sql.parquet.int96AsTimestamp",
+    "spark.sql.parquet.mergeSchema",
+    "spark.sql.parquet.fieldId.read.enabled",
 )
 
 

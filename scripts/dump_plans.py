@@ -21,8 +21,10 @@ from eventbridge_etl_spark.session import get_spark
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
-    ap.add_argument("--outdir", default="plans/r12")
-    ap.add_argument("--suffix", default="after")
+    # required (ADVICE r12): a frozen default silently overwrote the
+    # previous round's committed plan evidence when run without flags
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--suffix", required=True)
     ap.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -39,12 +40,34 @@ def main() -> None:
 
     load_all()
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-    extra = {
-        "spark.driver.memory": mem,
-        "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=512m",
-    }
+
+    # Roomy gate (ADVICE r12): same guard as bench.py — the pinned
+    # pre-touched heap and a tmpfs local dir both claim physical RAM;
+    # on a host without heap + ~16 GiB spill/slack available, fall
+    # back to the lazy heap + disk dirs instead of pre-touching into
+    # swap (which corrupts the very timings this probe measures).
+    def _mem_available_gib() -> float:
+        try:
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    if line.startswith("MemAvailable:"):
+                        return int(line.split()[1]) / (1024 * 1024)
+        except OSError:
+            pass
+        return 0.0
+
+    hit = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([kmgt]?)b?\s*", mem, re.I)
+    scale = {"": 2.0**-30, "k": 2.0**-20, "m": 2.0**-10, "g": 1.0, "t": 1024.0}
+    heap_gib = float(hit.group(1)) * scale[hit.group(2).lower()] if hit else None
+    roomy = heap_gib is not None and _mem_available_gib() >= heap_gib + 16
+
+    extra = {"spark.driver.memory": mem}
+    if roomy:
+        extra["spark.driver.extraJavaOptions"] = (
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=512m"
+        )
     shm = f"/dev/shm/bench-spark-local.{os.getpid()}"
-    if os.path.isdir("/dev/shm"):
+    if roomy and os.path.isdir("/dev/shm"):
         os.makedirs(shm, exist_ok=True)
         extra["spark.local.dir"] = shm
     for kv in args.conf:

@@ -76,20 +76,24 @@ def test_proration_conserves_mass(spark, iv):
     )
     out = prorate_intervals(df).collect()
     total = sum(r["prorated_value"] for r in out)
-    # the operator's amount = F.round(v, 2) is HALF_UP; Python's round()
-    # is half-even (round(1.625, 2) == 1.62 vs Spark/DuckDB 1.63), so
-    # mirror with Decimal quantization
-    from decimal import ROUND_HALF_UP, Decimal
 
-    def r2(x):
-        return float(Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+    # Mirror the operator's synthesis literally: cents and duration are
+    # IEEE-double floor(|v|*100 + 0.5) / floor(|v|*60 + 0.5), evaluated by
+    # Spark in binary double arithmetic — NOT exact decimal HALF_UP.  A
+    # Decimal(repr(x)) mirror diverges whenever the binary double sits just
+    # off the decimal half (e.g. 128.294921875: repr-quantize gives 12830
+    # cents, float floor(+0.5) gives 12829).  Python floats are the same
+    # IEEE doubles Spark uses, so this mirror is exact.
+    def cents(x):
+        return (-1 if x < 0 else 1) * math.floor(abs(x) * 100 + 0.5)
+
+    def dur_s(x):
+        return min(math.floor(abs(x) * 60 + 0.5), 7200)
 
     # the operator sees the 3-decimal value the rows were built with,
-    # so quantize THAT (not the raw draw)
+    # so synthesize from THAT (not the raw draw)
     expected = sum(
-        r2(round(v, 3))
-        for _, v in iv
-        if min(round(abs(round(v, 3)) * 60), 7200) > 0
+        cents(round(v, 3)) / 100.0 for _, v in iv if dur_s(round(v, 3)) > 0
     )
     # each interval's shares are rounded to 6dp before the exact sum:
     # error bound = n_segments * 5e-7
