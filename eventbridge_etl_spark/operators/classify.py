@@ -69,7 +69,16 @@ def naive_bayes_self_score(
     # ONE tokenize+explode pass feeds both the per-doc token stream and
     # the (class, token) training counts (the label rides along) — a
     # second full explode keyed by label would double the most
-    # expensive stage (review finding r6)
+    # expensive stage (review finding r6).  DELIBERATELY NOT persisted
+    # despite the three consumers (ct / matched / docn): measured r13,
+    # interleaved A/B at sf0.1 — scoped_persist(toks_lbl) regressed
+    # text_naive_bayes_lang ~20% and text_nb_confusion ~10% in all
+    # three rounds (OLD mins 2.08-2.26 s vs persisted 2.55-2.78 s).
+    # Materializing the EXPLODED token stream (larger than the corpus)
+    # costs more than three codegen scan+split passes; the same
+    # conclusion holds directionally at scale, where caching would
+    # write the token stream to disk once and read it back twice vs
+    # three cheap columnar scans.
     toks_lbl = df.select(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("lbl"),

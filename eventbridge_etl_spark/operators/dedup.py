@@ -297,25 +297,31 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     df = _fan_out(df)
     t = _token_sets(df, id_col, text_col)
-    # canonical set digest: order-insensitive (array_sort), computed
-    # map-side so the group shuffle moves (digest, id) — never the text.
-    # to_json, not concat_ws('\x1f'): a token CONTAINING \x1f (it is
-    # not \s, so it survives tokenization) aliased {'a\x1fb'} with
-    # {'a','b'}, fusing unrelated docs into one exact-dup group and
-    # fabricating jaccard-1.0 pairs (review r7); JSON escaping is
-    # collision-free for any token bytes
-    set_key = F.md5(F.to_json(F.array_sort("_toks")))
-    # groups is read three times (rep selection + both expansion sides);
-    # persist so the corpus is tokenized and the digest shuffled ONCE
+    # Group key = the SORTED token array itself (r13).  The previous
+    # md5(to_json(array_sort)) digest existed to keep the group shuffle
+    # thin, but selecting each group's representative TOKEN SET then
+    # required a second full corpus scan+tokenize plus a rep join (a
+    # corpus-sized SMJ shuffle once groups outgrow broadcast).  Carrying
+    # the sorted array through the ONE aggregate the rep selection
+    # already pays removes that scan and that join outright (guide
+    # §2.4): every group member has the identical set, so the key IS
+    # the representative's token set.  Array-equality grouping is also
+    # structurally collision-free — the r7 to_json-vs-concat_ws
+    # aliasing class cannot exist without a serialized key.  Sorting is
+    # result-neutral downstream: signatures take array_min over the
+    # set, verification takes array_intersect SIZES — both
+    # order-independent (proved bit-identical old-vs-new, r13).
     groups = scoped_persist(
-        t.select("_id", set_key.alias("_k"))
-        .groupBy("_k")
+        t.select("_id", F.array_sort("_toks").alias("_toks"))
+        .groupBy("_toks")
         .agg(F.min("_id").alias("_rep"), F.collect_list("_id").alias("_members"))
     )
-    # token-set rows of the representatives — the banding branch and both
-    # verify branches (ta, tb) all read this frame, so persist it once:
-    # tokenization and the rep join run a single time per action tree
-    rep_t = scoped_persist(t.join(groups.select(F.col("_rep").alias("_id")), "_id"))
+    # representatives' token-set frame is now a pure projection of the
+    # persisted groups frame — the banding branch and both verify
+    # branches (ta, tb) each re-read the cache, never the corpus
+    rep_t = groups.select(
+        F.col("_rep").alias("_id"), "_toks", F.size("_toks").alias("_n")
+    )
     rep_pairs = _minhash_lsh_rep_pairs(rep_t, tau, num_hashes, bands)
     # expansion: rep-level pair -> all member cross pairs (same jaccard);
     # groups with >1 member additionally emit their C(k,2) internal

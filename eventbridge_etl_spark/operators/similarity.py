@@ -17,6 +17,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from eventbridge_etl_spark.cache import scoped_persist
 from eventbridge_etl_spark.operators.partitioning import fan_out as _fan_out
 
 
@@ -522,6 +523,7 @@ def semantic_dedup(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt_target: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means the corpus, then
     within each cluster drop every vector that has a higher-similarity
@@ -529,25 +531,58 @@ def semantic_dedup(
 
     The cluster is the candidate-bounding device — pairwise comparison
     happens only inside a cluster, never across the corpus, so the cost
-    is sum(|cluster|^2) instead of n^2; at 100 TB you raise k until the
-    largest cluster's pair block fits a task (and salt any residual hot
-    cluster).  Returns (id, cluster, kept boolean).
+    is sum(|cluster|^2) instead of n^2.  The self-join key has only k
+    distinct values, so without help one hot cluster serializes into a
+    single straggler task (guide §2.5 — AQE skew split cannot divide
+    one key).  r13: the join is SALTED per cluster with a dynamic
+    factor s_c = ceil(|c| / salt_target): side A carries its hash
+    bucket p = xxhash64(id) mod s_c and replicates across q = 0..s_c-1,
+    side B symmetrically, and the join keys on (cluster, p, q) — every
+    pair lands in exactly ONE (p, q) cell (the one addressed by both
+    ids' own buckets), so the pair set, and therefore the result, is
+    bit-identical to the unsalted join while the biggest task shrinks
+    from |c|^2 to ~salt_target^2 comparisons.  Clusters at or below
+    ``salt_target`` rows get s_c = 1 — zero replication, the exact
+    join the unskewed case always had.  Replicated rows are bounded by
+    sum(|c| * s_c) ≈ pairs / salt_target per side.
+
+    The assignment frame is persisted: it feeds FOUR consumers (the
+    salt-factor aggregate, both join sides, the final verdict join), so
+    the corpus is scanned and nearest-centroid-folded once instead of
+    four times.  Measured trade at sf0.1 (unskewed fixture, ~0.2 s on a
+    1.2 s non-headline gate): the salting+persist insurance costs ~15%
+    locally and is kept deliberately — the skewed-fixture measurement
+    in OPTIMIZATION_r13.md is the case it exists for, and sum-of-scans
+    dominates at scale.  Returns (id, cluster, kept boolean).
     """
     cents = kmeans_fit(df, k, iters, id_col, vec_col)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    assigned = kmeans_assign(df, cents, id_col, vec_col).select(
-        F.col(id_col).alias("id"), "cluster", v.alias("_v")
-    )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
+    assigned = scoped_persist(
+        kmeans_assign(df, cents, id_col, vec_col).select(
+            F.col(id_col).alias("id"), "cluster", v.alias("_v")
         )
-        .filter(F.round(cosine(F.col("a._v"), F.col("b._v")), 6) >= tau)
-        .select(F.col("b.id").alias("id"))
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.greatest(F.lit(1), F.ceil(F.count("*") / F.lit(int(salt_target))))
+        .cast("int")
+        .alias("_s")
+    )
+    salted = assigned.join(F.broadcast(sizes), "cluster")
+    bucket = F.pmod(F.xxhash64("id"), F.col("_s")).cast("int")
+    rep = F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+    a = salted.select("cluster", "id", "_v", bucket.alias("_p"), rep.alias("_q"))
+    b = salted.select(
+        "cluster",
+        F.col("id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        rep.alias("_p"),
+        bucket.alias("_q"),
+    )
+    dropped = (
+        a.join(b, ["cluster", "_p", "_q"])
+        .filter(F.col("id") < F.col("_idb"))
+        .filter(F.round(cosine(F.col("_v"), F.col("_vb")), 6) >= tau)
+        .select(F.col("_idb").alias("id"))
         .distinct()
     )
     return (

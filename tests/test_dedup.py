@@ -61,6 +61,28 @@ def test_minhash_identical_docs_always_pair(spark, corpus):
     assert (1, 4) not in got
 
 
+def test_minhash_group_collapse_is_order_and_multiplicity_insensitive(spark):
+    """The r13 rep selection groups on the SORTED distinct-token array:
+    docs whose token sets are equal but arrive in different order or
+    with repeats must still collapse into one exact-dup group (pairs at
+    jaccard 1.0), and a strict-subset doc must not."""
+    df = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),
+            (11, "gamma alpha beta"),          # permuted order
+            (12, "beta beta gamma alpha alpha"),  # repeats
+            (13, "alpha beta"),                # strict subset
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.minhash_lsh_pairs(df, "doc_id", "text", tau=0.99)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(10, 11)] == 1.0
+    assert got[(10, 12)] == 1.0
+    assert got[(11, 12)] == 1.0
+    assert (10, 13) not in got
+
+
 def test_simhash_matches_bruteforce_hamming(spark):
     """simhash_pairs (banded candidates) must equal a brute-force
     Hamming scan over the full fingerprint set — bands are lossless for

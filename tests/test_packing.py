@@ -117,6 +117,37 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     assert out[998] is True        # zero vector matches nothing
 
 
+def test_semantic_dedup_salting_is_lossless(spark):
+    """The r13 per-cluster salted self-join must yield the identical
+    verdict set for ANY salt factor: salt_target=1 forces s_c=|cluster|
+    (every pair crosses a salt-cell boundary), the default leaves
+    s_c=1 — both must equal each other on a fixture with multi-member
+    duplicate groups spread across clusters."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            v = [1.0, 0.0, 0.0]          # duplicate blob (cosine 1.0)
+        elif i % 3 == 1:
+            v = [0.0, 1.0, rng.random() * 1e-9]  # near-dup blob
+        else:
+            v = [rng.gauss(0, 1) for _ in range(3)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    base = sorted(
+        tuple(r) for r in S.semantic_dedup(df, tau=0.999, k=3, iters=1).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in S.semantic_dedup(
+            df, tau=0.999, k=3, iters=1, salt_target=1
+        ).collect()
+    )
+    assert base == salted
+
+
 # --------------------------------------------------------- unigram LM
 
 def test_unigram_logprob_hand_computed(spark):
