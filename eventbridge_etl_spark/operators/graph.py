@@ -45,6 +45,16 @@ def pagerank(
     END only (intermediates stay exact-deterministic).  Nodes = every
     distinct src or dst; initial rank 1/N; update
     ``rank' = (1-d)/N + d * Σ_in rank * w/out_w``.
+
+    Plan growth per unrolled iteration is LINEAR (nodes/frac are
+    persisted leaves): measured r13 at sf0.1, ~1.9k formatted-plan
+    lines and ~0.2 s of planning per 8 iterations (4 iters: 1355
+    lines / 16: 4139 / 24: 5995).  localCheckpoint truncation every 8
+    iterations was built and MEASURED WORSE — creating each lazy
+    checkpoint physically plans its prefix (``toRdd``), costing more
+    than the linear replanning it saves (16 iters: 3.9 s → 6.3 s
+    plan; 24: 5.8 s → 9.0 s) — so it was rejected; bfs_hops, whose
+    growth is combinatorial, is where truncation pays (see below).
     """
     src, dst = F.col(src_col), F.col(dst_col)
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
@@ -228,6 +238,7 @@ def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,
     max_hops: int = 3,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Minimum hop distance from a source node SET over a directed edge
     list, as ``max_hops`` unrolled frontier expansions — the same
@@ -242,10 +253,27 @@ def bfs_hops(
     — the distinct is load-bearing twice over: it bounds the frontier
     at |V| rows (else a dense level squares), and it rebalances the
     hot-destination skew the join produces.  Per-level cost is one
-    shuffle keyed on the join column; for deep traversals checkpoint
-    every few levels to cut lineage (not needed at the unrolled depths
-    this targets — path-length analytics, 2-3 hop reach).
+    shuffle keyed on the join column.
+
+    Plan-size truncation (r13, guide §3.3): the frontier prune
+    anti-joins the CUMULATIVE ``dist`` union, so each level's plan
+    embeds every earlier level's — measured growth is combinatorial
+    (this operator at 3 hops: ~1.4k formatted-plan lines; 6 hops: 24k;
+    10 hops: 1.13M lines and 93 s of pure driver-side planning).
+    Every ``checkpoint_every`` levels both frames are cut with a LAZY
+    ``localCheckpoint`` (plan becomes a leaf immediately; blocks
+    materialize on first action), bounding plan size linearly in
+    depth (10 hops: 678 lines, 17 s — 5.5x, and the gap widens
+    super-exponentially past that).  Creating a checkpoint physically
+    plans its prefix, so at SHALLOW depths truncation costs more than
+    it saves (measured: 6 hops 3.2 s → 18.5 s); the default is
+    therefore ADAPTIVE — off for ``max_hops`` <= 8 (the swept depth of
+    3 keeps byte-identical plans and results), every 4 levels beyond.
+    Deep traversals trade the checkpoint's executor-local block
+    storage (weaker fault tolerance, guide §5) for bounded planning.
     """
+    if checkpoint_every is None:
+        checkpoint_every = 4 if max_hops > 8 else 0
     # the edge list is read once per unrolled level: persist it so an
     # expensive upstream (window + aggregate + distinct for transition
     # edges) computes once instead of max_hops times — the same reuse
@@ -267,4 +295,7 @@ def bfs_hops(
         )
         dist = dist.unionByName(nxt.select("node", F.lit(h).alias("hop")))
         frontier = nxt
+        if checkpoint_every and h % checkpoint_every == 0 and h < max_hops:
+            dist = dist.localCheckpoint(eager=False)
+            frontier = frontier.localCheckpoint(eager=False)
     return dist.groupBy("node").agg(F.min("hop").alias("hops"))

@@ -229,3 +229,35 @@ def test_bfs_frontier_prunes_visited(spark):
     src = spark.createDataFrame([("a",)], "node string")
     out = {r["node"]: r["hops"] for r in bfs_hops(edges, src, 5).collect()}
     assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_deep_unroll_checkpointing_is_result_identical(spark):
+    """The r13 lazy-localCheckpoint plan truncation (bfs, adaptive:
+    every 4 levels once max_hops > 8) must not change results at
+    depths where it triggers.  Checked against an exact Python BFS
+    rather than the checkpoint_every=0 unroll — at depth 10 the
+    UNTRUNCATED plan is the >1M-line / minutes-of-planning pathology
+    the truncation exists to remove, far too slow for CI."""
+    import collections
+
+    from eventbridge_etl_spark.operators.graph import bfs_hops
+
+    # a 12-deep chain with a shortcut branch, so hops 1..10 populate
+    # and one node's min-hop differs from its chain position
+    chain = [(f"n{i}", f"n{i+1}") for i in range(12)] + [("n2", "x"), ("x", "n5")]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    src = spark.createDataFrame([("n0",)], "node string")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, src, max_hops=10).collect()}
+
+    adj = collections.defaultdict(list)
+    for s, d in chain:
+        adj[s].append(d)
+    expected, frontier = {"n0": 0}, ["n0"]
+    for h in range(1, 11):
+        frontier = [
+            d for s in frontier for d in adj[s] if d not in expected
+        ]
+        frontier = sorted(set(frontier))
+        for d in frontier:
+            expected[d] = h
+    assert got == expected
