@@ -68,77 +68,23 @@ def query(name: str, oracle: str | None = None):
 #: order.  Anything importing the registries directly without calling
 #: ``load_all()`` sees plain module-import registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # ================= ROUND-12 WINDOW (positions 1-50) ================
-    # Plan per VERDICT r11 "Next round #1": drain the rotation tail.
-    # Nine never-driver-checked r12 gates (rule 1), then the 14 gates
-    # whose driver evidence is r7-vintage (the r11 overflow pin,
-    # honored verbatim), then the 27 oldest rows of the r8-evidence
-    # cohort in registration order.  The 18 r8 rows that don't fit are
-    # pinned below as the r13 overflow head.  After the r12 drain the
-    # registry-wide staleness ceiling drops to r8 (18 rows), matching
-    # the 5-round arithmetic floor documented in COVERAGE.md §"Driver-
-    # window slot policy".
-    # --- new this round (never driver-checked; rule 1) ---
-    "dedup_exact_casefold",
-    "dedup_span_inventory",
-    "dedup_span_coverage",
-    "dedup_span_removal",
-    "dedup_span_decontaminate",
-    "similarity_topk_pq",
-    "similarity_topk_ivfpq",
-    "similarity_pq_recall",
-    "agg_hll_partial_merge",
-    # --- 14 r7-evidence rows (the pinned r11 overflow, verbatim) ---
-    "fn_string_surface",
-    "fn_json_surface",
-    "fn_map_surface",
-    "route_transform_rule",
-    "route_cidr_classifier",
-    "agg_approx_distinct",
-    "set_except",
-    "agg_approx_percentile",
-    "events_path_trigrams",
-    "q18_large_volume_customer",
-    "q16_supplier_part_counts",
-    "q21_waiting_orders",
-    "q13_customer_distribution",
-    "q20_dominant_suppliers",
-    # --- 27 oldest r8-evidence rows, registration order ---
-    "fn_date_surface",
-    "fn_math_surface",
-    "fn_array_surface",
-    "fn_conditional_surface",
-    "fn_hash_surface",
-    "fn_regex_surface",
-    "sample_deterministic",
-    "pipeline_corpus_admission",
-    "route_observe_tap",
-    "events_keyed_upsert",
-    "scan_projection_filter",
-    "streaming_hourly_windows",
-    "streaming_dedup",
-    "streaming_sessionize",
-    "streaming_running_totals",
-    "sort_multi_key_topk",
-    "set_intersect",
-    "set_union_distinct",
-    "subquery_scalar_above_avg",
-    "agg_percentiles",
-    "agg_pivot_native",
-    "agg_statistics",
-    "reshape_unpivot",
-    "streaming_interval_join",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "text_gopher_quality",
-    # ============== OVERFLOW (position 51+) — LEADS ROUND 13 ===========
-    # The 18 remaining r8-evidence rows (registration order — the eight
-    # new r12 analytics gates displaced text_collapse_runs/
-    # text_bigram_topk/sample_temperature/join_full_outer_coalesce/
-    # agg_mode_deterministic/set_intersect_all/set_except_all/
-    # window_nth_value here under rule 1, on top of the earlier
-    # join_salted_skew displacement).  These MUST head the r13 window
-    # under the normal rotation.
+    # ================= ROUND-13 WINDOW (positions 1-50) ================
+    # No never-checked gates this round (r12 drained rule 1) and no
+    # value-changed gates: every r13 engine change (minhash rep
+    # selection, semantic-dedup salting, q18 single-aggregate
+    # restructure, bfs truncation) is PROVABLY value-identical per the
+    # COVERAGE.md rule-2 procedure — byte-identical engine_hash digests
+    # at HEAD vs the pre-change worktree (sf0.01 via
+    # preclose_gate_check at close; sf0.1 and the /tmp/sf1 replica
+    # additionally recorded in OPTIMIZATION_r13.md) — so none consumes
+    # a slot (they re-enter at their normal staleness positions).  The
+    # window is therefore pure rule-3 rotation: the 18 r8-evidence rows
+    # pinned as this round's head by the r12 plan, then the 32 oldest
+    # r9-evidence rows in registration order.  The 16 r9 rows that do
+    # not fit are pinned below as the r14 overflow head.  After this
+    # drain the staleness ceiling is r9 (16 rows) — still at the
+    # ⌈216/50⌉ = 5-round arithmetic floor.
+    # --- 18 r8-evidence rows (the pinned r12 overflow, verbatim) ---
     "text_collapse_runs",
     "text_bigram_topk",
     "sample_temperature",
@@ -157,6 +103,58 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_outlier_iqr",
     "agg_correlation",
     "join_lateral_top2",
+    # --- 32 oldest r9-evidence rows, registration order ---
+    "dedup_tfidf_on_candidates",
+    "dedup_cluster_sizes",
+    "text_naive_bayes_lang",
+    "text_bm25_retrieval",
+    "graph_triangle_census",
+    "text_compression_ratio",
+    "multimodal_cdc_dedup",
+    "sample_weighted_pps",
+    "multimodal_phash_near_dup",
+    "agg_heavy_hitters",
+    "sample_leakage_safe_split",
+    "dedup_source_overlap",
+    "text_bigram_logprob",
+    "text_char_entropy",
+    "window_rolling_median",
+    "agg_chi_square_assoc",
+    "scd_snapshot_diff",
+    "expect_k_anonymity",
+    "sample_balanced_classes",
+    "dedup_incremental_admission",
+    "events_funnel_timed",
+    "dedup_containment_pairs",
+    "window_distribution",
+    "fn_generator_surface",
+    "expect_referential_integrity",
+    "q1_pricing_summary",
+    "agg_cube",
+    "agg_having",
+    "agg_distinct_count",
+    "q5_local_supplier_volume",
+    "window_topk_per_group",
+    "window_rank_dense",
+    # ============== OVERFLOW (position 51+) — LEADS ROUND 14 ===========
+    # The 16 remaining r9-evidence rows (registration order).  These
+    # MUST head the r14 window under the normal rotation.
+    "window_lag_gap",
+    "window_running_total",
+    "window_moving_avg",
+    "window_range_frame_30d",
+    "window_share_of_total",
+    "streaming_rollup_merge",
+    "streaming_ewma_smoothing",
+    "events_gap_fill",
+    "events_counter_increase",
+    "zorder_events_cluster",
+    "events_hopping_windows",
+    "events_time_hierarchy_rollup",
+    "events_value_histogram",
+    "events_dow_seasonality",
+    "events_rfm_segments",
+    "q11_important_parts",
 )
 
 

@@ -425,22 +425,29 @@ def q14_promo_effect(spark, sf_dir):
 )
 def q18_large_volume_customer(spark, sf_dir):
     """TPC-H Q18: the IN-subquery is an aggregate over the same fact
-    table, planned as agg -> semi join back on l_orderkey (threshold
-    lowered to the fixture's quantity distribution)."""
+    table (threshold lowered to the fixture's quantity distribution).
+
+    r13 (guide §2.4 — don't recompute what you already have): the
+    output's ``total_qty`` per order IS the per-order SUM the HAVING
+    filter computes, because ``o_orderkey`` is unique in orders and
+    every other group column is functionally dependent on it — the
+    classic formulation's semi-join + SECOND lineitem scan/join +
+    re-aggregation reproduce a value already in hand.  One inner join
+    against the aggregated-and-filtered per-order sums replaces all
+    three (plan: 2 lineitem scans → 1, the 5-column group exchange
+    gone).  Value-identical: both sums range over the identical row
+    set, and ``l_quantity`` is integer-valued so the double SUM is
+    exact regardless of accumulation order (the oracle's independent
+    DuckDB summation already relied on this)."""
     cu, od, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .filter(F.col("_q") > 90)
-        .select("l_orderkey")
     )
     return (
-        od.join(big.withColumnRenamed("l_orderkey", "_big_key"),
-                F.col("o_orderkey") == F.col("_big_key"), "left_semi")
+        od.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cu, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
         .select(
@@ -449,7 +456,7 @@ def q18_large_volume_customer(spark, sf_dir):
             "o_orderkey",
             "o_orderdate",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            "total_qty",
+            F.round("_q", 2).alias("total_qty"),
         )
     )
 
